@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the crawl-frontier workload.
+
+Scale notes (100 TB / 1000-executor design, tested on local[32]):
+
+- AQE on: runtime coalescing of the post-dedup shuffle and skew-join
+  splitting for the frontier⋈pages join (hot Zipf hosts).
+- ``spark.sql.shuffle.partitions`` defaults to 4× the local cores; on a real
+  cluster set it to 2-3× total executor cores (or leave AQE's coalescing to
+  shrink an intentionally high number).
+- Arrow enabled and batch size raised: the extraction UDF is the dominant
+  Python cost, so fewer/larger Arrow batches amortize serialization
+  (SURVEY.md §7 risk 5).
+- Session timezone pinned to UTC: the reference stores naive-UTC datetimes
+  (src/models/__init__.py:77); we make that explicit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    app_name: str = "mizzounewscrawler-spark",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession.
+
+    ``parallelism`` is the local[] core count; defaults to
+    ``$SPARK_GRAFT_CPUS`` or 32.  On a real cluster, drop ``master`` and let
+    spark-submit supply it — everything else carries over unchanged.
+    """
+    cores = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = shuffle_partitions or max(32, cores * 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
