@@ -1,0 +1,304 @@
+"""The crawl engine: seed → wave loop → articles, with checkpointed resume.
+
+Restates the reference's three sequential loops (SURVEY.md §0) as a driver
+wave loop over snapshot-versioned tables:
+
+  wave W:  build_wave (politeness/budget/backoff)           [scheduler.py]
+         → fetch+extract (join pages, mapInPandas cascade)  [extraction.py]
+         → status cascade + content hash                     [extraction.py]
+         → link discovery → canonicalize → robots → dedup    [dedup.py/robots.py]
+         → commit: articles++, url_seen++, order_log++,
+                   host_state←, frontier← (commit point)
+
+Each wave commits one snapshot per table with summary counters
+(frontier/scheduled/fetched/deduped/discovered) and the wave index; the
+frontier commit is last and is the checkpoint: resume reads the frontier's
+wave W and rolls every other table back to its snapshot at wave ≤ W, so a
+job killed mid-wave re-runs only that wave's deterministic plan — no URL is
+re-fetched and none is re-seen (north-rule resume requirement; tested in
+tests/test_resume.py).
+
+All ordering is deterministic: (priority DESC, url_hash ASC) replaces the
+reference's ``ORDER BY RANDOM()`` (extraction.py:1141), and the virtual wave
+clock (wave_ts = wave_idx × wave_duration) replaces wall-clock sleeps — so
+results are identical at any parallelism (tested local[8] vs local[32]).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mizzounewscrawler_spark.functions.urls import surt_expr, url_hash_expr
+from mizzounewscrawler_spark.lake import LakeTable
+from mizzounewscrawler_spark.operators.dedup import build_bloom, filter_unseen
+from mizzounewscrawler_spark.operators.extraction import fetch_and_extract, with_status
+from mizzounewscrawler_spark.operators.robots import apply_robots
+from mizzounewscrawler_spark.operators.scheduler import (
+    MAX_PER_HOST_PER_WAVE,
+    build_wave,
+    update_host_state,
+)
+
+FRONTIER_COLS = ["url", "url_surt", "url_hash", "host", "status", "priority", "depth"]
+
+
+@dataclass
+class CrawlConfig:
+    max_waves: int = 10
+    wave_duration: float = 60.0
+    max_per_host: int = MAX_PER_HOST_PER_WAVE
+    max_depth: int = 10
+    use_bloom: bool = True
+    bloom_fpr: float = 0.01
+    bloom_shard_bits: int = 4
+
+
+def _canonical_cols(df: DataFrame, url_col: str = "url") -> DataFrame:
+    surt = surt_expr(F.col(url_col))
+    out = (
+        df.withColumn("url_surt", surt)
+        .where(F.col("url_surt").isNotNull())
+        .withColumn("url_hash", url_hash_expr(F.col("url_surt")))
+        .withColumn(
+            "host",
+            F.reverse(F.split(F.substring_index(F.col("url_surt"), ")", 1), ",")),
+        )
+        .withColumn("host", F.array_join(F.col("host"), "."))
+    )
+    return out
+
+
+def priority_expr() -> F.Column:
+    """Feeds first (priority 2), everything else 1 — attribution-independent
+    so crawl order is a pure function of the URL (parity requirement)."""
+    return F.when(F.col("url_surt").endswith(")/feed"), F.lit(2)).otherwise(F.lit(1))
+
+
+def seed_frontier(spark: SparkSession, seeds: DataFrame) -> DataFrame:
+    """Seed URLs: each source's homepage + its feed URLs.
+
+    Mirrors reference discovery entry points (homepage build + RSS probe,
+    SURVEY.md §2.1 S2/S3) against the synthetic web's layout.
+    """
+    homepages = seeds.select(
+        F.concat(F.lit("https://www."), F.col("host"), F.lit("/")).alias("url")
+    )
+    feeds = seeds.select(F.explode("feed_urls").alias("url"))
+    urls = homepages.unionByName(feeds).distinct()
+    return (
+        _canonical_cols(urls)
+        .withColumn("status", F.lit("discovered"))
+        .withColumn("priority", priority_expr())
+        .withColumn("depth", F.lit(0))
+        .select(*FRONTIER_COLS)
+        .dropDuplicates(["url_hash"])
+    )
+
+
+def discover_new(
+    results: DataFrame,
+    allowed_hosts: DataFrame,
+    robots: DataFrame,
+    seen: DataFrame,
+    bloom,
+    max_depth: int,
+) -> DataFrame:
+    """Extract discovered links from this wave's fetches → canonical new
+    frontier rows (host-scoped, robots-enforced, deduped vs URL-seen)."""
+    links = (
+        results.where(F.col("found") & (F.size("links") > 0))
+        .select(F.explode("links").alias("url"), (F.col("depth") + 1).alias("depth"))
+        .where(F.col("depth") <= max_depth)
+    )
+    cand = _canonical_cols(links).withColumn("priority", priority_expr())
+    # in-batch dedup: one row per url_hash; deterministic winner = smallest
+    # (depth, url) so tracking-param variants never shadow the canonical raw
+    # URL nondeterministically
+    cand = (
+        cand.groupBy("url_hash")
+        .agg(
+            F.min_by(
+                F.struct(*[c for c in cand.columns if c != "url_hash"]),
+                F.struct("depth", "url"),
+            ).alias("s")
+        )
+        .select("url_hash", "s.*")
+    )
+    # host scope: only hosts we have seeds for (reference allowed-host check,
+    # source_processing.py:1339-1357) — broadcast semi join
+    cand = cand.join(F.broadcast(allowed_hosts), on="host", how="left_semi")
+    # robots at enqueue time: disallowed URLs still enter url_seen (never
+    # reconsidered) but carry robots_allowed=false so they never reach the
+    # frontier
+    cand = apply_robots(cand, robots)
+    # URL-seen dedup (bloom pre-filter + exact anti backstop)
+    new = filter_unseen(cand, seen, bloom, "url_hash")
+    return new
+
+
+@dataclass
+class CrawlTables:
+    frontier: LakeTable
+    url_seen: LakeTable
+    articles: LakeTable
+    host_state: LakeTable
+    order_log: LakeTable
+
+
+def open_tables(spark: SparkSession, out_dir: str) -> CrawlTables:
+    return CrawlTables(
+        frontier=LakeTable(spark, f"{out_dir}/frontier"),
+        url_seen=LakeTable(spark, f"{out_dir}/url_seen"),
+        articles=LakeTable(spark, f"{out_dir}/articles"),
+        host_state=LakeTable(spark, f"{out_dir}/host_state"),
+        order_log=LakeTable(spark, f"{out_dir}/order_log"),
+    )
+
+
+def _read_at_wave(table: LakeTable, wave: int) -> DataFrame | None:
+    """Latest snapshot committed at wave ≤ ``wave`` (resume rollback)."""
+    best = None
+    for s in table.snapshots():
+        if s.summary.get("wave", -1) <= wave:
+            best = s
+    return table.read(best.version) if best is not None else None
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame,
+    robots: DataFrame,
+    out_dir: str,
+    config: CrawlConfig | None = None,
+) -> dict:
+    """Run (or resume) the crawl; returns the final wave counters."""
+    cfg = config or CrawlConfig()
+    t = open_tables(spark, out_dir)
+    allowed_hosts = seeds.select("host").distinct()
+
+    if t.frontier.exists():
+        last = t.frontier.current_snapshot()
+        start_wave = int(last.summary["wave"]) + 1
+        frontier = t.frontier.read().where(F.col("status") == "discovered")
+        seen = _read_at_wave(t.url_seen, start_wave - 1)
+        host_state_df = _read_at_wave(t.host_state, start_wave - 1)
+    else:
+        frontier = seed_frontier(spark, seeds).cache()
+        seen = frontier.select("url_hash", "url_surt")
+        t.url_seen.append(seen, {"wave": -1})
+        t.frontier.overwrite(frontier, {"wave": -1, "frontier": frontier.count()})
+        seen = t.url_seen.read()
+        host_state_df = None
+        start_wave = 0
+
+    stats: dict = {"start_wave": start_wave, "waves_run": 0}
+    for wave in range(start_wave, cfg.max_waves):
+        wave_ts = wave * cfg.wave_duration
+        frontier = frontier.cache()
+        frontier_size = frontier.count()
+        if frontier_size == 0:
+            break
+
+        wave_df = build_wave(
+            frontier,
+            seeds,
+            robots,
+            host_state_df,
+            wave_ts,
+            cfg.wave_duration,
+            cfg.max_per_host,
+        ).cache()
+        scheduled = wave_df.count()
+        if scheduled == 0:
+            # every pending host is in backoff this wave — advance the
+            # virtual clock and retry (bounded by max_waves)
+            wave_df.unpersist()
+            continue
+
+        results = with_status(fetch_and_extract(wave_df, pages)).cache()
+
+        # Bloom over the current seen set (rebuilt per wave from the exact
+        # table; incremental merge is the production path)
+        bloom = (
+            build_bloom(
+                seen,
+                "url_hash",
+                fpr=cfg.bloom_fpr,
+                shard_bits=cfg.bloom_shard_bits,
+            )
+            if cfg.use_bloom
+            else None
+        )
+        new_frontier_rows = discover_new(
+            results, allowed_hosts, robots, seen, bloom, cfg.max_depth
+        ).cache()
+        discovered_new = new_frontier_rows.count()
+
+        # ---- commits (frontier last = checkpoint) ----
+        articles_batch = results.select(
+            "url",
+            F.col("url_surt"),
+            F.col("url_hash"),
+            "host",
+            "depth",
+            F.col("fetch_status").alias("status"),
+            "title",
+            "author",
+            "text",
+            "method",
+            "content_hash",
+            F.lit(wave).alias("wave"),
+        )
+        t.articles.append(articles_batch, {"wave": wave, "fetched": scheduled})
+
+        # ALL new canonical URLs enter url_seen — including robots-disallowed
+        # ones (enforced at enqueue, so they are never reconsidered)
+        new_seen = new_frontier_rows.select("url_hash", "url_surt")
+        t.url_seen.append(new_seen, {"wave": wave, "added": discovered_new})
+        seen = t.url_seen.read()
+
+        t.order_log.append(
+            wave_df.select(
+                F.lit(wave).alias("wave"), "seq", "url_surt", "url_hash", "host"
+            ),
+            {"wave": wave},
+        )
+
+        ok_expr = F.col("fetch_status").isin("extracted", "wire", "paywall", "feed")
+        host_state_df = update_host_state(
+            host_state_df, results.select("host", ok_expr.alias("ok")), wave_ts, wave
+        )
+        t.host_state.overwrite(host_state_df, {"wave": wave})
+        host_state_df = t.host_state.read()
+
+        fetched_ok = results.where(ok_expr).count()
+        next_frontier = (
+            frontier.join(wave_df.select("url_hash"), "url_hash", "left_anti")
+            .select(*FRONTIER_COLS)
+            .unionByName(
+                new_frontier_rows.where(F.col("robots_allowed"))
+                .withColumn("status", F.lit("discovered"))
+                .select(*FRONTIER_COLS)
+            )
+        )
+        summary = {
+            "wave": wave,
+            "frontier": frontier_size,
+            "scheduled": scheduled,
+            "fetched": fetched_ok,
+            "failed": scheduled - fetched_ok,
+            "discovered": discovered_new,
+            "deduped": discovered_new,  # post-dedup admissions
+        }
+        snap = t.frontier.overwrite(next_frontier, summary)
+        frontier = t.frontier.read().where(F.col("status") == "discovered")
+        stats = {**stats, **summary, "waves_run": stats["waves_run"] + 1,
+                 "snapshot": snap.version}
+        wave_df.unpersist()
+        results.unpersist()
+        new_frontier_rows.unpersist()
+    return stats

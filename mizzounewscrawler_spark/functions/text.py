@@ -1,0 +1,185 @@
+"""Text-analysis column functions: hashing, tokens, quality, lang-ID,
+fingerprints, shingles.
+
+Everything here is a *native* Spark column expression (JVM-side, inside
+whole-stage codegen) — no Python UDFs in these hot paths.  These back both
+the crawl pipeline (content hashing — reference
+/root/reference/src/models/database.py:792-794; content-length gates —
+/root/reference/src/cli/commands/extraction.py:1518) and the training-data
+operators (token counting, quality scoring, language ID, fingerprinting)
+that a 100 TB text pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# hashing
+# --------------------------------------------------------------------------
+
+
+def content_hash_expr(text: Column) -> Column:
+    """sha256 hex of the text body (reference ``calculate_content_hash``)."""
+    return F.sha2(text, 256)
+
+
+# --------------------------------------------------------------------------
+# tokenization / counting
+# --------------------------------------------------------------------------
+
+_WS = r"\s+"
+# BPE-ish word/punct splitter: words, numbers, or single punctuation marks
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokens (empty-string-safe)."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, _WS))
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def bpe_ish_token_count_expr(text: Column) -> Column:
+    """Sub-word-ish token count via regexp extraction (proxy for a BPE
+    tokenizer; deterministic and JVM-side)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0))
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+# --------------------------------------------------------------------------
+
+# compact English stopword panel (fixed, deterministic)
+EN_STOPWORDS = (
+    "the of and a to in is was for on that with as it at by from this be are "
+    "an or not his her they we you i has had have but its their which"
+).split()
+
+def stopword_ratio_expr(text: Column) -> Column:
+    """Fraction of whitespace tokens that are English stopwords."""
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    toks = F.transform(tokens_expr(text), lambda t: F.lower(t))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def punct_ratio_expr(text: Column) -> Column:
+    """Punctuation chars / total chars."""
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\-]", ""))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite [0,1] quality score: length signal + stopword signal −
+    punctuation-excess penalty.  The formula is fixed and documented so the
+    DuckDB oracle can restate it exactly (see plans/relational.py)."""
+    length_sig = F.least(F.length(text).cast("double") / F.lit(2000.0), F.lit(1.0))
+    stop_sig = F.least(stopword_ratio_expr(text) * F.lit(2.5), F.lit(1.0))
+    punct_pen = F.greatest(
+        punct_ratio_expr(text) - F.lit(0.15), F.lit(0.0)
+    ) * F.lit(2.0)
+    score = length_sig * F.lit(0.5) + stop_sig * F.lit(0.5) - punct_pen
+    return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 4)
+
+
+# --------------------------------------------------------------------------
+# language ID (n-gram/stopword heuristic)
+# --------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": "the and of to in is was for with that".split(),
+    "es": "el la los las de que en un una por".split(),
+    "fr": "le la les des une est dans pour que au".split(),
+    "de": "der die das und ist ein eine nicht mit von".split(),
+}
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Pick the language whose marker-word hit count is highest (ties break
+    by fixed language order en,es,fr,de; no hits → 'und')."""
+    toks = F.transform(tokens_expr(text), lambda t: F.lower(t))
+
+    def _marker_hits(words: list[str]):
+        # NB: close over the array; a defaulted lambda param would be
+        # (mis)read by PySpark as a second lambda variable
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = [(lang, _marker_hits(words)) for lang, words in LANG_MARKERS.items()]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # iterate reversed so earlier languages win ties
+    for lang, sc in reversed(scores):
+        take = sc > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, sc).otherwise(best_score)
+    return best
+
+
+# --------------------------------------------------------------------------
+# shingles + fingerprinting
+# --------------------------------------------------------------------------
+
+
+def word_shingles_expr(text: Column, k: int = 3) -> Column:
+    """Array of word k-shingles (space-joined)."""
+    toks = F.transform(tokens_expr(text), lambda t: F.lower(t))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+
+
+def fingerprint_expr(text: Column, k: int = 3) -> Column:
+    """Rolling-hash document fingerprint: min xxhash64 over word k-shingles
+    (a 1-permutation MinHash; winnowing-style representative)."""
+    sh = word_shingles_expr(text, k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    return F.when(F.size(sh) > 0, F.array_min(hashes)).otherwise(F.lit(None))
+
+
+def minhash_signature_expr(text: Column, num_hashes: int = 32, k: int = 3) -> Column:
+    """MinHash signature as array<bigint>: for permutation i, min over
+    shingles of xxhash64(shingle, salted by i).  Salting = prefixing the
+    shingle with the permutation index keeps everything JVM-native."""
+    sh = word_shingles_expr(text, k)
+
+    def _perm_min(i: int):
+        return F.when(
+            F.size(sh) > 0,
+            F.array_min(
+                F.transform(sh, lambda s: F.xxhash64(F.concat(F.lit(f"{i}|"), s)))
+            ),
+        )
+
+    return F.array(*[_perm_min(i) for i in range(num_hashes)])
+
+
+def simhash_expr(text: Column, bits: int = 64) -> Column:
+    """SimHash over word tokens: sign-sum of per-token xxhash64 bits.
+
+    Implemented with native higher-order functions: for each bit b, count
+    tokens whose hash has bit b set; bit is 1 in the result iff that count
+    exceeds half the token count.  O(bits) expressions, JVM-side.
+    """
+    toks = F.transform(tokens_expr(text), lambda t: F.lower(t))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+    def _ones_at(b: int):
+        return F.size(
+            F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        )
+
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        ones = _ones_at(b)
+        bit_set = (ones * 2) > n
+        bit_val = F.shiftleft(F.lit(1).cast("long"), b)  # b=63 wraps to min-long: correct bit pattern
+        acc = acc.bitwiseOR(F.when(bit_set, bit_val).otherwise(F.lit(0).cast("long")))
+    return F.when(n > 0, acc)

@@ -1,0 +1,422 @@
+"""URL-seen / content dedup operators.
+
+The reference deduplicates through a DB unique constraint plus a per-host
+in-memory set of previously seen URLs
+(/root/reference/src/crawler/discovery.py:1900-1932, membership check at
+source_processing.py:1363-1365).  With no database to lean on, the engine
+uses the north rule's design:
+
+1. **Partitioned Bloom filter** over ``xxhash64(url_surt)`` — sharded by the
+   top bits of the unsigned hash, each shard built distributedly with
+   ``applyInPandas`` (numpy bit ops), OR-merged per shard, broadcast.  The
+   Bloom is a *pre-filter*: candidates it rejects are definitely-new and skip
+   the exact join entirely; only possible-seen rows (true hits + FP) flow
+   into the exact ``left_anti`` backstop — at 10^10 URLs this shrinks the
+   anti-join probe side by ~99% for typical revisit rates.
+2. **Exact anti-join backstop** against the ``url_seen`` table (kills Bloom
+   false positives; the correctness bar).
+3. **Cuckoo filter** variant supporting deletes (frontier retraction /
+   expiry compaction) — same fingerprint scheme, driver-side state.
+
+Also here: exact content dedup (sha256 groupBy — reference ``text_hash``
+columns, /root/reference/src/models/__init__.py:85,149) and the
+training-data near-dup family (MinHash-LSH, SimHash, n-gram Jaccard,
+embedding cosine).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mizzounewscrawler_spark.functions.text import (
+    minhash_signature_expr,
+    simhash_expr,
+    word_shingles_expr,
+)
+
+# --------------------------------------------------------------------------
+# partitioned Bloom filter
+# --------------------------------------------------------------------------
+
+
+def _bloom_params(expected_n: int, fpr: float) -> tuple[int, int]:
+    """(bits_per_shard_total m, num_hashes k) for target FPR."""
+    expected_n = max(expected_n, 1)
+    m = int(math.ceil(-expected_n * math.log(fpr) / (math.log(2) ** 2)))
+    m = max(m, 64)
+    k = max(1, round(m / expected_n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _positions(h_unsigned: np.ndarray, k: int, m: int) -> list[np.ndarray]:
+    """Double-hashing probe positions: pos_i = (h1 + i*h2) mod m."""
+    h1 = h_unsigned
+    h2 = (h_unsigned >> np.uint64(33)) | np.uint64(1)
+    return [
+        ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.uint64) for i in range(k)
+    ]
+
+
+@dataclass
+class PartitionedBloom:
+    """Sharded Bloom filter over signed-64 hash values."""
+
+    shard_bits: int  # number of shards = 2**shard_bits
+    m: int  # bits per shard
+    k: int  # hash probes
+    shards: dict[int, bytes]  # shard_id -> bitmap bytes (m/8 rounded up)
+
+    @property
+    def num_shards(self) -> int:
+        return 1 << self.shard_bits
+
+    def shard_of(self, h_unsigned: np.ndarray) -> np.ndarray:
+        if self.shard_bits == 0:
+            return np.zeros(len(h_unsigned), dtype=np.uint64)
+        return h_unsigned >> np.uint64(64 - self.shard_bits)
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership test for an int64 array (signed)."""
+        h = hashes.astype(np.int64).view(np.uint64)
+        out = np.ones(len(h), dtype=bool)
+        shard_ids = self.shard_of(h)
+        for sid in np.unique(shard_ids):
+            mask = shard_ids == sid
+            bitmap = self.shards.get(int(sid))
+            if bitmap is None:
+                out[mask] = False
+                continue
+            bits = np.frombuffer(bitmap, dtype=np.uint8)
+            hm = h[mask]
+            hit = np.ones(mask.sum(), dtype=bool)
+            for pos in _positions(hm, self.k, self.m):
+                byte_idx = (pos // np.uint64(8)).astype(np.int64)
+                bit_idx = (pos % np.uint64(8)).astype(np.uint8)
+                hit &= (bits[byte_idx] >> bit_idx) & 1 == 1
+            out[mask] = hit
+        return out
+
+
+def build_bloom(
+    df: DataFrame,
+    hash_col: str = "url_hash",
+    expected_n: int | None = None,
+    fpr: float = 0.01,
+    shard_bits: int = 4,
+) -> PartitionedBloom:
+    """Build a sharded Bloom filter from ``df[hash_col]`` distributedly.
+
+    Each shard's bitmap is OR-reduced from per-partition partial bitmaps
+    built in ``applyInPandas`` (numpy bit ops over the hash values) — no
+    per-row Python, no driver-side scan of the data.
+    """
+    n = expected_n or df.count()
+    num_shards = 1 << shard_bits
+    m, k = _bloom_params(max(n // num_shards, 1), fpr)
+    nbytes = (m + 7) // 8
+
+    h_u = F.col(hash_col).cast("long")
+    shard_expr = (
+        F.shiftrightunsigned(h_u, 64 - shard_bits) if shard_bits else F.lit(0)
+    )
+    hashed = df.select(h_u.alias("h"), shard_expr.cast("int").alias("shard"))
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        for pos in _positions(h, k, m):
+            byte_idx = (pos // np.uint64(8)).astype(np.int64)
+            bit_idx = (pos % np.uint64(8)).astype(np.uint8)
+            np.bitwise_or.at(bits, byte_idx, np.uint8(1) << bit_idx)
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "bitmap": [bits.tobytes()]}
+        )
+
+    parts = hashed.groupBy("shard").applyInPandas(
+        build_shard, "shard int, bitmap binary"
+    )
+    shards = {int(r["shard"]): bytes(r["bitmap"]) for r in parts.collect()}
+    return PartitionedBloom(shard_bits=shard_bits, m=m, k=k, shards=shards)
+
+
+def bloom_maybe_seen_col(spark, bloom: PartitionedBloom, hash_col: str) -> Column:
+    """Boolean column: True if the Bloom *may* have seen the hash.
+
+    Uses an Arrow-vectorized pandas UDF over the broadcast filter; the UDF is
+    pure numpy bit arithmetic (no Python loop per row).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(bloom)
+
+    @pandas_udf("boolean")
+    def _maybe_seen(h: pd.Series) -> pd.Series:
+        b = bc.value
+        vals = h.to_numpy(dtype=np.int64)
+        return pd.Series(b.contains(vals))
+
+    return _maybe_seen(F.col(hash_col))
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    bloom: PartitionedBloom | None,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Rows of ``candidates`` whose ``hash_col`` is NOT in ``seen``.
+
+    Bloom pre-filter → exact ``left_anti`` backstop on the possible-seen
+    slice only.  With no Bloom (or no seen table) it degrades gracefully.
+    """
+    if seen is None:
+        return candidates
+    if bloom is None:
+        return candidates.join(
+            seen.select(F.col(hash_col)).distinct(), on=hash_col, how="left_anti"
+        )
+    spark = candidates.sparkSession
+    flagged = candidates.withColumn(
+        "_maybe_seen", bloom_maybe_seen_col(spark, bloom, hash_col)
+    )
+    definitely_new = flagged.where(~F.col("_maybe_seen")).drop("_maybe_seen")
+    possible = flagged.where(F.col("_maybe_seen")).drop("_maybe_seen")
+    fp_survivors = possible.join(
+        seen.select(F.col(hash_col)).distinct(), on=hash_col, how="left_anti"
+    )
+    return definitely_new.unionByName(fp_survivors)
+
+
+# --------------------------------------------------------------------------
+# Cuckoo filter (deletable URL-seen variant)
+# --------------------------------------------------------------------------
+
+
+class CuckooFilter:
+    """Bucketized cuckoo filter (4-way, 16-bit fingerprints) over signed-64
+    hashes; supports delete for frontier retraction (SURVEY.md §7 risk 3).
+
+    Driver-side state with vectorized numpy lookups; persisted alongside the
+    url_seen table and rebuilt on compaction waves.
+    """
+
+    BUCKET = 4
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int, seed: int = 42):
+        nbuckets = 1
+        while nbuckets * self.BUCKET < capacity * 1.1:
+            nbuckets <<= 1
+        self.nbuckets = nbuckets
+        self.table = np.zeros((nbuckets, self.BUCKET), dtype=np.uint16)
+        self._rng = np.random.default_rng(seed)  # deterministic kick choice
+
+    def _fp_and_buckets(self, h: int) -> tuple[int, int, int]:
+        hu = h & ((1 << 64) - 1)
+        fp = (hu >> 48) & 0xFFFF
+        fp = fp or 1
+        i1 = hu & (self.nbuckets - 1)
+        i2 = (i1 ^ (fp * 0x5BD1E995)) & (self.nbuckets - 1)
+        return fp, i1, i2
+
+    def insert(self, h: int) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(h)
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        i = i1 if self._rng.integers(2) == 0 else i2
+        cur = fp
+        for _ in range(self.MAX_KICKS):
+            slot = int(self._rng.integers(self.BUCKET))
+            cur, self.table[i][slot] = int(self.table[i][slot]), cur
+            i = (i ^ (cur * 0x5BD1E995)) & (self.nbuckets - 1)
+            row = self.table[i]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = cur
+                return True
+        return False  # table full — caller must rebuild bigger
+
+    def contains(self, h: int) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(h)
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def delete(self, h: int) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(h)
+        for i in (i1, i2):
+            idx = np.where(self.table[i] == fp)[0]
+            if len(idx):
+                self.table[i][idx[0]] = 0
+                return True
+        return False
+
+
+# --------------------------------------------------------------------------
+# content dedup family (exact + near-dup)
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per identical text hash (deterministic winner).
+    Reference: ``text_hash`` unique handling, models/__init__.py:149."""
+    h = F.sha2(F.col(text_col), 256).alias("_h")
+    w = df.select("*", h)
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+    )
+    return w.withColumn("_rn", rn).where(F.col("_rn") == 1).drop("_h", "_rn")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + banded LSH.
+
+    signature (array of ``num_hashes`` minima) → split into ``bands`` bands →
+    explode (band_id, band_hash) → self-join on the bucket key → distinct
+    pairs (a < b).  All shuffles are on uniform hash keys; the band join is
+    the classic LSH bucket join that avoids the O(n²) cross product.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature_expr(F.col(text_col), num_hashes, shingle_k)
+    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = with_sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                band_ids,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup candidates: 4-block Charikar partitioning — pairs
+    within Hamming distance ``max_hamming`` (≤3) must share at least one of 4
+    16-bit blocks; join per block then exact popcount filter."""
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash_expr(F.col(text_col)).alias("sh")
+    ).where(F.col("sh").isNotNull())
+    blocks = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("sh"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sh", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.where(hamming <= max_hamming).select("id_a", "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Inverted-index join on distinct shingles (not a cross join): explode
+    shingles → self-join on shingle → count common shingles per pair →
+    Jaccard = common / (|A| + |B| − common).  Scales as the sum of squared
+    posting-list lengths; for corpora with hot shingles add a document-
+    frequency cap upstream.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles_expr(F.col(text_col), k)).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    sizes = sh.select("id", F.size("shingles").alias("n"))
+    posting = sh.select("id", F.explode("shingles").alias("s"))
+    a, b = posting.alias("a"), posting.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

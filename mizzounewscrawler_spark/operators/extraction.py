@@ -1,0 +1,135 @@
+"""Fetch + extraction as Arrow-vectorized dataflow.
+
+The reference's fetch/extract loop is sequential per row with per-domain
+sleeps (/root/reference/src/cli/commands/extraction.py:1203-1265); here the
+"fetch" is a join of the wave against the ``pages`` table (sandbox stand-in
+for HTTP per ``input_hint``), and extraction is ``mapInPandas`` over
+(url, html) batches — the per-URL extraction "query" U1
+(/root/reference/src/mcmetadata/__init__.py:52-291) re-expressed as one
+struct-producing vectorized stage.
+
+Status cascade after extraction (column expressions, not Python):
+- challenge page            → 'proxy_blocked'  (reference extraction.py:1273-1312)
+- wire byline               → 'wire'           (stage-2 byline patterns, extraction.py:1344-1502)
+- text < 150 chars          → 'paywall'        (MIN_CONTENT_LENGTH gate, extraction.py:1518)
+- otherwise                 → 'extracted'
+Stage order matters for parity (SURVEY.md §2.8 C17) and matches the
+reference: challenge is detected before wire, wire before the length gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mizzounewscrawler_spark.functions.html import (
+    extract_author,
+    extract_feed_links,
+    extract_links,
+    extract_text,
+    extract_title,
+    is_challenge_page,
+)
+
+# wire byline panel (reference wire_services table seeds, pattern_type='byline')
+WIRE_AUTHOR_RE = r"(?i)^(the\s+)?(associated press|ap|reuters|afp|cnn newsource)\b"
+
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("found", T.BooleanType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("author", T.StringType()),
+        T.StructField("method", T.StringType()),
+        T.StructField("is_challenge", T.BooleanType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
+        T.StructField("is_feed", T.BooleanType()),
+    ]
+)
+
+
+def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = {k: [] for k in
+           ("url", "found", "text", "title", "author", "method",
+            "is_challenge", "links", "is_feed")}
+    for url, html in zip(pdf["url"], pdf["html"]):
+        out["url"].append(url)
+        if html is None:
+            out["found"].append(False)
+            out["text"].append(None)
+            out["title"].append(None)
+            out["author"].append(None)
+            out["method"].append(None)
+            out["is_challenge"].append(False)
+            out["links"].append([])
+            out["is_feed"].append(False)
+            continue
+        doc = bytes(html).decode("utf-8", errors="replace")
+        is_feed = doc.lstrip().startswith("<?xml") or "<rss" in doc[:200]
+        if is_feed:
+            links = extract_feed_links(doc)
+            text, method, title, author, challenge = "", "feed", "", "", False
+        else:
+            text, method = extract_text(doc)
+            title = extract_title(doc)
+            author = extract_author(doc)
+            challenge = is_challenge_page(doc)
+            links = extract_links(doc, url)
+        out["found"].append(True)
+        out["text"].append(text)
+        out["title"].append(title)
+        out["author"].append(author)
+        out["method"].append(method)
+        out["is_challenge"].append(challenge)
+        out["links"].append(links)
+        out["is_feed"].append(is_feed)
+    return pd.DataFrame(out)
+
+
+def fetch_and_extract(wave: DataFrame, pages: DataFrame) -> DataFrame:
+    """Join the wave against ``pages`` ("fetch") and extract.
+
+    Both sides key on the raw ``url``; at 10^10 scale both are bucketed on
+    the same key so this is a storage-partitioned (co-located) join.  Missing
+    pages → found=false (the HTTP-404 analog).
+    """
+    fetched = wave.join(
+        pages.select("url", "html"), on="url", how="left"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = _extract_batch(pdf[["url", "html"]])
+            carried = pdf.drop(columns=["html", "url"])
+            yield pd.concat(
+                [res.reset_index(drop=True), carried.reset_index(drop=True)], axis=1
+            )
+
+    carried_fields = [f for f in fetched.schema.fields if f.name not in ("url", "html")]
+    schema = T.StructType(list(EXTRACT_SCHEMA.fields) + carried_fields)
+    return fetched.mapInPandas(run, schema)
+
+
+def with_status(extracted: DataFrame) -> DataFrame:
+    """Apply the deterministic status cascade (column exprs only)."""
+    text_len = F.length(F.trim(F.coalesce(F.col("text"), F.lit(""))))
+    status = (
+        F.when(~F.col("found"), F.lit("failed"))
+        .when(F.col("is_feed"), F.lit("feed"))
+        .when(F.col("is_challenge"), F.lit("proxy_blocked"))
+        .when(F.coalesce(F.col("author"), F.lit("")).rlike(WIRE_AUTHOR_RE), F.lit("wire"))
+        .when(text_len < 150, F.lit("paywall"))
+        .otherwise(F.lit("extracted"))
+    )
+    return extracted.withColumn("fetch_status", status).withColumn(
+        "content_hash",
+        F.when(
+            F.col("text").isNotNull() & (F.col("text") != ""),
+            F.sha2(F.col("text"), 256),
+        ),
+    )

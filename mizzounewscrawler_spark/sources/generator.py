@@ -1,0 +1,315 @@
+"""Deterministic synthetic-web generator (pages / seeds / robots tables).
+
+Per FIXTURES.md §1-3: Common-Crawl-style ``pages`` with Zipf-skewed host
+sizes (hot-host skew for the salting story), per-host link graphs (so link
+discovery feeds the frontier), duplicate content across URLs (content-hash
+dedup), tracking-param URL variants (canonicalization dedup), challenge and
+paywall pages, RSS feeds, and robots.txt rules with disallowed-but-linked
+paths (to prove enforcement).
+
+Everything is seeded (seed=42 convention) and wall-clock-free: timestamps
+derive from a fixed ``REFERENCE_TS`` (the reference's future-date guard used
+``now()`` — /root/reference/src/mcmetadata/__init__.py:18,145 — which we pin,
+SURVEY.md §7 risk 1).
+
+Two drivers over the same per-host pure function:
+- :func:`generate_web` — pure pandas, used by tests and the sequential
+  simulator (small scale);
+- :func:`generate_web_spark` — ``mapInPandas`` over a host-spec DataFrame,
+  used by the benchmark (distributed generation; 600k pages in seconds and
+  the same code path a 100 TB fixture would use).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+from dataclasses import dataclass
+
+import pandas as pd
+
+from mizzounewscrawler_spark.functions.html import extract_text
+
+REFERENCE_TS = dt.datetime(2024, 1, 15, 12, 0, 0)
+
+_VOCAB = (
+    "council city mayor budget vote school district board river park police "
+    "fire county election report student teacher game season team coach win "
+    "storm weather road bridge project plan meeting public health hospital "
+    "farm market store local business owner street festival music downtown"
+).split()
+_STOP = "the of and a to in is was for on that with as it at by from".split()
+
+FREQUENCIES = ["daily", "weekly", "biweekly", "monthly"]
+CITIES = ["Columbia", "Springfield", "Liberty", "Fulton", "Mexico", "Rolla"]
+COUNTIES = ["Boone", "Greene", "Clay", "Callaway", "Audrain", "Phelps"]
+
+
+def _sentence(rng: random.Random) -> str:
+    n = rng.randint(8, 16)
+    words = []
+    for i in range(n):
+        pool = _STOP if rng.random() < 0.4 else _VOCAB
+        words.append(rng.choice(pool))
+    s = " ".join(words)
+    return s[0].upper() + s[1:] + "."
+
+
+def _paragraph(rng: random.Random, sentences: int) -> str:
+    return " ".join(_sentence(rng) for _ in range(sentences))
+
+
+def host_name(i: int) -> str:
+    return f"site{i:04d}.news.test"
+
+
+@dataclass
+class HostSpec:
+    host: str
+    host_idx: int
+    n_articles: int
+    bot_sensitivity: int
+    crawl_delay: float
+    has_robots: bool
+    frequency: str
+
+
+def make_host_specs(seed: int, n_hosts: int, target_pages: int) -> list[HostSpec]:
+    """Zipf-weighted page allocation across hosts (rank-1 host is hot)."""
+    weights = [1.0 / (r + 1) for r in range(n_hosts)]
+    total = sum(weights)
+    specs = []
+    for i in range(n_hosts):
+        n_articles = max(5, round(target_pages * weights[i] / total))
+        specs.append(
+            HostSpec(
+                host=host_name(i),
+                host_idx=i,
+                n_articles=n_articles,
+                bot_sensitivity=1 + (i % 10),
+                crawl_delay=[0.5, 1.0, 2.0, 5.0, 10.0][i % 5],
+                has_robots=(i % 4 == 0),
+                frequency=FREQUENCIES[i % len(FREQUENCIES)],
+            )
+        )
+    return specs
+
+
+def gen_host_pages(spec: HostSpec, seed: int) -> list[dict]:
+    """All pages for one host: homepage, 2 sections, feed, articles (+
+    variants/dups/challenge/paywall/private).  Deterministic per (host, seed)."""
+    rng = random.Random(f"{seed}:{spec.host}")
+    base = f"https://www.{spec.host}"
+    rows: list[dict] = []
+    article_urls: list[str] = []
+    private_urls: list[str] = []
+
+    def add(url: str, html: str, offset_s: int) -> None:
+        text, _ = extract_text(html)
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": REFERENCE_TS - dt.timedelta(seconds=offset_s),
+                "html": html.encode("utf-8"),
+                "text": text,
+                "lang": "en",
+            }
+        )
+
+    # -- articles ----------------------------------------------------------
+    prev_body: str | None = None
+    for k in range(spec.n_articles):
+        day = 1 + (k % 28)
+        url = f"{base}/2024/01/{day:02d}/story-{k}.html"
+        title = f"Story {k} on {spec.host}"
+        author = f"Reporter {k % 7}"
+        if k % 23 == 21:
+            # challenge page (reference proxy-challenge detect, extraction.py:1273)
+            html = (
+                "<html><head><title>Just a moment...</title></head>"
+                "<body><p>Checking your browser before accessing.</p></body></html>"
+            )
+        elif k % 17 == 13:
+            # short paywall page (<150 chars of body text)
+            html = (
+                f"<html><head><title>{title}</title></head><body>"
+                f"<article><p>Subscribe to read this story.</p></article></body></html>"
+            )
+        else:
+            if k % 13 == 12 and prev_body is not None:
+                body = prev_body  # duplicate content, distinct URL
+            else:
+                body = "".join(
+                    f"<p>{_paragraph(rng, rng.randint(2, 4))}</p>"
+                    for _ in range(rng.randint(3, 6))
+                )
+                prev_body = body
+            related = rng.sample(article_urls, min(3, len(article_urls)))
+            rel_links = "".join(f'<a href="{u}">rel</a>' for u in related)
+            html = (
+                f"<html><head><title>{title}</title>"
+                f'<meta name="author" content="{author}"></head>'
+                f"<body><article>{body}</article><nav>{rel_links}</nav></body></html>"
+            )
+        add(url, html, offset_s=k * 60)
+        article_urls.append(url)
+
+    # -- private pages (robots-disallowed but linked) ------------------------
+    if spec.has_robots:
+        for k in range(3):
+            url = f"{base}/private/secret-{k}.html"
+            body = "".join(
+                f"<p>{_paragraph(rng, 3)}</p>" for _ in range(4)
+            )
+            add(
+                url,
+                f"<html><head><title>Private {k}</title></head>"
+                f"<body><article>{body}</article></body></html>",
+                offset_s=90000 + k,
+            )
+            private_urls.append(url)
+
+    # -- sections ------------------------------------------------------------
+    half = len(article_urls) // 2
+    sections = {
+        f"{base}/news": article_urls[:half],
+        f"{base}/sports": article_urls[half:],
+    }
+    for surl, arts in sections.items():
+        links = "".join(f'<a href="{u}">a</a>' for u in arts[:50])
+        add(
+            surl,
+            f"<html><head><title>Section</title></head><body>{links}</body></html>",
+            offset_s=30,
+        )
+
+    # -- homepage --------------------------------------------------------------
+    recent = article_urls[: min(10, len(article_urls))]
+    # tracking-param variants of some article links (canonicalization dedup)
+    variant_links = [
+        f"{u}?utm_source=homepage&fbclid=ZZ{j}"
+        for j, u in enumerate(article_urls)
+        if j % 7 == 5
+    ]
+    next_host = host_name((spec.host_idx + 1) % max(spec.host_idx + 1, 1))
+    ext = f"https://www.{next_host}/"
+    links = "".join(
+        f'<a href="{u}">l</a>'
+        for u in ([*sections.keys(), *recent, *variant_links, *private_urls, ext])
+    )
+    add(
+        f"{base}/",
+        f"<html><head><title>{spec.host}</title></head><body>{links}</body></html>",
+        offset_s=10,
+    )
+
+    # -- RSS feed ---------------------------------------------------------------
+    items = "".join(
+        f"<item><title>i{j}</title><link>{u}</link></item>"
+        for j, u in enumerate(recent)
+    )
+    feed = f'<?xml version="1.0"?><rss><channel>{items}</channel></rss>'
+    rows.append(
+        {
+            "url": f"{base}/feed",
+            "warc_ts": REFERENCE_TS - dt.timedelta(seconds=5),
+            "html": feed.encode("utf-8"),
+            "text": "",
+            "lang": "en",
+        }
+    )
+    return rows
+
+
+@dataclass
+class SyntheticWeb:
+    pages: pd.DataFrame
+    seeds: pd.DataFrame
+    robots: pd.DataFrame
+
+
+def _seeds_robots(specs: list[HostSpec]) -> tuple[pd.DataFrame, pd.DataFrame]:
+    seeds = pd.DataFrame(
+        {
+            "source_id": [f"src-{s.host}" for s in specs],
+            "host": [s.host for s in specs],
+            "name": [f"The {s.host.split('.')[0].title()} Gazette" for s in specs],
+            "frequency": [s.frequency for s in specs],
+            "bot_sensitivity": [s.bot_sensitivity for s in specs],
+            "feed_urls": [[f"https://www.{s.host}/feed"] for s in specs],
+            "city": [CITIES[s.host_idx % len(CITIES)] for s in specs],
+            "county": [COUNTIES[s.host_idx % len(COUNTIES)] for s in specs],
+            "status": ["paused" if s.host_idx % 11 == 10 else "active" for s in specs],
+        }
+    )
+    robots = pd.DataFrame(
+        {
+            "host": [s.host for s in specs],
+            "user_agent": ["*"] * len(specs),
+            "disallow": [
+                ["/private/", "/tag/"] if s.has_robots else [] for s in specs
+            ],
+            "crawl_delay": [s.crawl_delay for s in specs],
+        }
+    )
+    return seeds, robots
+
+
+def generate_web(seed: int = 42, n_hosts: int = 20, target_pages: int = 2000) -> SyntheticWeb:
+    """Pure-pandas deterministic web (tests / simulator scale)."""
+    specs = make_host_specs(seed, n_hosts, target_pages)
+    rows: list[dict] = []
+    for spec in specs:
+        rows.extend(gen_host_pages(spec, seed))
+    seeds, robots = _seeds_robots(specs)
+    return SyntheticWeb(pages=pd.DataFrame(rows), seeds=seeds, robots=robots)
+
+
+def generate_web_spark(spark, seed: int = 42, n_hosts: int = 200, target_pages: int = 60000):
+    """Distributed generation: host-spec DF → mapInPandas → pages DF.
+
+    This is the scale path: generation parallelizes per host exactly like the
+    crawl itself partitions per host.
+    """
+    from pyspark.sql import types as T
+
+    specs = make_host_specs(seed, n_hosts, target_pages)
+    spec_df = spark.createDataFrame(
+        [
+            (s.host, s.host_idx, s.n_articles, s.bot_sensitivity, s.crawl_delay,
+             s.has_robots, s.frequency)
+            for s in specs
+        ],
+        "host string, host_idx int, n_articles int, bot_sensitivity int, "
+        "crawl_delay double, has_robots boolean, frequency string",
+    ).repartition(min(len(specs), 64), "host")
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                spec = HostSpec(
+                    host=r.host,
+                    host_idx=r.host_idx,
+                    n_articles=r.n_articles,
+                    bot_sensitivity=r.bot_sensitivity,
+                    crawl_delay=r.crawl_delay,
+                    has_robots=r.has_robots,
+                    frequency=r.frequency,
+                )
+                out.extend(gen_host_pages(spec, seed))
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    pages = spec_df.mapInPandas(gen, schema)
+    seeds, robots = _seeds_robots(specs)
+    return pages, spark.createDataFrame(seeds), spark.createDataFrame(robots)

@@ -1,0 +1,101 @@
+"""Bloom/cuckoo URL-seen filters and the content near-dup family."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from mizzounewscrawler_spark.operators.dedup import (
+    CuckooFilter,
+    build_bloom,
+    exact_dedup,
+    filter_unseen,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+
+
+def test_bloom_no_false_negatives_and_sane_fpr(spark):
+    seen = spark.range(0, 5000).select(F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    bloom = build_bloom(seen, "url_hash", fpr=0.01, shard_bits=3)
+    member = bloom.contains(
+        np.array([r["url_hash"] for r in seen.collect()], dtype=np.int64)
+    )
+    assert member.all(), "Bloom false negative!"
+    fresh = spark.range(100000, 110000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    fp = bloom.contains(np.array([r["url_hash"] for r in fresh.collect()], dtype=np.int64))
+    assert fp.mean() < 0.05, f"FPR too high: {fp.mean()}"
+
+
+def test_filter_unseen_exact_semantics(spark):
+    seen = spark.range(0, 1000).select(F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    bloom = build_bloom(seen, "url_hash", fpr=0.01, shard_bits=2)
+    cand = spark.range(500, 1500).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"), F.col("id")
+    )
+    out = filter_unseen(cand, seen, bloom, "url_hash")
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == list(range(1000, 1500)), "bloom+anti must equal exact anti-join"
+    out_nobloom = filter_unseen(cand, seen, None, "url_hash")
+    assert sorted(r["id"] for r in out_nobloom.collect()) == ids
+
+
+def test_cuckoo_insert_contains_delete():
+    cf = CuckooFilter(capacity=2000)
+    hs = [hash(f"u{i}") & ((1 << 63) - 1) for i in range(1500)]
+    for h in hs:
+        assert cf.insert(h)
+    assert all(cf.contains(h) for h in hs)
+    for h in hs[:500]:
+        assert cf.delete(h)
+    # deleted entries may still FP via shared fingerprints, but the vast
+    # majority must be gone (deletability is the point vs Bloom)
+    still = sum(cf.contains(h) for h in hs[:500])
+    assert still < 25
+    assert all(cf.contains(h) for h in hs[500:])
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["id", "text"]
+    )
+    out = exact_dedup(df, "text", "id").collect()
+    assert sorted(r["id"] for r in out) == [1, 3]
+
+
+def test_minhash_lsh_finds_neardups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different content about city council budget votes " * 10
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["id", "text"]
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(df, "id", "text").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_neardups(spark):
+    base = "city council approves budget for new river bridge project " * 8
+    near = base.replace("approves", "adopts", 2)
+    far = "sports team wins season game coach celebrates victory tonight " * 8
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["id", "text"])
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_neardup_pairs(df, "id", "text", max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_ngram_jaccard(spark):
+    a = "one two three four five six seven eight nine ten"
+    b = "one two three four five six seven eight nine eleven"
+    c = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["id", "text"])
+    rows = ngram_jaccard_pairs(df, "id", "text", k=3, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
+    assert (1, 3) not in pairs

@@ -1,0 +1,125 @@
+"""Wave scheduler budgets/ordering/backoff and robots.txt enforcement."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mizzounewscrawler_spark.functions.urls import surt, url_hash
+from mizzounewscrawler_spark.operators.robots import apply_robots, robots_allowed_py
+from mizzounewscrawler_spark.operators.scheduler import (
+    build_wave,
+    update_host_state,
+)
+
+
+def _frontier(spark, rows):
+    # rows: (url, priority, depth)
+    data = []
+    for url, prio, depth in rows:
+        s = surt(url)
+        host = ".".join(reversed(s.split(")", 1)[0].split(",")))
+        data.append((url, s, url_hash(s), host, "discovered", prio, depth))
+    return spark.createDataFrame(
+        data, "url string, url_surt string, url_hash long, host string, "
+        "status string, priority int, depth int"
+    )
+
+
+def _seeds(spark, hosts_sens):
+    return spark.createDataFrame(
+        [(h, sv, [f"https://www.{h}/feed"]) for h, sv in hosts_sens],
+        "host string, bot_sensitivity int, feed_urls array<string>",
+    )
+
+
+def _robots(spark, rows):
+    return spark.createDataFrame(
+        rows, "host string, user_agent string, disallow array<string>, crawl_delay double"
+    )
+
+
+def test_budget_caps_per_host(spark):
+    urls = [(f"https://fast.test/a{i}", 1, 0) for i in range(10)]
+    urls += [(f"https://slow.test/b{i}", 1, 0) for i in range(10)]
+    fr = _frontier(spark, urls)
+    seeds = _seeds(spark, [("fast.test", 1), ("slow.test", 1)])
+    robots = _robots(
+        spark,
+        [("fast.test", "*", [], 1.0), ("slow.test", "*", [], 45.0)],
+    )
+    wave = build_wave(fr, seeds, robots, None, wave_ts=0.0, wave_duration=60.0)
+    counts = {r["host"]: r["n"] for r in wave.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert counts["fast.test"] == 3  # capped at MAX_PER_HOST (60/1 > 3)
+    assert counts["slow.test"] == 1  # floor(60/45)=1
+
+
+def test_wave_order_deterministic_priority_then_hash(spark):
+    urls = [(f"https://h.test/p{i}", 1, 0) for i in range(3)]
+    urls.append(("https://h.test/feed", 2, 0))
+    fr = _frontier(spark, urls)
+    seeds = _seeds(spark, [("h.test", 1)])
+    robots = _robots(spark, [("h.test", "*", [], 0.5)])
+    wave = build_wave(fr, seeds, robots, None, 0.0).orderBy("seq").collect()
+    assert wave[0]["url_surt"].endswith(")/feed")  # priority 2 first
+    hashes = [r["url_hash"] for r in wave[1:]]
+    assert hashes == sorted(hashes)
+
+
+def test_backoff_excludes_host(spark):
+    fr = _frontier(spark, [("https://h.test/x", 1, 0), ("https://ok.test/y", 1, 0)])
+    seeds = _seeds(spark, [("h.test", 1), ("ok.test", 1)])
+    robots = _robots(spark, [("h.test", "*", [], 1.0), ("ok.test", "*", [], 1.0)])
+    hs = spark.createDataFrame(
+        [("h.test", 3, 1800.0, 0, 0)],
+        "host string, consecutive_failures int, backoff_until double, "
+        "last_wave int, fetched_total long",
+    )
+    wave = build_wave(fr, seeds, robots, hs, wave_ts=60.0)
+    assert {r["host"] for r in wave.collect()} == {"ok.test"}
+    wave_later = build_wave(fr, seeds, robots, hs, wave_ts=1800.0)
+    assert {r["host"] for r in wave_later.collect()} == {"ok.test", "h.test"}
+
+
+def test_host_state_backoff_progression(spark):
+    results = spark.createDataFrame(
+        [("bad.test", False), ("bad.test", False), ("good.test", True)],
+        "host string, ok boolean",
+    )
+    hs1 = update_host_state(None, results, wave_ts=0.0, wave_idx=0)
+    rows = {r["host"]: r for r in hs1.collect()}
+    assert rows["bad.test"]["consecutive_failures"] == 2
+    assert rows["bad.test"]["backoff_until"] == 0.0 + 60.0 * 2  # 60*2^(2-1)
+    assert rows["good.test"]["consecutive_failures"] == 0
+    assert rows["good.test"]["backoff_until"] is None
+    # third failure → 30 min pause
+    r2 = spark.createDataFrame([("bad.test", False)], "host string, ok boolean")
+    hs2 = update_host_state(hs1, r2, wave_ts=300.0, wave_idx=1)
+    bad = [r for r in hs2.collect() if r["host"] == "bad.test"][0]
+    assert bad["consecutive_failures"] == 3
+    assert bad["backoff_until"] == 300.0 + 1800.0
+    # success resets
+    r3 = spark.createDataFrame([("bad.test", True)], "host string, ok boolean")
+    hs3 = update_host_state(hs2, r3, wave_ts=2400.0, wave_idx=2)
+    bad = [r for r in hs3.collect() if r["host"] == "bad.test"][0]
+    assert bad["consecutive_failures"] == 0 and bad["backoff_until"] is None
+
+
+def test_robots_prefix_enforcement(spark):
+    cand = _frontier(
+        spark,
+        [
+            ("https://r.test/private/x.html", 1, 1),
+            ("https://r.test/news/ok.html", 1, 1),
+            ("https://free.test/private/y.html", 1, 1),
+        ],
+    )
+    robots = _robots(spark, [("r.test", "*", ["/private/", "/tag/"], 1.0)])
+    out = apply_robots(cand, robots)
+    got = {r["url"]: r["robots_allowed"] for r in out.collect()}
+    assert got["https://r.test/private/x.html"] is False
+    assert got["https://r.test/news/ok.html"] is True
+    assert got["https://free.test/private/y.html"] is True  # no rules ⇒ allowed
+    # python twin agrees
+    assert robots_allowed_py("/private/x.html", ["/private/"]) is False
+    assert robots_allowed_py("/news/ok.html", ["/private/"]) is True
+    assert robots_allowed_py("/anything", None) is True
