@@ -1,0 +1,623 @@
+"""Oracle-checked query catalog: every relational/analytic operator class
+from SURVEY.md §2 exercised on the driver's TPC-H-ish tables, each with a
+DuckDB-equivalent ANSI-SQL oracle (driver contract in __spark_entry__.py).
+
+Determinism rules used throughout (so the driver's value-hash matches):
+- money aggregates: decimal(18,2) arithmetic (exact, order-independent),
+  ``round(…, 2)`` then cast double — bit-identical across engines;
+- timestamps returned as formatted strings;
+- every computed column aliased identically in Spark and SQL;
+- LIMIT/top-k queries carry total tie-breaks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mizzounewscrawler_spark.functions.text import (
+    BPE_ISH_RE,
+    EN_STOPWORDS,
+    bpe_ish_token_count_expr,
+    quality_score_expr,
+    stopword_ratio_expr,
+    token_count_expr,
+)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → rows-only check
+    survey_ref: str = ""
+
+
+# --------------------------------------------------------------------------
+# aggregations (SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf):
+    """A2/A4 status-style rollup (TPC-H Q1 shape) with exact decimal money."""
+    li = t(spark, sf, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))), 2
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(cast(l_quantity as decimal(18,2))), 2)::double AS sum_qty,
+       round(sum(cast(l_extendedprice as decimal(18,2))), 2)::double AS sum_base_price,
+       round(sum(cast(l_extendedprice as decimal(18,2)) *
+                 (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))), 2)::double
+           AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf):
+    """A1 per-domain available-work counts → top-N with full tie-break."""
+    o = t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy(F.desc("order_count"), F.asc("o_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT o_custkey, count(*) AS order_count
+FROM orders GROUP BY o_custkey
+ORDER BY order_count DESC, o_custkey ASC LIMIT 20
+"""
+
+
+def q_status_counts(spark, sf):
+    """A2 stage-pending counts as one groupBy (vs reference's 6 queries)."""
+    return t(spark, sf, "orders").groupBy("o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+
+
+SQL_STATUS_COUNTS = "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus"
+
+
+def q_string_agg(spark, sf):
+    """A3 entity string-agg: sorted-distinct concat per group."""
+    o = t(spark, sf, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), "; ").alias(
+            "priorities"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+
+
+SQL_STRING_AGG = """
+SELECT o_custkey,
+       string_agg(DISTINCT o_orderpriority, '; ' ORDER BY o_orderpriority) AS priorities,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_last_processed(spark, sf):
+    """A5 last-processed-per-source (one aggregate for all, vs reference's
+    per-source N queries, scheduling.py:65-98)."""
+    o = t(spark, sf, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order_date")
+    )
+
+
+SQL_LAST_PROCESSED = """
+SELECT o_custkey, strftime(max(o_orderdate), '%Y-%m-%d') AS last_order_date
+FROM orders GROUP BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# joins (SURVEY §2.3)
+# --------------------------------------------------------------------------
+
+
+def q_anti_join(spark, sf):
+    """J2 frontier ▷ articles: customers with no orders (left_anti)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_report_join(spark, sf):
+    """J1/J5 county-report-style multi-join: facts ⋈ broadcast dims + agg."""
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    o = t(spark, sf, "orders")
+    dims = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    return (
+        o.join(dims, o["o_custkey"] == dims["c_custkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+SQL_REPORT_JOIN = """
+SELECT r_name, n_name, count(*) AS n_orders,
+       round(sum(cast(o_totalprice as decimal(18,2))), 2)::double AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_semi_join(spark, sf):
+    """J3-style membership: parts that appear in any lineitem (semi join)."""
+    p = t(spark, sf, "part")
+    li = t(spark, sf, "lineitem")
+    return (
+        p.join(li, p["p_partkey"] == li["l_partkey"], "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT p_brand, count(*) AS n_parts FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# windows / ranking (SURVEY §2.5, §2.6)
+# --------------------------------------------------------------------------
+
+
+def q_latest_per_key(spark, sf):
+    """J4 latest-label-per-article: row_number over (key, ts desc)."""
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+SQL_LATEST_PER_KEY = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders) WHERE rn = 1
+"""
+
+
+def q_per_host_cap(spark, sf):
+    """P9/A7 per-host batch cap: top-3 rows per key by deterministic order."""
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+SQL_PER_HOST_CAP = """
+SELECT o_custkey, o_orderkey, rn
+FROM (SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders) WHERE rn <= 3
+"""
+
+
+def q_sessionize(spark, sf):
+    """Session windows (streaming-state analog done as batch windows):
+    new session when gap from previous event > 30 min; sessions per user."""
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+SQL_SESSIONIZE = """
+SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+FROM (SELECT user_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                        ORDER BY ts, event_id)) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events) GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# filters / predicates / scalar functions (SURVEY §2.2, §2.8)
+# --------------------------------------------------------------------------
+
+
+def q_recency_filter(spark, sf):
+    """F6/P12 late-data window: drop rows older than the cutoff."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("qty"),
+        )
+    )
+
+
+SQL_RECENCY = """
+SELECT l_returnflag, count(*) AS n,
+       round(sum(cast(l_quantity as decimal(18,2))), 2)::double AS qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q_rlike_panel(spark, sf):
+    """F2/F3/F9 regex-panel filters: pattern-classified counts per source."""
+    d = t(spark, sf, "documents")
+    pat = r"(budget|council|election)"
+    return (
+        d.where(F.lower(F.col("text")).rlike(pat))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_matching"))
+    )
+
+
+SQL_RLIKE = """
+SELECT source, count(*) AS n_matching FROM documents
+WHERE regexp_matches(lower(text), '(budget|council|election)')
+GROUP BY source
+"""
+
+
+def q_json_extract(spark, sf):
+    """C12 JSON access: get_json_object over the events props column."""
+    e = t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count("*").alias("n")
+    )
+
+
+SQL_JSON = """
+SELECT event_type, sum(cast(json_extract_string(props, '$.k') as int)) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_hash_keys(spark, sf):
+    """C3/C6 content hashing: sha256 of text per doc (reference parity keys)."""
+    d = t(spark, sf, "documents")
+    return d.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha256"))
+
+
+SQL_HASH = "SELECT doc_id, sha256(text) AS text_sha256 FROM documents"
+
+
+def q_hourly_rollup(spark, sf):
+    """P13 micro-batch/tumbling-window analog: per-hour per-type rollup."""
+    e = t(spark, sf, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias(
+            "hour"
+        ),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(_dec("value")), 2).cast("double").alias("total_value"),
+    )
+
+
+SQL_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
+       count(*) AS n,
+       round(sum(cast(value as decimal(18,2))), 2)::double AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_due_cadence(spark, sf):
+    """P1 due-cadence: keys whose latest activity is older than the cutoff."""
+    o = t(spark, sf, "orders")
+    last = o.groupBy("o_custkey").agg(F.max("o_orderdate").alias("last_dt"))
+    return last.where(F.col("last_dt") < F.lit("1997-01-01")).select(
+        "o_custkey", F.date_format("last_dt", "yyyy-MM-dd").alias("last_order_date")
+    )
+
+
+SQL_DUE = """
+SELECT o_custkey, strftime(last_dt, '%Y-%m-%d') AS last_order_date
+FROM (SELECT o_custkey, max(o_orderdate) AS last_dt FROM orders GROUP BY o_custkey)
+WHERE last_dt < TIMESTAMP '1997-01-01'
+"""
+
+
+# --------------------------------------------------------------------------
+# set ops (SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+
+def q_union_dedup(spark, sf):
+    """Union of two discovery-method outputs + dedup (RSS ∪ newspaper)."""
+    o = t(spark, sf, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.where(F.col("o_totalprice") > 200000).select("o_custkey")
+    return a.unionByName(b).distinct()
+
+
+SQL_UNION = """
+SELECT DISTINCT o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup / text analysis / similarity (training-data operators)
+# --------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark, sf):
+    """Exact content dedup: keep min doc_id per identical-text group (J8)."""
+    d = t(spark, sf, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_token_stats(spark, sf):
+    """Token counting (whitespace + BPE-ish regex) per language."""
+    d = t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(token_count_expr(F.col("text"))).alias("ws_tokens"),
+        F.sum(bpe_ish_token_count_expr(F.col("text"))).alias("bpe_ish_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT lang,
+       sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS ws_tokens,
+       sum(len(regexp_extract_all(text, '{BPE_ISH_RE}'))) AS bpe_ish_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+def q_quality_scores(spark, sf):
+    """Quality scoring: the documented composite formula per doc."""
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.round(stopword_ratio_expr(F.col("text")), 6).alias("stopword_ratio"),
+        quality_score_expr(F.col("text")).alias("quality"),
+    )
+
+
+SQL_QUALITY = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::varchar[]
+              ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> lower(x)) END AS tk
+  FROM documents
+), base AS (
+  SELECT doc_id, text,
+         CASE WHEN len(tk) > 0
+              THEN len(list_filter(tk, x -> list_contains({_STOPS_SQL}, x)))::double
+                   / len(tk)::double
+              ELSE 0.0 END AS sw,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^.,;:!?''"()\\-]', '', 'g'))::double
+                   / length(text)::double
+              ELSE 0.0 END AS pr
+  FROM toks
+)
+SELECT doc_id, round(sw, 6) AS stopword_ratio,
+       round(greatest(least(
+           least(length(text)::double / 2000.0, 1.0) * 0.5
+         + least(sw * 2.5, 1.0) * 0.5
+         - greatest(pr - 0.15, 0.0) * 2.0, 1.0), 0.0), 4) AS quality
+FROM base
+"""
+
+
+def q_ann_topk(spark, sf):
+    """Similarity search: exact cosine top-10 vs the vec_id=0 query vector."""
+    from mizzounewscrawler_spark.operators.similarity import cosine_topk
+
+    emb = t(spark, sf, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk(
+        emb.where(F.col("vec_id") > 0), [float(x) for x in qvec], k=10
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT embedding::double[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::double[], qv) /
+             (sqrt(list_dot_product(embedding::double[], embedding::double[])) *
+              sqrt(list_dot_product(qv, qv))), 6) AS cosine
+FROM embeddings, q WHERE vec_id > 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_embedding_label_centroids(spark, sf):
+    """Vector aggregation: per-label mean norm (array math, JVM-side)."""
+    from mizzounewscrawler_spark.operators.similarity import norm_expr
+
+    emb = t(spark, sf, "embeddings")
+    return emb.groupBy("label").agg(
+        F.round(
+            F.avg(norm_expr(F.col("embedding").cast("array<double>"))), 6
+        ).alias("avg_norm"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_CENTROIDS = """
+SELECT label,
+       round(avg(sqrt(list_dot_product(embedding::double[], embedding::double[]))), 6)
+           AS avg_norm,
+       count(*) AS n
+FROM embeddings GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: LSH, simhash, crawl engine)
+# --------------------------------------------------------------------------
+
+
+def q_minhash_neardup(spark, sf):
+    from mizzounewscrawler_spark.operators.dedup import minhash_lsh_pairs
+
+    d = t(spark, sf, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=32, bands=8)
+
+
+def q_simhash_neardup(spark, sf):
+    from mizzounewscrawler_spark.operators.dedup import simhash_neardup_pairs
+
+    d = t(spark, sf, "documents")
+    return simhash_neardup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+def q_lsh_ann(spark, sf):
+    from mizzounewscrawler_spark.operators.similarity import lsh_ann_topk
+
+    emb = t(spark, sf, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_ann_topk(emb.where(F.col("vec_id") > 0), [float(x) for x in qvec], k=10)
+
+
+def q_crawl_wave(spark, sf):
+    """One politeness wave of the crawl engine on an in-memory fixture web —
+    exposes scheduler+extraction+dedup to the driver as a rows-only check."""
+    from mizzounewscrawler_spark.operators.extraction import (
+        fetch_and_extract,
+        with_status,
+    )
+    from mizzounewscrawler_spark.crawl import seed_frontier
+    from mizzounewscrawler_spark.operators.scheduler import build_wave
+    from mizzounewscrawler_spark.sources.generator import generate_web
+
+    web = generate_web(seed=42, n_hosts=4, target_pages=80)
+    pages = spark.createDataFrame(web.pages)
+    seeds = spark.createDataFrame(web.seeds)
+    robots = spark.createDataFrame(web.robots)
+    frontier = seed_frontier(spark, seeds)
+    wave = build_wave(frontier, seeds, robots, None, wave_ts=0.0)
+    out = with_status(fetch_and_extract(wave, pages))
+    return out.select("url", "seq", "fetch_status", "content_hash").orderBy("seq")
+
+
+CATALOG: list[QuerySpec] = [
+    QuerySpec("pricing_summary", q_pricing_summary, SQL_PRICING, "A2/A4"),
+    QuerySpec("top_customers", q_top_customers, SQL_TOP_CUSTOMERS, "A1"),
+    QuerySpec("status_counts", q_status_counts, SQL_STATUS_COUNTS, "A2"),
+    QuerySpec("string_agg_entities", q_string_agg, SQL_STRING_AGG, "A3"),
+    QuerySpec("last_processed_per_key", q_last_processed, SQL_LAST_PROCESSED, "A5"),
+    QuerySpec("anti_join_unfetched", q_anti_join, SQL_ANTI_JOIN, "J2"),
+    QuerySpec("report_multi_join", q_report_join, SQL_REPORT_JOIN, "J1/J5"),
+    QuerySpec("semi_join_membership", q_semi_join, SQL_SEMI_JOIN, "J3"),
+    QuerySpec("latest_per_key_window", q_latest_per_key, SQL_LATEST_PER_KEY, "J4"),
+    QuerySpec("per_host_cap_window", q_per_host_cap, SQL_PER_HOST_CAP, "P9/A7"),
+    QuerySpec("sessionize_events", q_sessionize, SQL_SESSIONIZE, "§2.9 streaming analog"),
+    QuerySpec("recency_filter", q_recency_filter, SQL_RECENCY, "F6/P12"),
+    QuerySpec("regex_panel_filter", q_rlike_panel, SQL_RLIKE, "F2/F3/F9"),
+    QuerySpec("json_extract", q_json_extract, SQL_JSON, "C12"),
+    QuerySpec("content_hash_keys", q_hash_keys, SQL_HASH, "C3/C6"),
+    QuerySpec("hourly_rollup", q_hourly_rollup, SQL_HOURLY, "P13"),
+    QuerySpec("due_cadence", q_due_cadence, SQL_DUE, "P1"),
+    QuerySpec("union_discovery_dedup", q_union_dedup, SQL_UNION, "§2.7"),
+    QuerySpec("exact_dedup_docs", q_exact_dedup, SQL_EXACT_DEDUP, "J8"),
+    QuerySpec("token_stats", q_token_stats, SQL_TOKEN_STATS, "text ops"),
+    QuerySpec("quality_scores", q_quality_scores, SQL_QUALITY, "text ops"),
+    QuerySpec("ann_cosine_topk", q_ann_topk, SQL_ANN_TOPK, "similarity"),
+    QuerySpec("embedding_centroids", q_embedding_label_centroids, SQL_CENTROIDS, "similarity"),
+    QuerySpec("minhash_lsh_neardup", q_minhash_neardup, None, "dedup (LSH)"),
+    QuerySpec("simhash_neardup", q_simhash_neardup, None, "dedup (SimHash)"),
+    QuerySpec("lsh_ann_topk", q_lsh_ann, None, "similarity (ANN)"),
+    QuerySpec("crawl_wave_demo", q_crawl_wave, None, "crawl engine"),
+]
