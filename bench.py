@@ -1,0 +1,166 @@
+"""Benchmark harness (driver-run per round; also used for the two-parallelism
+scaling evidence in BENCH/BASELINE.md).
+
+Two parts:
+1. **Frontier throughput** — the BASELINE.json metric: URLs
+   scheduled+fetched+deduped per second, measured by running the crawl engine
+   (waves of schedule → fetch-join → Arrow extraction → link discovery →
+   Bloom+anti dedup → snapshot commit) over a cached deterministic synthetic
+   web (Zipf hosts).  Order-log off (parity artifact; single-partition sort),
+   Bloom incremental.
+2. **Headline relational queries** — a subset of the oracle-checked catalog
+   at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "frontier": {"throughput_urls_per_sec": ..., "urls_processed": ...,
+                 "crawl_sec": ..., "waves": ..., "cores": ...}}
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_HOSTS, BENCH_PAGES,
+BENCH_WAVES, BENCH_SKIP_CRAWL, BENCH_SKIP_QUERIES.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mizzounewscrawler_spark.crawl import CrawlConfig, run_crawl  # noqa: E402
+from mizzounewscrawler_spark.plans.relational import CATALOG  # noqa: E402
+from mizzounewscrawler_spark.session import build_session  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "report_multi_join",
+    "latest_per_key_window",
+    "anti_join_unfetched",
+    "string_agg_entities",
+    "sessionize_events",
+    "exact_dedup_docs",
+    "token_stats",
+    "ann_cosine_topk",
+    "hourly_rollup",
+]
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+
+
+def _cached_web(spark, n_hosts: int, pages: int):
+    """Generate-once (distributed), cache as parquet keyed by size."""
+    from mizzounewscrawler_spark.sources.generator import generate_web_spark
+
+    tag = f"web_h{n_hosts}_p{pages}"
+    root = os.path.join(CACHE_DIR, tag)
+    pq = {n: os.path.join(root, n) for n in ("pages", "seeds", "robots")}
+    if not all(os.path.exists(p) for p in pq.values()):
+        pages_df, seeds_df, robots_df = generate_web_spark(
+            spark, seed=42, n_hosts=n_hosts, target_pages=pages
+        )
+        pages_df.write.mode("overwrite").parquet(pq["pages"])
+        seeds_df.write.mode("overwrite").parquet(pq["seeds"])
+        robots_df.write.mode("overwrite").parquet(pq["robots"])
+    return (
+        spark.read.parquet(pq["pages"]),
+        spark.read.parquet(pq["seeds"]),
+        spark.read.parquet(pq["robots"]),
+    )
+
+
+def bench_crawl(spark, n_hosts: int, pages: int, waves: int) -> dict:
+    pages_df, seeds_df, robots_df = _cached_web(spark, n_hosts, pages)
+    pages_df = pages_df.cache()
+    pages_df.count()  # materialize the "web" before timing the crawl
+    out_dir = tempfile.mkdtemp(prefix="bench_crawl_")
+    cfg = CrawlConfig(
+        max_waves=waves,
+        with_order_log=False,
+        bloom_capacity=max(2 * pages, 1_000_000),
+    )
+    t0 = time.time()
+    stats = run_crawl(spark, pages_df, seeds_df, robots_df, out_dir, cfg)
+    crawl_sec = time.time() - t0
+    from mizzounewscrawler_spark.crawl import open_tables
+
+    t = open_tables(spark, out_dir)
+    snaps = [s.summary for s in t.frontier.snapshots() if s.summary.get("wave", -1) >= 0]
+    urls = sum(s["scheduled"] + s["fetched"] + s["deduped"] for s in snaps)
+    # steady-state throughput: exclude wave 0 (JVM/codegen/python-worker
+    # warmup) — the honest figure for a perpetual crawl where warmup
+    # amortizes to zero over thousands of waves
+    ss = [s for s in snaps if s["wave"] >= 1 and "wave_sec" in s]
+    ss_urls = sum(s["scheduled"] + s["fetched"] + s["deduped"] for s in ss)
+    ss_sec = sum(s["wave_sec"] for s in ss)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    pages_df.unpersist()
+    return {
+        "throughput_urls_per_sec": round(urls / crawl_sec, 1),
+        "steady_state_urls_per_sec": round(ss_urls / ss_sec, 1) if ss_sec else None,
+        "urls_processed": urls,
+        "crawl_sec": round(crawl_sec, 2),
+        "steady_state_sec": round(ss_sec, 2),
+        "waves": stats["waves_run"],
+        "hosts": n_hosts,
+        "web_pages": pages,
+    }
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    specs = {s.name: s for s in CATALOG}
+    out = {}
+    for name in HEADLINE:
+        fn = specs[name].spark_fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_hosts = int(os.environ.get("BENCH_HOSTS", "4000"))
+    pages = int(os.environ.get("BENCH_PAGES", "120000"))
+    waves = int(os.environ.get("BENCH_WAVES", "6"))
+    # shuffle partitions pinned across parallelism levels so the N-vs-4N
+    # scaling comparison runs the identical plan (AQE still coalesces)
+    spark = build_session(
+        cores,
+        shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE", "64")),
+        app_name="mnc-bench",
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t_all = time.time()
+    frontier = (
+        {}
+        if os.environ.get("BENCH_SKIP_CRAWL")
+        else bench_crawl(spark, n_hosts, pages, waves)
+    )
+    queries = (
+        {} if os.environ.get("BENCH_SKIP_QUERIES") else bench_queries(spark, sf_dir)
+    )
+    total = round(time.time() - t_all, 2)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "frontier_throughput_urls_per_sec",
+        "value": frontier.get("throughput_urls_per_sec", total),
+        "unit": "sec",
+        "queries": {**queries, "crawl_total": frontier.get("crawl_sec")},
+        "sf": sf,
+        "cores": cores,
+        "frontier": frontier,
+        "total_sec": total,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

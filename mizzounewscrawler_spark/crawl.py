@@ -26,6 +26,7 @@ results are identical at any parallelism (tested local[8] vs local[32]).
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,7 +34,12 @@ from pyspark.sql import functions as F
 
 from mizzounewscrawler_spark.functions.urls import surt_expr, url_hash_expr
 from mizzounewscrawler_spark.lake import LakeTable
-from mizzounewscrawler_spark.operators.dedup import build_bloom, filter_unseen
+from mizzounewscrawler_spark.operators.dedup import (
+    _bloom_params,
+    build_bloom,
+    filter_unseen,
+    merge_blooms,
+)
 from mizzounewscrawler_spark.operators.extraction import fetch_and_extract, with_status
 from mizzounewscrawler_spark.operators.robots import apply_robots
 from mizzounewscrawler_spark.operators.scheduler import (
@@ -54,6 +60,13 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_fpr: float = 0.01
     bloom_shard_bits: int = 4
+    # expected total URL-seen capacity; pins the Bloom geometry so per-wave
+    # increments can be OR-merged into the long-lived filter (O(new)/wave)
+    bloom_capacity: int = 1_000_000
+    # global (wave, seq) crawl-order artifact: required for reference-order
+    # parity, but it is a single-partition sort — turn OFF for throughput
+    # runs / production where within-host order suffices
+    with_order_log: bool = True
 
 
 def _canonical_cols(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -184,22 +197,39 @@ def run_crawl(
         last = t.frontier.current_snapshot()
         start_wave = int(last.summary["wave"]) + 1
         frontier = t.frontier.read().where(F.col("status") == "discovered")
+        frontier_size = int(last.summary.get("next_frontier", frontier.count()))
         seen = _read_at_wave(t.url_seen, start_wave - 1)
         host_state_df = _read_at_wave(t.host_state, start_wave - 1)
     else:
         frontier = seed_frontier(spark, seeds).cache()
+        frontier_size = frontier.count()
         seen = frontier.select("url_hash", "url_surt")
         t.url_seen.append(seen, {"wave": -1})
-        t.frontier.overwrite(frontier, {"wave": -1, "frontier": frontier.count()})
+        t.frontier.overwrite(
+            frontier, {"wave": -1, "frontier": frontier_size, "next_frontier": frontier_size}
+        )
         seen = t.url_seen.read()
         host_state_df = None
         start_wave = 0
 
+    # Bloom geometry pinned from capacity so wave increments merge (O(new))
+    num_shards = 1 << cfg.bloom_shard_bits
+    bloom_params = _bloom_params(
+        max(cfg.bloom_capacity // num_shards, 1), cfg.bloom_fpr
+    )
+    bloom = (
+        build_bloom(seen, "url_hash", shard_bits=cfg.bloom_shard_bits, params=bloom_params)
+        if cfg.use_bloom
+        else None
+    )
+
     stats: dict = {"start_wave": start_wave, "waves_run": 0}
     for wave in range(start_wave, cfg.max_waves):
+        wave_t0 = time.time()
         wave_ts = wave * cfg.wave_duration
         frontier = frontier.cache()
-        frontier_size = frontier.count()
+        # frontier_size tracked arithmetically (prev − scheduled + admitted)
+        # so the loop never pays a count() job over the whole frontier
         if frontier_size == 0:
             break
 
@@ -211,34 +241,38 @@ def run_crawl(
             wave_ts,
             cfg.wave_duration,
             cfg.max_per_host,
+            with_global_order=cfg.with_order_log,
         ).cache()
-        scheduled = wave_df.count()
+
+        results = with_status(fetch_and_extract(wave_df, pages)).cache()
+        ok_expr = F.col("fetch_status").isin("extracted", "wire", "paywall", "feed")
+        # ONE job materializes the fetch+extract cache and yields both counters
+        agg = results.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(ok_expr, 1).otherwise(0)).alias("ok"),
+        ).first()
+        scheduled, fetched_ok = int(agg["n"]), int(agg["ok"] or 0)
         if scheduled == 0:
             # every pending host is in backoff this wave — advance the
             # virtual clock and retry (bounded by max_waves)
             wave_df.unpersist()
+            results.unpersist()
             continue
 
-        results = with_status(fetch_and_extract(wave_df, pages)).cache()
-
-        # Bloom over the current seen set (rebuilt per wave from the exact
-        # table; incremental merge is the production path)
-        bloom = (
-            build_bloom(
-                seen,
-                "url_hash",
-                fpr=cfg.bloom_fpr,
-                shard_bits=cfg.bloom_shard_bits,
-            )
-            if cfg.use_bloom
-            else None
-        )
         new_frontier_rows = discover_new(
             results, allowed_hosts, robots, seen, bloom, cfg.max_depth
         ).cache()
-        discovered_new = new_frontier_rows.count()
+        dagg = new_frontier_rows.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("robots_allowed"), 1).otherwise(0)).alias("adm"),
+        ).first()
+        discovered_new = int(dagg["n"])
+        admitted = int(dagg["adm"] or 0)
 
         # ---- commits (frontier last = checkpoint) ----
+        # per-wave outputs are wave-sized (politeness-bounded) — coalesce to
+        # a few files instead of one tiny file per shuffle partition
+        small_n = max(2, spark.sparkContext.defaultParallelism // 4)
         articles_batch = results.select(
             "url",
             F.col("url_surt"),
@@ -252,30 +286,39 @@ def run_crawl(
             "method",
             "content_hash",
             F.lit(wave).alias("wave"),
-        )
+        ).coalesce(small_n)
         t.articles.append(articles_batch, {"wave": wave, "fetched": scheduled})
 
         # ALL new canonical URLs enter url_seen — including robots-disallowed
         # ones (enforced at enqueue, so they are never reconsidered)
-        new_seen = new_frontier_rows.select("url_hash", "url_surt")
+        new_seen = new_frontier_rows.select("url_hash", "url_surt").coalesce(small_n)
         t.url_seen.append(new_seen, {"wave": wave, "added": discovered_new})
         seen = t.url_seen.read()
+        if bloom is not None and discovered_new > 0:
+            bloom = merge_blooms(
+                bloom,
+                build_bloom(
+                    new_seen,
+                    "url_hash",
+                    shard_bits=cfg.bloom_shard_bits,
+                    params=bloom_params,
+                ),
+            )
 
-        t.order_log.append(
-            wave_df.select(
-                F.lit(wave).alias("wave"), "seq", "url_surt", "url_hash", "host"
-            ),
-            {"wave": wave},
-        )
+        if cfg.with_order_log:
+            t.order_log.append(
+                wave_df.select(
+                    F.lit(wave).alias("wave"), "seq", "url_surt", "url_hash", "host"
+                ),
+                {"wave": wave},
+            )
 
-        ok_expr = F.col("fetch_status").isin("extracted", "wire", "paywall", "feed")
         host_state_df = update_host_state(
             host_state_df, results.select("host", ok_expr.alias("ok")), wave_ts, wave
         )
-        t.host_state.overwrite(host_state_df, {"wave": wave})
+        t.host_state.overwrite(host_state_df.coalesce(small_n), {"wave": wave})
         host_state_df = t.host_state.read()
 
-        fetched_ok = results.where(ok_expr).count()
         next_frontier = (
             frontier.join(wave_df.select("url_hash"), "url_hash", "left_anti")
             .select(*FRONTIER_COLS)
@@ -285,6 +328,7 @@ def run_crawl(
                 .select(*FRONTIER_COLS)
             )
         )
+        next_size = frontier_size - scheduled + admitted
         summary = {
             "wave": wave,
             "frontier": frontier_size,
@@ -292,9 +336,13 @@ def run_crawl(
             "fetched": fetched_ok,
             "failed": scheduled - fetched_ok,
             "discovered": discovered_new,
-            "deduped": discovered_new,  # post-dedup admissions
+            "deduped": discovered_new,  # post-dedup admissions to url_seen
+            "admitted": admitted,  # robots-allowed frontier admissions
+            "next_frontier": next_size,
+            "wave_sec": round(time.time() - wave_t0, 3),
         }
         snap = t.frontier.overwrite(next_frontier, summary)
+        frontier_size = next_size
         frontier = t.frontier.read().where(F.col("status") == "discovered")
         stats = {**stats, **summary, "waves_run": stats["waves_run"] + 1,
                  "snapshot": snap.version}

@@ -103,22 +103,48 @@ class PartitionedBloom:
         return out
 
 
+def merge_blooms(a: PartitionedBloom, b: PartitionedBloom) -> PartitionedBloom:
+    """OR-merge two filters with identical (shard_bits, m, k) parameters.
+
+    This is the production maintenance path: build a small filter over each
+    wave's *new* URLs and merge into the long-lived broadcast filter —
+    O(new) per wave instead of rebuilding over the whole seen set."""
+    assert (a.shard_bits, a.m, a.k) == (b.shard_bits, b.m, b.k), "param mismatch"
+    shards = dict(a.shards)
+    for sid, bm in b.shards.items():
+        if sid in shards:
+            merged = np.frombuffer(shards[sid], dtype=np.uint8) | np.frombuffer(
+                bm, dtype=np.uint8
+            )
+            shards[sid] = merged.tobytes()
+        else:
+            shards[sid] = bm
+    return PartitionedBloom(shard_bits=a.shard_bits, m=a.m, k=a.k, shards=shards)
+
+
 def build_bloom(
     df: DataFrame,
     hash_col: str = "url_hash",
     expected_n: int | None = None,
     fpr: float = 0.01,
     shard_bits: int = 4,
+    params: tuple[int, int] | None = None,
 ) -> PartitionedBloom:
     """Build a sharded Bloom filter from ``df[hash_col]`` distributedly.
 
     Each shard's bitmap is OR-reduced from per-partition partial bitmaps
     built in ``applyInPandas`` (numpy bit ops over the hash values) — no
     per-row Python, no driver-side scan of the data.
+
+    ``params=(m,k)`` pins the geometry so incrementally-built filters can be
+    :func:`merge_blooms`-merged; size it from the *expected total* capacity.
     """
-    n = expected_n or df.count()
-    num_shards = 1 << shard_bits
-    m, k = _bloom_params(max(n // num_shards, 1), fpr)
+    if params is not None:
+        m, k = params
+    else:
+        n = expected_n or df.count()
+        num_shards = 1 << shard_bits
+        m, k = _bloom_params(max(n // num_shards, 1), fpr)
     nbytes = (m + 7) // 8
 
     h_u = F.col(hash_col).cast("long")
@@ -172,24 +198,37 @@ def filter_unseen(
 ) -> DataFrame:
     """Rows of ``candidates`` whose ``hash_col`` is NOT in ``seen``.
 
-    Bloom pre-filter → exact ``left_anti`` backstop on the possible-seen
-    slice only.  With no Bloom (or no seen table) it degrades gracefully.
+    Bloom pre-filter → exact backstop on the possible-seen slice only.
+
+    Shuffle discipline (the 10^10 design point): the seen table is the
+    biggest table in the system and must NEVER shuffle.  The exact backstop
+    is therefore a *probe*, not an anti-join against seen:
+      hits = seen ⋈ broadcast(possible)   (seen streams, hash probe)
+      new  = possible ▷ broadcast(hits)   (broadcast left-anti)
+    — one columnar scan of seen per wave, zero shuffle of it.  The Bloom
+    keeps ``possible`` small (true revisits + ~FPR), so both broadcasts are
+    wave-sized.  ``seen`` rows are unique by construction (admissions are
+    anti-joined before insert), so no distinct() is needed.
     """
     if seen is None:
         return candidates
-    if bloom is None:
-        return candidates.join(
-            seen.select(F.col(hash_col)).distinct(), on=hash_col, how="left_anti"
+    if bloom is not None:
+        spark = candidates.sparkSession
+        flagged = candidates.withColumn(
+            "_maybe_seen", bloom_maybe_seen_col(spark, bloom, hash_col)
         )
-    spark = candidates.sparkSession
-    flagged = candidates.withColumn(
-        "_maybe_seen", bloom_maybe_seen_col(spark, bloom, hash_col)
+        definitely_new = flagged.where(~F.col("_maybe_seen")).drop("_maybe_seen")
+        possible = flagged.where(F.col("_maybe_seen")).drop("_maybe_seen").cache()
+    else:
+        definitely_new = None
+        possible = candidates
+    hits = (
+        seen.select(F.col(hash_col))
+        .join(F.broadcast(possible.select(F.col(hash_col))), on=hash_col, how="inner")
     )
-    definitely_new = flagged.where(~F.col("_maybe_seen")).drop("_maybe_seen")
-    possible = flagged.where(F.col("_maybe_seen")).drop("_maybe_seen")
-    fp_survivors = possible.join(
-        seen.select(F.col(hash_col)).distinct(), on=hash_col, how="left_anti"
-    )
+    fp_survivors = possible.join(F.broadcast(hits), on=hash_col, how="left_anti")
+    if definitely_new is None:
+        return fp_survivors
     return definitely_new.unionByName(fp_survivors)
 
 

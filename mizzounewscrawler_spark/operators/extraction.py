@@ -94,13 +94,23 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 def fetch_and_extract(wave: DataFrame, pages: DataFrame) -> DataFrame:
     """Join the wave against ``pages`` ("fetch") and extract.
 
-    Both sides key on the raw ``url``; at 10^10 scale both are bucketed on
-    the same key so this is a storage-partitioned (co-located) join.  Missing
-    pages → found=false (the HTTP-404 analog).
+    The wave is politeness-bounded (≤ max_per_host × #hosts) — tiny relative
+    to the page store — so the fetch is a **broadcast-wave inner join**: the
+    page table streams once with a hash probe and its html blobs are never
+    shuffled.  Missing pages (the HTTP-404 analog) are recovered with a
+    second broadcast anti-join on the wave side.  A naive
+    ``wave.join(pages, "url", "left")`` would sort-merge-shuffle the whole
+    page store every wave — the 100 TB anti-pattern.
     """
-    fetched = wave.join(
-        pages.select("url", "html"), on="url", how="left"
+    inner = (
+        pages.select("url", "html")
+        .join(F.broadcast(wave), on="url", how="inner")
+        .cache()  # wave-sized; reused by the missing-row anti-join below
     )
+    missing = wave.join(
+        F.broadcast(inner.select("url")), on="url", how="left_anti"
+    ).withColumn("html", F.lit(None).cast("binary"))
+    fetched = inner.unionByName(missing.select(*inner.columns))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

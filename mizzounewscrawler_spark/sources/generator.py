@@ -139,9 +139,11 @@ def gen_host_pages(spec: HostSpec, seed: int) -> list[dict]:
             if k % 13 == 12 and prev_body is not None:
                 body = prev_body  # duplicate content, distinct URL
             else:
+                # realistic article weight (~8-20 KB of body HTML) so the
+                # extraction UDF — the true hot path — dominates compute
                 body = "".join(
-                    f"<p>{_paragraph(rng, rng.randint(2, 4))}</p>"
-                    for _ in range(rng.randint(3, 6))
+                    f"<p>{_paragraph(rng, rng.randint(3, 6))}</p>"
+                    for _ in range(rng.randint(10, 22))
                 )
                 prev_body = body
             related = rng.sample(article_urls, min(3, len(article_urls)))
