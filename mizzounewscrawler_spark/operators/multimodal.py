@@ -1,0 +1,236 @@
+"""Multimodal (image/audio/video) column operators.
+
+Training-data pipelines carry media as opaque ``binary`` columns with typed
+metadata structs.  This module provides the Spark-side plumbing — schemas,
+partitioning, Arrow batch shape, UDF signatures — as real, tested code,
+while the codec layer (PIL/ffmpeg/librosa are not in this container) is
+stubbed behind ``DecodeBackend`` with a deterministic fake:
+
+- the **fake backend** parses a tiny self-describing header our fixture
+  generator writes (``MMF1|kind|width|height|frames|...payload``) so every
+  operator's dataflow (batch shapes, struct outputs, explode of frames,
+  per-kind routing) is exercised end-to-end and deterministically;
+- the **real backend** raises ``NotImplementedError`` with the exact
+  integration point documented — swapping it in changes no Spark code.
+
+Scale notes: media rows are orders of magnitude wider than text rows, so
+every operator (a) projects only the needed columns (binary column pruned
+away unless touched), (b) uses ``mapInPandas`` with bounded Arrow batches
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` should be LOWERED for
+media tables — wide rows × big batch = OOM), and (c) repartitions by a
+uniform key before decode so one skewed shard can't pin an executor.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+_MAGIC = b"MMF1"
+
+
+def encode_fake_media(kind: str, width: int, height: int, frames: int, seed: int) -> bytes:
+    """Deterministic fake media blob with a parseable header (fixtures)."""
+    header = _MAGIC + struct.pack("<16sIII", kind.encode()[:16], width, height, frames)
+    body = bytes((seed * 31 + i * 7) % 256 for i in range(min(width * height, 4096)))
+    return header + body
+
+
+class DecodeBackend:
+    """Codec seam.  ``fake`` parses the fixture header; ``real`` is the
+    documented integration point for PIL/ffmpeg (not installed here)."""
+
+    def __init__(self, mode: str = "fake"):
+        self.mode = mode
+
+    def decode(self, payload: bytes) -> dict:
+        if self.mode == "real":
+            raise NotImplementedError(
+                "real codec backend: plug PIL.Image.open(io.BytesIO(payload)) / "
+                "ffmpeg here; the Spark plumbing above is codec-agnostic"
+            )
+        if payload is None or payload[:4] != _MAGIC:
+            return {"ok": False, "kind": None, "width": 0, "height": 0, "frames": 0}
+        kind_b, w, h, fr = struct.unpack("<16sIII", payload[4 : 4 + 28])
+        return {
+            "ok": True,
+            "kind": kind_b.rstrip(b"\x00").decode(),
+            "width": int(w),
+            "height": int(h),
+            "frames": int(fr),
+            "body": payload[32:],
+        }
+
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frames", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+    ]
+)
+
+
+def decode_metadata(media: DataFrame, backend: DecodeBackend | None = None) -> DataFrame:
+    """Decode → typed metadata struct (mapInPandas, Arrow-batched)."""
+    be = backend or DecodeBackend()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = be.decode(bytes(payload) if payload is not None else None)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "ok": d["ok"],
+                        "kind": d.get("kind"),
+                        "width": d.get("width", 0),
+                        "height": d.get("height", 0),
+                        "frames": d.get("frames", 0),
+                        "n_bytes": len(payload) if payload is not None else 0,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_SCHEMA.fields])
+
+    # uniform repartition before the decode stage: media shards can be
+    # pathologically skewed by source; media_id is uniform
+    return media.select("media_id", "payload").repartition(
+        F.col("media_id")
+    ).mapInPandas(run, DECODE_SCHEMA)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(
+    media: DataFrame, dim: int = 16, backend: DecodeBackend | None = None
+) -> DataFrame:
+    """Deterministic feature vector per media row (fake embedding: byte
+    histogram folded to ``dim``); the real backend would run a vision/audio
+    encoder here — the signature and batch shape are identical."""
+    be = backend or DecodeBackend()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = be.decode(bytes(payload) if payload is not None else None)
+                vec = [0.0] * dim
+                if d["ok"]:
+                    for i, b in enumerate(d.get("body", b"")):
+                        vec[i % dim] += b / 255.0
+                    n = max(1, len(d.get("body", b"")))
+                    vec = [round(v * dim / n, 6) for v in vec]
+                out.append({"media_id": mid, "feature": vec})
+            yield pd.DataFrame(out, columns=["media_id", "feature"])
+
+    return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_sec", T.DoubleType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n: int = 10,
+    fps: float = 30.0,
+    backend: DecodeBackend | None = None,
+) -> DataFrame:
+    """Video frame sampling: one output row per kept frame (the 1→N
+    table-function shape; real backend would also emit the frame bytes)."""
+    be = backend or DecodeBackend()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = be.decode(bytes(payload) if payload is not None else None)
+                if d["ok"] and d["kind"] == "video":
+                    for idx in range(0, d["frames"], every_n):
+                        out.append(
+                            {"media_id": mid, "frame_idx": idx, "ts_sec": round(idx / fps, 6)}
+                        )
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "ts_sec"])
+
+    return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 256, backend: DecodeBackend | None = None
+) -> DataFrame:
+    """Resize plan: computes target dims JVM-free in the UDF; the real
+    backend would re-encode payload bytes (stubbed: passes payload through)."""
+    be = backend or DecodeBackend()
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("new_width", T.IntegerType()),
+            T.StructField("new_height", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = be.decode(bytes(payload) if payload is not None else None)
+                if not d["ok"] or d["kind"] != "image":
+                    continue
+                w, h = d["width"], d["height"]
+                scale = min(1.0, max_side / max(w, h, 1))
+                out.append(
+                    {
+                        "media_id": mid,
+                        "new_width": int(w * scale),
+                        "new_height": int(h * scale),
+                        "payload": payload,  # real backend: re-encoded bytes
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def generate_fake_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
+    """Deterministic fixture media table (images/audio/video cycling)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        w, h = 64 + (i % 8) * 32, 48 + (i % 5) * 32
+        frames = 30 * (1 + i % 4) if kind == "video" else (1 if kind == "image" else 0)
+        rows.append(
+            (i, kind, encode_fake_media(kind, w, h, frames, seed + i), {"src": f"s{i%7}"})
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,85 @@
+"""County-report analytic query (reference ``generate_county_report``,
+/root/reference/src/reporting/county_report.py:59-271 — the reference's
+flagship read path, SURVEY.md §3.3): latest-label window (J4) + entity
+string-agg (A3) + 5-way join (J5) + status/wire filters, restated as one
+Catalyst-planned DataFrame query.
+
+The reference builds this as string-concatenated SQL CTEs and runs it
+through pandas; here each piece is a composable DataFrame and the optimizer
+handles join order, pushdown, and broadcasting (sources/labels/entities are
+all small next to articles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# reference DEFAULT_EXCLUDED_STATUSES, county_report.py:20-26
+EXCLUDED_STATUSES = ("wire", "paywall", "opinion", "obituary", "proxy_blocked", "failed")
+
+
+def latest_labels(labels: DataFrame) -> DataFrame:
+    """J4: latest label per article via row_number (replaces the reference's
+    MAX-self-join CTE, county_report.py:125-146)."""
+    tiebreak = (
+        F.desc("label_version") if "label_version" in labels.columns
+        else F.desc("primary_label")
+    )
+    w = Window.partitionBy("article_id").orderBy(F.desc("applied_at"), tiebreak)
+    return (
+        labels.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("article_id", "primary_label", "confidence")
+    )
+
+
+def entity_agg(entities: DataFrame) -> DataFrame:
+    """A3: GROUP_CONCAT(DISTINCT entity ‖ ' [label]') per article
+    (county_report.py:151-171) — sorted for determinism."""
+    ent = entities.select(
+        "article_id",
+        F.concat(F.col("entity_text"), F.lit(" ["), F.col("entity_label"), F.lit("]")).alias(
+            "e"
+        ),
+    )
+    return ent.groupBy("article_id").agg(
+        F.array_join(F.array_sort(F.collect_set("e")), "; ").alias("entities")
+    )
+
+
+def county_report(
+    articles: DataFrame,
+    sources: DataFrame,
+    labels: DataFrame | None = None,
+    entities: DataFrame | None = None,
+    county: str | None = None,
+) -> DataFrame:
+    """The 5-way report join (county_report.py:189-218)."""
+    arts = articles.where(~F.col("status").isin(*EXCLUDED_STATUSES))
+    src = sources.select(
+        F.col("host").alias("_src_host"), "name", "city", "county"
+    )
+    out = arts.join(F.broadcast(src), arts["host"] == src["_src_host"], "left").drop(
+        "_src_host"
+    )
+    if labels is not None:
+        out = out.join(
+            F.broadcast(latest_labels(labels)),
+            out["url_hash"] == F.col("article_id"),
+            "left",
+        ).drop("article_id")
+    if entities is not None:
+        out = out.join(
+            F.broadcast(entity_agg(entities)),
+            out["url_hash"] == F.col("article_id"),
+            "left",
+        ).drop("article_id")
+    if county:
+        out = out.where(F.col("county") == county)
+    cols = ["url", "host", "title", "author", "status", "name", "city", "county"]
+    if labels is not None:
+        cols += ["primary_label", "confidence"]
+    if entities is not None:
+        cols += ["entities"]
+    return out.select(*cols).orderBy("host", "url")

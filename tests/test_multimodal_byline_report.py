@@ -1,0 +1,148 @@
+"""Multimodal operators, byline cleaning, content-type cascade, county report."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mizzounewscrawler_spark.functions.byline import clean_byline_expr
+from mizzounewscrawler_spark.operators.content_type import detect_content_type
+from mizzounewscrawler_spark.operators.multimodal import (
+    DecodeBackend,
+    decode_metadata,
+    extract_features,
+    generate_fake_media,
+    resize_images,
+    sample_frames,
+)
+from mizzounewscrawler_spark.plans.report import county_report, entity_agg, latest_labels
+
+
+# -- multimodal --------------------------------------------------------------
+
+
+def test_decode_metadata(spark):
+    media = generate_fake_media(spark, n=30)
+    out = decode_metadata(media)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 30
+    assert all(r["ok"] for r in rows.values())
+    assert rows[0]["kind"] == "image" and rows[1]["kind"] == "audio"
+    assert rows[2]["kind"] == "video" and rows[2]["frames"] > 0
+
+
+def test_features_deterministic(spark):
+    media = generate_fake_media(spark, n=12)
+    a = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    b = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert a == b
+    assert all(len(v) == 16 for v in a.values())
+
+
+def test_frame_sampling_and_resize(spark):
+    media = generate_fake_media(spark, n=30)
+    frames = sample_frames(media, every_n=10).collect()
+    assert frames and all(r["frame_idx"] % 10 == 0 for r in frames)
+    vids = {r["media_id"] for r in frames}
+    assert vids == {i for i in range(30) if i % 3 == 2}
+    resized = resize_images(media, max_side=64).collect()
+    assert resized and all(
+        max(r["new_width"], r["new_height"]) <= 64 for r in resized
+    )
+
+
+def test_real_backend_is_explicit_stub():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        DecodeBackend("real").decode(b"anything")
+
+
+# -- byline ------------------------------------------------------------------
+
+
+def test_clean_byline(spark):
+    cases = [
+        ("By John Smith and Jane Doe", ["John Smith", "Jane Doe"], False),
+        ("john.smith@paper.com John Smith", ["John Smith"], False),
+        ("Staff Writer", [], False),
+        ("The Associated Press", [], True),
+        ("By Maria Garcia, Reuters", ["Maria Garcia"], True),
+        ("Bob Lee (City Desk) & Ann Wu", ["Bob Lee", "Ann Wu"], False),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], ["byline"])
+    rows = df.select(clean_byline_expr(F.col("byline")).alias("b")).collect()
+    for (raw, authors, wire), r in zip(cases, rows):
+        assert list(r["b"]["authors"]) == authors, raw
+        assert r["b"]["is_wire"] == wire, raw
+
+
+def test_wire_service_mapped(spark):
+    df = spark.createDataFrame([("The Associated Press",), ("Reuters",)], ["byline"])
+    rows = df.select(clean_byline_expr(F.col("byline")).alias("b")).collect()
+    assert rows[0]["b"]["wire_service"] == "AP"
+    assert rows[1]["b"]["wire_service"] == "Reuters"
+
+
+# -- content type ------------------------------------------------------------
+
+
+def test_content_type_cascade_order(spark):
+    rows = [
+        # url pattern wins over everything (stage 1)
+        ("https://x.test/opinion/piece", "Opinion: whatever", "Reuters", "passed away", "opinion"),
+        # wire byline beats title/content (stage 2)
+        ("https://x.test/news/a", "Opinion: hm", "The Associated Press", "text", "wire"),
+        # title pattern (stage 3)
+        ("https://x.test/news/b", "Editorial: our view", "Jane Doe", "text", "opinion"),
+        # content pattern (stage 4)
+        ("https://x.test/news/c", "Life story", "Jane Doe", "He is survived by family", "obituary"),
+        # default
+        ("https://x.test/news/d", "Council votes", "Jane Doe", "The council voted.", "news"),
+        ("https://x.test/sports/game", "Big game", "J", "t", "sports"),
+        ("https://x.test/obituaries/jane", "Jane", "J", "t", "obituary"),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, a, x) for u, t, a, x, _ in rows], ["url", "title", "author", "text"]
+    )
+    got = [r["content_type"] for r in detect_content_type(df).collect()]
+    assert got == [r[4] for r in rows]
+    conf = detect_content_type(df).select("content_confidence").collect()
+    assert all(0.0 < r[0] <= 1.0 for r in conf)
+
+
+# -- county report -----------------------------------------------------------
+
+
+def test_county_report_joins_windows_agg(spark):
+    articles = spark.createDataFrame(
+        [
+            ("https://a.test/1", 11, "a.test", "T1", "Jane", "extracted"),
+            ("https://a.test/2", 12, "a.test", "T2", "Bob", "wire"),  # excluded
+            ("https://b.test/1", 21, "b.test", "T3", "Ann", "extracted"),
+        ],
+        "url string, url_hash long, host string, title string, author string, status string",
+    )
+    sources = spark.createDataFrame(
+        [("a.test", "A Gazette", "Columbia", "Boone"),
+         ("b.test", "B Herald", "Rolla", "Phelps")],
+        "host string, name string, city string, county string",
+    )
+    labels = spark.createDataFrame(
+        [(11, "politics", 0.9, "2024-01-01"), (11, "sports", 0.8, "2024-02-01"),
+         (21, "weather", 0.7, "2024-01-15")],
+        "article_id long, primary_label string, confidence double, applied_at string",
+    )
+    entities = spark.createDataFrame(
+        [(11, "Columbia", "GPE"), (11, "Mayor Smith", "PERSON"), (21, "Rolla", "GPE")],
+        "article_id long, entity_text string, entity_label string",
+    )
+    ll = {r["article_id"]: r["primary_label"] for r in latest_labels(labels).collect()}
+    assert ll == {11: "sports", 21: "weather"}  # latest applied_at wins
+    ea = {r["article_id"]: r["entities"] for r in entity_agg(entities).collect()}
+    assert ea[11] == "Columbia [GPE]; Mayor Smith [PERSON]"
+    rep = county_report(articles, sources, labels, entities).collect()
+    assert [r["url"] for r in rep] == ["https://a.test/1", "https://b.test/1"]
+    assert rep[0]["primary_label"] == "sports"
+    assert rep[0]["county"] == "Boone"
+    boone = county_report(articles, sources, labels, entities, county="Boone").collect()
+    assert len(boone) == 1
