@@ -149,12 +149,13 @@ def main() -> None:
     total = round(time.time() - t_all, 2)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = {
-        "metric": "frontier_throughput_urls_per_sec",
-        "value": frontier.get("throughput_urls_per_sec", total),
+        "metric": "bench total wall seconds (crawl engine + headline queries)",
+        "value": total,
         "unit": "sec",
         "queries": {**queries, "crawl_total": frontier.get("crawl_sec")},
         "sf": sf,
         "cores": cores,
+        "frontier_throughput_urls_per_sec": frontier.get("throughput_urls_per_sec"),
         "frontier": frontier,
         "total_sec": total,
     }

@@ -115,9 +115,11 @@ def lang_id_expr(text: Column) -> Column:
     scores = [(lang, _marker_hits(words)) for lang, words in LANG_MARKERS.items()]
     best = F.lit("und")
     best_score = F.lit(0)
-    # iterate reversed so earlier languages win ties
+    # iterate reversed with >= (plus a >0 guard) so EARLIER languages win
+    # ties: a later-processed (earlier-listed) language displaces an equal
+    # score, and zero hits never displace 'und'
     for lang, sc in reversed(scores):
-        take = sc > best_score
+        take = (sc >= best_score) & (sc > 0)
         best = F.when(take, F.lit(lang)).otherwise(best)
         best_score = F.when(take, sc).otherwise(best_score)
     return best
@@ -129,10 +131,16 @@ def lang_id_expr(text: Column) -> Column:
 
 
 def word_shingles_expr(text: Column, k: int = 3) -> Column:
-    """Array of word k-shingles (space-joined)."""
+    """Array of word k-shingles (space-joined).
+
+    NB: guarded for n < k — Spark's ``sequence(1, 0)`` is the *descending*
+    sequence [1, 0], which would feed ``slice`` an invalid start of 0.
+    """
     toks = F.transform(tokens_expr(text), lambda t: F.lower(t))
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
 
 

@@ -113,6 +113,111 @@ def lsh_ann_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def exact_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via self-join (O(n²) — the
+    correctness oracle for :func:`embedding_neardup_pairs`; only for
+    validation-scale inputs, never the 100 TB path)."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: the scale path for ANN.
+
+    Deterministic "training-free" coarse quantizer: centroid c is the
+    normalized element-wise mean of the rows whose ``xxhash64(id) % n_centroids
+    == c`` — computed distributedly in one pass (no k-means iterations, no
+    RNG).  Every vector is assigned to its nearest centroid (argmin over the
+    broadcast centroid list, a pure column expression); the query probes only
+    the ``nprobe`` nearest centroid cells.
+
+    At 100 TB the assignment column is computed once and persisted
+    (partition-by-cell), so each query touches nprobe/n_centroids of the
+    data — this mirrors FAISS IVF-Flat semantics on top of DataFrame ops.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    # 1. deterministic seeding groups → per-group mean vector (the centroids)
+    seeded = base.withColumn(
+        "cell_seed", F.pmod(F.xxhash64(F.col("id")), F.lit(n_centroids))
+    )
+    cent_rows = (
+        seeded.groupBy("cell_seed")
+        .agg(
+            F.aggregate(
+                F.collect_list("v"),
+                F.array_repeat(F.lit(0.0), len(query_vec)),
+                lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+            ).alias("sumv"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    centroids = {
+        int(r["cell_seed"]): [x / r["n"] for x in r["sumv"]] for r in cent_rows
+    }
+
+    def _cent_arr(c: int):
+        return F.array(*[F.lit(float(x)) for x in centroids[c]])
+
+    # 2. assign each vector to nearest centroid (broadcast argmax, JVM-side).
+    # NB: array_max over (sim, cell) structs, NOT an iterative when-chain —
+    # a chained argmax duplicates subtrees exponentially (2^n_centroids
+    # expression copies) and stalls Catalyst analysis.
+    cells = sorted(centroids)
+    sims = F.array(
+        *[
+            F.struct(
+                cosine_expr(F.col("v"), _cent_arr(c)).alias("sim"),
+                F.lit(c).alias("cell"),
+            )
+            for c in cells
+        ]
+    )
+    assigned = base.withColumn("cell", F.array_max(sims)["cell"])
+
+    # 3. probe the nprobe centroids nearest to the query
+    import math
+
+    def _cos(u, w):
+        d = sum(x * y for x, y in zip(u, w))
+        nu = math.sqrt(sum(x * x for x in u)) or 1.0
+        nw = math.sqrt(sum(x * x for x in w)) or 1.0
+        return d / (nu * nw)
+
+    probe = sorted(cells, key=lambda c: -_cos(query_vec, centroids[c]))[:nprobe]
+    cand = assigned.where(F.col("cell").isin(probe)).select(
+        F.col("id").alias(id_col), F.col("v").alias(vec_col)
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 from mizzounewscrawler_spark.functions.text import (
     BPE_ISH_RE,
     EN_STOPWORDS,
+    LANG_MARKERS,
     bpe_ish_token_count_expr,
+    fingerprint_expr,
+    lang_id_expr,
     quality_score_expr,
     stopword_ratio_expr,
     token_count_expr,
@@ -544,9 +547,137 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_ngram_jaccard(spark, sf):
+    """Exact n-gram Jaccard near-dup pairs ≥ 0.3 (inverted-index join, not a
+    cross product — the exact-verify baseline for MinHash/SimHash)."""
+    from mizzounewscrawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.3)
+
+
+SQL_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> lower(x)) AS tk
+  FROM documents WHERE trim(text) <> ''
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                               i -> array_to_string(tk[i:i+2], ' '))) AS shingles
+  FROM toks WHERE len(tk) >= 3
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+posting AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cmn
+  FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(cmn::double / (sa.n + sb.n - cmn), 6) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(cmn::double / (sa.n + sb.n - cmn), 6) >= 0.3
+"""
+
+
+def q_lang_id_hist(spark, sf):
+    """Language-ID (marker-word heuristic, JVM-side) histogram."""
+    d = t(spark, sf, "documents")
+    return d.groupBy(lang_id_expr(F.col("text")).alias("lang_id")).agg(
+        F.count("*").alias("n")
+    )
+
+
+def _sql_marker_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+SQL_LANG_ID = f"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::varchar[]
+         ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> lower(x)) END AS tk
+  FROM documents
+), sc AS (
+  SELECT doc_id,
+    len(list_filter(tk, x -> list_contains({_sql_marker_list(LANG_MARKERS["en"])}, x))) AS en,
+    len(list_filter(tk, x -> list_contains({_sql_marker_list(LANG_MARKERS["es"])}, x))) AS es,
+    len(list_filter(tk, x -> list_contains({_sql_marker_list(LANG_MARKERS["fr"])}, x))) AS fr,
+    len(list_filter(tk, x -> list_contains({_sql_marker_list(LANG_MARKERS["de"])}, x))) AS de
+  FROM toks
+)
+SELECT CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+            WHEN en = greatest(en, es, fr, de) THEN 'en'
+            WHEN es = greatest(en, es, fr, de) THEN 'es'
+            WHEN fr = greatest(en, es, fr, de) THEN 'fr'
+            ELSE 'de' END AS lang_id, count(*) AS n
+FROM sc GROUP BY 1
+"""
+
+
+def q_embedding_neardup_exact(spark, sf):
+    """Embedding-cosine near-dup pairs (exact self-join baseline, ≥ 0.45)."""
+    from mizzounewscrawler_spark.operators.similarity import exact_neardup_pairs
+
+    emb = t(spark, sf, "embeddings")
+    return exact_neardup_pairs(emb, threshold=0.45)
+
+
+SQL_EMB_NEARDUP = """
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.embedding::double[], b.embedding::double[]) /
+               (sqrt(list_dot_product(a.embedding::double[], a.embedding::double[])) *
+                sqrt(list_dot_product(b.embedding::double[], b.embedding::double[]))),
+               6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.45
+"""
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible: LSH, simhash, crawl engine)
 # --------------------------------------------------------------------------
+
+
+def q_doc_fingerprints(spark, sf):
+    """Rolling-hash document fingerprint (min-xxhash over word 3-shingles);
+    rows-only: DuckDB has no xxhash64."""
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id", fingerprint_expr(F.col("text"), k=3).alias("fingerprint")
+    )
+
+
+def q_ivf_ann(spark, sf):
+    """IVF-style ANN top-10 (deterministic coarse quantizer, nprobe cells)."""
+    from mizzounewscrawler_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(
+        emb.where(F.col("vec_id") > 0), [float(x) for x in qvec], k=10
+    )
+
+
+def q_embedding_neardup_lsh(spark, sf):
+    """LSH-bucketed embedding near-dup (the 100 TB path for q_embedding_neardup_exact)."""
+    from mizzounewscrawler_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = t(spark, sf, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.45, dim=64)
+
+
+def q_multimodal_metadata(spark, sf):
+    """Multimodal plumbing: decode typed metadata from opaque binary media
+    (deterministic fake backend; real codecs are stubbed per brief)."""
+    from mizzounewscrawler_spark.operators.multimodal import (
+        decode_metadata,
+        generate_fake_media,
+    )
+
+    media = generate_fake_media(spark, n=200, seed=7)
+    return decode_metadata(media).select(
+        "media_id", "kind", "width", "height", "frames", "n_bytes"
+    )
 
 
 def q_minhash_neardup(spark, sf):
@@ -616,8 +747,15 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("quality_scores", q_quality_scores, SQL_QUALITY, "text ops"),
     QuerySpec("ann_cosine_topk", q_ann_topk, SQL_ANN_TOPK, "similarity"),
     QuerySpec("embedding_centroids", q_embedding_label_centroids, SQL_CENTROIDS, "similarity"),
+    QuerySpec("ngram_jaccard_neardup", q_ngram_jaccard, SQL_NGRAM_JACCARD, "dedup (exact Jaccard)"),
+    QuerySpec("lang_id_hist", q_lang_id_hist, SQL_LANG_ID, "text ops (lang-ID)"),
+    QuerySpec("embedding_neardup_exact", q_embedding_neardup_exact, SQL_EMB_NEARDUP, "dedup (embedding)"),
     QuerySpec("minhash_lsh_neardup", q_minhash_neardup, None, "dedup (LSH)"),
     QuerySpec("simhash_neardup", q_simhash_neardup, None, "dedup (SimHash)"),
+    QuerySpec("doc_fingerprints", q_doc_fingerprints, None, "text ops (fingerprint)"),
     QuerySpec("lsh_ann_topk", q_lsh_ann, None, "similarity (ANN)"),
+    QuerySpec("ivf_ann_topk", q_ivf_ann, None, "similarity (IVF ANN)"),
+    QuerySpec("embedding_neardup_lsh", q_embedding_neardup_lsh, None, "dedup (embedding LSH)"),
+    QuerySpec("multimodal_decode", q_multimodal_metadata, None, "multimodal"),
     QuerySpec("crawl_wave_demo", q_crawl_wave, None, "crawl engine"),
 ]
