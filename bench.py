@@ -56,10 +56,11 @@ def _cached_web(spark, n_hosts: int, pages: int):
     """Generate-once (distributed), cache as parquet keyed by size."""
     from mizzounewscrawler_spark.sources.generator import generate_web_spark
 
-    tag = f"web_h{n_hosts}_p{pages}"
+    filler = os.environ.get("GEN_FILLER_KB", "0")
+    tag = f"web_h{n_hosts}_p{pages}" + (f"_f{filler}" if filler != "0" else "")
     root = os.path.join(CACHE_DIR, tag)
     pq = {n: os.path.join(root, n) for n in ("pages", "seeds", "robots")}
-    if not all(os.path.exists(p) for p in pq.values()):
+    if not all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in pq.values()):
         pages_df, seeds_df, robots_df = generate_web_spark(
             spark, seed=42, n_hosts=n_hosts, target_pages=pages
         )
@@ -75,16 +76,36 @@ def _cached_web(spark, n_hosts: int, pages: int):
 
 def bench_crawl(spark, n_hosts: int, pages: int, waves: int) -> dict:
     pages_df, seeds_df, robots_df = _cached_web(spark, n_hosts, pages)
-    pages_df = pages_df.cache()
-    pages_df.count()  # materialize the "web" before timing the crawl
+    # cache the web only when it plausibly fits executor memory; at
+    # benchmark-realism page weights, re-reading parquet per wave is the
+    # honest (and cluster-faithful) configuration
+    cache_web = os.environ.get("BENCH_CACHE_WEB", "1") != "0"
+    if cache_web:
+        pages_df = pages_df.cache()
+    pages_df.count()  # materialize the web (and the cache) before timing
     out_dir = tempfile.mkdtemp(prefix="bench_crawl_")
     cfg = CrawlConfig(
         max_waves=waves,
         with_order_log=False,
         bloom_capacity=max(2 * pages, 1_000_000),
+        # bigger waves = fewer, larger micro-batches (politeness math:
+        # budget/host = ⌊wave_duration/delay⌋ capped at max_per_host)
+        max_per_host=int(os.environ.get("BENCH_CAP", "3")),
+        wave_duration=float(os.environ.get("BENCH_WAVE_DUR", "60")),
+    )
+    # BENCH_SEED_FRONTIER=all → start from the full known-URL frontier (the
+    # north rule's Common-Crawl regime: a 10^10-URL seed list, politeness-
+    # bounded waves draining it) instead of discovery-from-homepages
+    initial = (
+        pages_df.select("url")
+        if os.environ.get("BENCH_SEED_FRONTIER", "") == "all"
+        else None
     )
     t0 = time.time()
-    stats = run_crawl(spark, pages_df, seeds_df, robots_df, out_dir, cfg)
+    stats = run_crawl(
+        spark, pages_df, seeds_df, robots_df, out_dir, cfg,
+        initial_frontier=initial,
+    )
     crawl_sec = time.time() - t0
     from mizzounewscrawler_spark.crawl import open_tables
 
@@ -92,20 +113,32 @@ def bench_crawl(spark, n_hosts: int, pages: int, waves: int) -> dict:
     snaps = [s.summary for s in t.frontier.snapshots() if s.summary.get("wave", -1) >= 0]
     urls = sum(s["scheduled"] + s["fetched"] + s["deduped"] for s in snaps)
     # steady-state throughput: exclude wave 0 (JVM/codegen/python-worker
-    # warmup) — the honest figure for a perpetual crawl where warmup
-    # amortizes to zero over thousands of waves
+    # warmup) and use the MEDIAN per-wave throughput — this sandbox is a
+    # shared microVM with bursty CPU steal, so a single stolen-CPU window
+    # would otherwise dominate a sum-based figure
     ss = [s for s in snaps if s["wave"] >= 1 and "wave_sec" in s]
     ss_urls = sum(s["scheduled"] + s["fetched"] + s["deduped"] for s in ss)
     ss_sec = sum(s["wave_sec"] for s in ss)
+    per_wave_tp = sorted(
+        (s["scheduled"] + s["fetched"] + s["deduped"]) / s["wave_sec"] for s in ss
+    )
+    median_tp = per_wave_tp[len(per_wave_tp) // 2] if per_wave_tp else None
     shutil.rmtree(out_dir, ignore_errors=True)
     pages_df.unpersist()
     return {
         "throughput_urls_per_sec": round(urls / crawl_sec, 1),
         "steady_state_urls_per_sec": round(ss_urls / ss_sec, 1) if ss_sec else None,
+        "median_wave_urls_per_sec": round(median_tp, 1) if median_tp else None,
         "urls_processed": urls,
         "crawl_sec": round(crawl_sec, 2),
         "steady_state_sec": round(ss_sec, 2),
         "waves": stats["waves_run"],
+        "per_wave": [
+            {k: s.get(k) for k in
+             ("wave", "scheduled", "fetched", "deduped", "wave_sec",
+              "sec_fetch", "sec_discover", "sec_commit")}
+            for s in snaps
+        ],
         "hosts": n_hosts,
         "web_pages": pages,
     }

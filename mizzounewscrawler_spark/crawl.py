@@ -27,6 +27,7 @@ results are identical at any parallelism (tested local[8] vs local[32]).
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -118,9 +119,16 @@ def discover_new(
     seen: DataFrame,
     bloom,
     max_depth: int,
+    host_rules: DataFrame | None = None,
 ) -> DataFrame:
     """Extract discovered links from this wave's fetches → canonical new
-    frontier rows (host-scoped, robots-enforced, deduped vs URL-seen)."""
+    frontier rows (host-scoped, robots-enforced, deduped vs URL-seen).
+
+    ``host_rules`` (host, disallow) is the pre-fused cached dimension of
+    allowed hosts + their robots rules: passing it fuses the host-scope
+    semi join and the robots broadcast join into one inner join (host
+    presence ⇒ in scope), halving this stage's broadcast builds per wave.
+    """
     links = (
         results.where(F.col("found") & (F.size("links") > 0))
         .select(F.explode("links").alias("url"), (F.col("depth") + 1).alias("depth"))
@@ -141,12 +149,24 @@ def discover_new(
         .select("url_hash", "s.*")
     )
     # host scope: only hosts we have seeds for (reference allowed-host check,
-    # source_processing.py:1339-1357) — broadcast semi join
-    cand = cand.join(F.broadcast(allowed_hosts), on="host", how="left_semi")
-    # robots at enqueue time: disallowed URLs still enter url_seen (never
-    # reconsidered) but carry robots_allowed=false so they never reach the
-    # frontier
-    cand = apply_robots(cand, robots)
+    # source_processing.py:1339-1357); robots at enqueue time: disallowed
+    # URLs still enter url_seen (never reconsidered) but carry
+    # robots_allowed=false so they never reach the frontier
+    if host_rules is not None:
+        from mizzounewscrawler_spark.operators.robots import (
+            path_from_surt,
+            robots_allowed_expr,
+        )
+
+        hr = host_rules.select("host", F.col("disallow").alias("_dis"))
+        cand = cand.join(F.broadcast(hr), on="host", how="inner")
+        cand = cand.withColumn(
+            "robots_allowed",
+            robots_allowed_expr(path_from_surt(F.col("url_surt")), F.col("_dis")),
+        ).drop("_dis")
+    else:
+        cand = cand.join(F.broadcast(allowed_hosts), on="host", how="left_semi")
+        cand = apply_robots(cand, robots)
     # URL-seen dedup (bloom pre-filter + exact anti backstop)
     new = filter_unseen(cand, seen, bloom, "url_hash")
     return new
@@ -187,11 +207,36 @@ def run_crawl(
     robots: DataFrame,
     out_dir: str,
     config: CrawlConfig | None = None,
+    initial_frontier: DataFrame | None = None,
 ) -> dict:
-    """Run (or resume) the crawl; returns the final wave counters."""
+    """Run (or resume) the crawl; returns the final wave counters.
+
+    ``initial_frontier``: optional pre-built seed frontier (a DataFrame of
+    raw ``url`` strings) replacing the homepage+feed seeding — the
+    Common-Crawl-style regime of the north rule, where the crawl starts
+    from a known 10^10-URL frontier rather than discovering from scratch.
+    """
     cfg = config or CrawlConfig()
     t = open_tables(spark, out_dir)
     allowed_hosts = seeds.select("host").distinct()
+
+    # Pre-fuse the loop-invariant host dimensions ONCE (cached): per-wave
+    # broadcast-build latency is driver-bound and does not shrink with
+    # cluster size, so the wave loop should pay one broadcast per stage,
+    # not one per source table.
+    robots_star = robots.where(F.col("user_agent") == "*").select(
+        "host", "crawl_delay", "disallow"
+    )
+    host_dim = (
+        seeds.select("host", "bot_sensitivity")
+        .dropDuplicates(["host"])
+        .join(robots_star.select("host", "crawl_delay"), "host", "left")
+        .cache()
+    )
+    host_rules = (
+        allowed_hosts.join(robots_star.select("host", "disallow"), "host", "left")
+        .cache()
+    )
 
     if t.frontier.exists():
         last = t.frontier.current_snapshot()
@@ -201,7 +246,18 @@ def run_crawl(
         seen = _read_at_wave(t.url_seen, start_wave - 1)
         host_state_df = _read_at_wave(t.host_state, start_wave - 1)
     else:
-        frontier = seed_frontier(spark, seeds).cache()
+        if initial_frontier is not None:
+            frontier = (
+                _canonical_cols(initial_frontier.select("url"))
+                .withColumn("status", F.lit("discovered"))
+                .withColumn("priority", priority_expr())
+                .withColumn("depth", F.lit(0))
+                .select(*FRONTIER_COLS)
+                .dropDuplicates(["url_hash"])
+                .cache()
+            )
+        else:
+            frontier = seed_frontier(spark, seeds).cache()
         frontier_size = frontier.count()
         seen = frontier.select("url_hash", "url_surt")
         t.url_seen.append(seen, {"wave": -1})
@@ -242,6 +298,7 @@ def run_crawl(
             cfg.wave_duration,
             cfg.max_per_host,
             with_global_order=cfg.with_order_log,
+            host_dim=host_dim,
         ).cache()
 
         results = with_status(fetch_and_extract(wave_df, pages)).cache()
@@ -251,6 +308,7 @@ def run_crawl(
             F.count("*").alias("n"),
             F.sum(F.when(ok_expr, 1).otherwise(0)).alias("ok"),
         ).first()
+        sec_fetch = round(time.time() - wave_t0, 3)
         scheduled, fetched_ok = int(agg["n"]), int(agg["ok"] or 0)
         if scheduled == 0:
             # every pending host is in backoff this wave — advance the
@@ -260,12 +318,14 @@ def run_crawl(
             continue
 
         new_frontier_rows = discover_new(
-            results, allowed_hosts, robots, seen, bloom, cfg.max_depth
+            results, allowed_hosts, robots, seen, bloom, cfg.max_depth,
+            host_rules=host_rules,
         ).cache()
         dagg = new_frontier_rows.agg(
             F.count("*").alias("n"),
             F.sum(F.when(F.col("robots_allowed"), 1).otherwise(0)).alias("adm"),
         ).first()
+        sec_discover = round(time.time() - wave_t0 - sec_fetch, 3)
         discovered_new = int(dagg["n"])
         admitted = int(dagg["adm"] or 0)
 
@@ -287,13 +347,52 @@ def run_crawl(
             "content_hash",
             F.lit(wave).alias("wave"),
         ).coalesce(small_n)
-        t.articles.append(articles_batch, {"wave": wave, "fetched": scheduled})
 
         # ALL new canonical URLs enter url_seen — including robots-disallowed
         # ones (enforced at enqueue, so they are never reconsidered)
         new_seen = new_frontier_rows.select("url_hash", "url_surt").coalesce(small_n)
-        t.url_seen.append(new_seen, {"wave": wave, "added": discovered_new})
+
+        host_state_next = update_host_state(
+            host_state_df, results.select("host", ok_expr.alias("ok")), wave_ts, wave
+        )
+
+        # The four pre-checkpoint commits are independent of each other (the
+        # frontier commit below is the only ordering point), so submit them
+        # from concurrent driver threads: per-wave driver/commit latency is
+        # the one cost that does NOT shrink with cluster size, and
+        # overlapping the four fixed job latencies keeps it flat at 1000
+        # executors.  Resume-safety is unchanged — a crash mid-wave replays
+        # the wave from the last frontier snapshot regardless of which of
+        # these four landed (tests/test_resume.py).
+        def _commit_articles():
+            t.articles.append(articles_batch, {"wave": wave, "fetched": scheduled})
+
+        def _commit_seen():
+            t.url_seen.append(new_seen, {"wave": wave, "added": discovered_new})
+
+        def _commit_order():
+            if cfg.with_order_log:
+                t.order_log.append(
+                    wave_df.select(
+                        F.lit(wave).alias("wave"), "seq", "url_surt", "url_hash", "host"
+                    ),
+                    {"wave": wave},
+                )
+
+        def _commit_host_state():
+            t.host_state.overwrite(host_state_next.coalesce(small_n), {"wave": wave})
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [
+                pool.submit(fn)
+                for fn in (_commit_articles, _commit_seen, _commit_order,
+                           _commit_host_state)
+            ]
+            for f in futures:
+                f.result()  # propagate failures before the checkpoint commit
+
         seen = t.url_seen.read()
+        host_state_df = t.host_state.read()
         if bloom is not None and discovered_new > 0:
             bloom = merge_blooms(
                 bloom,
@@ -304,20 +403,6 @@ def run_crawl(
                     params=bloom_params,
                 ),
             )
-
-        if cfg.with_order_log:
-            t.order_log.append(
-                wave_df.select(
-                    F.lit(wave).alias("wave"), "seq", "url_surt", "url_hash", "host"
-                ),
-                {"wave": wave},
-            )
-
-        host_state_df = update_host_state(
-            host_state_df, results.select("host", ok_expr.alias("ok")), wave_ts, wave
-        )
-        t.host_state.overwrite(host_state_df.coalesce(small_n), {"wave": wave})
-        host_state_df = t.host_state.read()
 
         next_frontier = (
             frontier.join(wave_df.select("url_hash"), "url_hash", "left_anti")
@@ -340,13 +425,20 @@ def run_crawl(
             "admitted": admitted,  # robots-allowed frontier admissions
             "next_frontier": next_size,
             "wave_sec": round(time.time() - wave_t0, 3),
+            # per-phase lineage: where this wave's time went
+            "sec_fetch": sec_fetch,
+            "sec_discover": sec_discover,
+            "sec_commit": round(time.time() - wave_t0 - sec_fetch - sec_discover, 3),
         }
         snap = t.frontier.overwrite(next_frontier, summary)
         frontier_size = next_size
+        frontier.unpersist()  # release the pre-wave cache (perpetual-crawl hygiene)
         frontier = t.frontier.read().where(F.col("status") == "discovered")
         stats = {**stats, **summary, "waves_run": stats["waves_run"] + 1,
                  "snapshot": snap.version}
         wave_df.unpersist()
         results.unpersist()
         new_frontier_rows.unpersist()
+    host_dim.unpersist()
+    host_rules.unpersist()
     return stats

@@ -84,29 +84,46 @@ def build_wave(
     wave_duration: float = 60.0,
     max_per_host: int = MAX_PER_HOST_PER_WAVE,
     with_global_order: bool = True,
+    host_dim: DataFrame | None = None,
 ) -> DataFrame:
     """Select this wave's fetch set from the frontier.
 
     ``frontier`` must carry (url, url_surt, url_hash, host, priority, depth,
     status) with status='discovered'.  Returns those columns plus ``seq``
     (global deterministic order) when requested.
+
+    ``host_dim`` (host, bot_sensitivity, crawl_delay) is the pre-fused,
+    cached host dimension: passing it replaces two broadcast joins (seeds +
+    robots) with one — per-wave stage latency is driver-bound and does not
+    shrink with cluster size, so the wave loop pre-fuses loop-invariant
+    dimensions once (crawl.run_crawl).
     """
     ready = frontier.where(F.col("status") == "discovered")
 
     # host dimension: sensitivity from seeds, crawl_delay from robots — both
-    # #hosts-sized → broadcast joins.
-    sens = seeds.select(
-        F.col("host").alias("_s_host"), F.col("bot_sensitivity").alias("_sens")
-    )
-    delays = robots.where(F.col("user_agent") == "*").select(
-        F.col("host").alias("_r_host"), F.col("crawl_delay").alias("_rdelay")
-    )
-    ready = (
-        ready.join(F.broadcast(sens), ready["host"] == sens["_s_host"], "left")
-        .drop("_s_host")
-        .join(F.broadcast(delays), ready["host"] == delays["_r_host"], "left")
-        .drop("_r_host")
-    )
+    # #hosts-sized → broadcast joins (one join when pre-fused).
+    if host_dim is not None:
+        hd = host_dim.select(
+            F.col("host").alias("_s_host"),
+            F.col("bot_sensitivity").alias("_sens"),
+            F.col("crawl_delay").alias("_rdelay"),
+        )
+        ready = ready.join(
+            F.broadcast(hd), ready["host"] == hd["_s_host"], "left"
+        ).drop("_s_host")
+    else:
+        sens = seeds.select(
+            F.col("host").alias("_s_host"), F.col("bot_sensitivity").alias("_sens")
+        )
+        delays = robots.where(F.col("user_agent") == "*").select(
+            F.col("host").alias("_r_host"), F.col("crawl_delay").alias("_rdelay")
+        )
+        ready = (
+            ready.join(F.broadcast(sens), ready["host"] == sens["_s_host"], "left")
+            .drop("_s_host")
+            .join(F.broadcast(delays), ready["host"] == delays["_r_host"], "left")
+            .drop("_r_host")
+        )
 
     # exclude hosts paused / in backoff (host_state is #hosts-sized → broadcast)
     if host_state is not None:

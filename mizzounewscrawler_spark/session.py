@@ -44,7 +44,14 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # Arrow batch size trades serialization amortization against heap:
+        # rows × avg row bytes × concurrent tasks must fit the executor
+        # heap.  20000 suits ~KB rows; override via $SPARK_ARROW_BATCH for
+        # heavy binary columns (e.g. 2048 for ~40 KB Common-Crawl pages).
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_ARROW_BATCH", "20000"),
+        )
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

@@ -23,6 +23,7 @@ Two drivers over the same per-host pure function:
 from __future__ import annotations
 
 import datetime as dt
+import os
 import random
 from dataclasses import dataclass
 
@@ -31,6 +32,10 @@ import pandas as pd
 from mizzounewscrawler_spark.functions.html import extract_text
 
 REFERENCE_TS = dt.datetime(2024, 1, 15, 12, 0, 0)
+
+# Benchmark realism knob: extra KB of article body per page (0 = fixture
+# default).  Read once at import; local-mode python workers inherit the env.
+_FILLER_KB = int(os.environ.get("GEN_FILLER_KB", "0"))
 
 _VOCAB = (
     "council city mayor budget vote school district board river park police "
@@ -139,12 +144,19 @@ def gen_host_pages(spec: HostSpec, seed: int) -> list[dict]:
             if k % 13 == 12 and prev_body is not None:
                 body = prev_body  # duplicate content, distinct URL
             else:
-                # realistic article weight (~8-20 KB of body HTML) so the
-                # extraction UDF — the true hot path — dominates compute
                 body = "".join(
                     f"<p>{_paragraph(rng, rng.randint(3, 6))}</p>"
                     for _ in range(rng.randint(10, 22))
                 )
+                if _FILLER_KB > 0:
+                    # benchmark realism knob ($GEN_FILLER_KB): pad articles
+                    # toward real Common-Crawl page weight (30–100 KB) so the
+                    # extraction UDF — the true hot path at 100 TB — carries
+                    # realistic per-page cost.  Cheap to generate (block
+                    # repetition), still fully parsed by extraction.
+                    filler_p = f"<p>{_paragraph(rng, 4)}</p>"
+                    reps = max(1, (_FILLER_KB * 1024) // len(filler_p))
+                    body += filler_p * reps
                 prev_body = body
             related = rng.sample(article_urls, min(3, len(article_urls)))
             rel_links = "".join(f'<a href="{u}">rel</a>' for u in related)
@@ -267,24 +279,199 @@ def generate_web(seed: int = 42, n_hosts: int = 20, target_pages: int = 2000) ->
     return SyntheticWeb(pages=pd.DataFrame(rows), seeds=seeds, robots=robots)
 
 
-def generate_web_spark(spark, seed: int = 42, n_hosts: int = 200, target_pages: int = 60000):
-    """Distributed generation: host-spec DF → mapInPandas → pages DF.
+def _article_url(base: str, k: int) -> str:
+    return f"{base}/2024/01/{1 + (k % 28):02d}/story-{k}.html"
 
-    This is the scale path: generation parallelizes per host exactly like the
-    crawl itself partitions per host.
+
+def _is_challenge(k: int) -> bool:
+    return k % 23 == 21
+
+
+def _is_paywall(k: int) -> bool:
+    return k % 17 == 13
+
+
+def _is_dup(k: int) -> bool:
+    return k % 13 == 12
+
+
+def _article_body(spec: HostSpec, seed: int, k: int) -> str:
+    """Body of normal article k, seeded per (host, k) — chunk-independent.
+
+    Duplicate articles (k%13==12) reuse the body of the last *normal*
+    article before k (mirrors the sequential generator's prev_body chain).
+    """
+    if _is_dup(k):
+        j = k - 1
+        while j >= 0 and (_is_challenge(j) or _is_paywall(j) or _is_dup(j)):
+            j -= 1
+        if j >= 0:
+            return _article_body(spec, seed, j)
+    rng = random.Random(f"{seed}:{spec.host}:{k}")
+    body = "".join(
+        f"<p>{_paragraph(rng, rng.randint(3, 6))}</p>"
+        for _ in range(rng.randint(10, 22))
+    )
+    if _FILLER_KB > 0:
+        filler_p = f"<p>{_paragraph(rng, 4)}</p>"
+        reps = max(1, (_FILLER_KB * 1024) // len(filler_p))
+        body += filler_p * reps
+    return body
+
+
+def gen_host_pages_range(
+    spec: HostSpec, seed: int, start_k: int, end_k: int
+) -> list[dict]:
+    """Articles k ∈ [start_k, end_k) for one host, plus the hub pages
+    (homepage/sections/feed/private) when start_k == 0.
+
+    Chunk-independent RNG (per-article seeding) so a Zipf-hot host's page
+    set generates across MANY tasks — the generator eats its own skew
+    medicine.  Content differs from the sequential fixture generator (which
+    seeds one RNG per host); nothing compares the two corpora.
+    """
+    base = f"https://www.{spec.host}"
+    rows: list[dict] = []
+
+    def add(url: str, html: str, offset_s: int) -> None:
+        text, _ = extract_text(html)
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": REFERENCE_TS - dt.timedelta(seconds=offset_s),
+                "html": html.encode("utf-8"),
+                "text": text,
+                "lang": "en",
+            }
+        )
+
+    for k in range(start_k, min(end_k, spec.n_articles)):
+        url = _article_url(base, k)
+        title = f"Story {k} on {spec.host}"
+        author = f"Reporter {k % 7}"
+        if _is_challenge(k):
+            html = (
+                "<html><head><title>Just a moment...</title></head>"
+                "<body><p>Checking your browser before accessing.</p></body></html>"
+            )
+        elif _is_paywall(k):
+            html = (
+                f"<html><head><title>{title}</title></head><body>"
+                f"<article><p>Subscribe to read this story.</p></article></body></html>"
+            )
+        else:
+            body = _article_body(spec, seed, k)
+            rng = random.Random(f"{seed}:{spec.host}:{k}:rel")
+            related = [
+                _article_url(base, j)
+                for j in (rng.sample(range(k), min(3, k)) if k > 0 else [])
+            ]
+            rel_links = "".join(f'<a href="{u}">rel</a>' for u in related)
+            html = (
+                f"<html><head><title>{title}</title>"
+                f'<meta name="author" content="{author}"></head>'
+                f"<body><article>{body}</article><nav>{rel_links}</nav></body></html>"
+            )
+        add(url, html, offset_s=k * 60)
+
+    if start_k > 0:
+        return rows
+
+    # -- hub pages (chunk 0 only) -------------------------------------------
+    article_urls = [_article_url(base, k) for k in range(spec.n_articles)]
+    private_urls: list[str] = []
+    if spec.has_robots:
+        hub_rng = random.Random(f"{seed}:{spec.host}:hub")
+        for k in range(3):
+            url = f"{base}/private/secret-{k}.html"
+            body = "".join(f"<p>{_paragraph(hub_rng, 3)}</p>" for _ in range(4))
+            add(
+                url,
+                f"<html><head><title>Private {k}</title></head>"
+                f"<body><article>{body}</article></body></html>",
+                offset_s=90000 + k,
+            )
+            private_urls.append(url)
+
+    half = len(article_urls) // 2
+    sections = {
+        f"{base}/news": article_urls[:half],
+        f"{base}/sports": article_urls[half:],
+    }
+    for surl, arts in sections.items():
+        links = "".join(f'<a href="{u}">a</a>' for u in arts[:50])
+        add(
+            surl,
+            f"<html><head><title>Section</title></head><body>{links}</body></html>",
+            offset_s=30,
+        )
+
+    recent = article_urls[: min(10, len(article_urls))]
+    variant_links = [
+        f"{u}?utm_source=homepage&fbclid=ZZ{j}"
+        for j, u in enumerate(article_urls)
+        if j % 7 == 5
+    ]
+    next_host = host_name((spec.host_idx + 1) % max(spec.host_idx + 1, 1))
+    ext = f"https://www.{next_host}/"
+    links = "".join(
+        f'<a href="{u}">l</a>'
+        for u in ([*sections.keys(), *recent, *variant_links, *private_urls, ext])
+    )
+    add(
+        f"{base}/",
+        f"<html><head><title>{spec.host}</title></head><body>{links}</body></html>",
+        offset_s=10,
+    )
+
+    items = "".join(
+        f"<item><title>i{j}</title><link>{u}</link></item>"
+        for j, u in enumerate(recent)
+    )
+    feed = f'<?xml version="1.0"?><rss><channel>{items}</channel></rss>'
+    rows.append(
+        {
+            "url": f"{base}/feed",
+            "warc_ts": REFERENCE_TS - dt.timedelta(seconds=5),
+            "html": feed.encode("utf-8"),
+            "text": "",
+            "lang": "en",
+        }
+    )
+    return rows
+
+
+# article indices per generation task: bounds both the Arrow batch size
+# (40 KB-weighted pages × 2000 ≈ 80 MB, far under Arrow's 2 GB array cap)
+# and the straggler length for Zipf-hot hosts
+GEN_CHUNK = 2000
+
+
+def generate_web_spark(spark, seed: int = 42, n_hosts: int = 200, target_pages: int = 60000):
+    """Distributed generation: (host, article-range) spec DF → mapInPandas.
+
+    This is the scale path: one row per ~GEN_CHUNK articles, so a Zipf-hot
+    host with 10^5 pages generates across dozens of tasks instead of one
+    straggler, and no single Arrow batch can exceed the 2 GB array limit.
     """
     from pyspark.sql import types as T
 
     specs = make_host_specs(seed, n_hosts, target_pages)
+    chunk_rows = []
+    for s in specs:
+        for start in range(0, s.n_articles, GEN_CHUNK):
+            chunk_rows.append(
+                (s.host, s.host_idx, s.n_articles, start,
+                 min(start + GEN_CHUNK, s.n_articles), s.bot_sensitivity,
+                 s.crawl_delay, s.has_robots, s.frequency)
+            )
     spec_df = spark.createDataFrame(
-        [
-            (s.host, s.host_idx, s.n_articles, s.bot_sensitivity, s.crawl_delay,
-             s.has_robots, s.frequency)
-            for s in specs
-        ],
-        "host string, host_idx int, n_articles int, bot_sensitivity int, "
-        "crawl_delay double, has_robots boolean, frequency string",
-    ).repartition(min(len(specs), 64), "host")
+        chunk_rows,
+        "host string, host_idx int, n_articles int, start_k int, end_k int, "
+        "bot_sensitivity int, crawl_delay double, has_robots boolean, "
+        "frequency string",
+    ).repartition(max(spark.sparkContext.defaultParallelism * 2,
+                      min(len(chunk_rows), 64)))
 
     schema = T.StructType(
         [
@@ -295,10 +482,10 @@ def generate_web_spark(spark, seed: int = 42, n_hosts: int = 200, target_pages: 
             T.StructField("lang", T.StringType()),
         ]
     )
+    cols = [f.name for f in schema.fields]
 
     def gen(batches):
         for pdf in batches:
-            out = []
             for r in pdf.itertuples(index=False):
                 spec = HostSpec(
                     host=r.host,
@@ -309,8 +496,10 @@ def generate_web_spark(spark, seed: int = 42, n_hosts: int = 200, target_pages: 
                     has_robots=r.has_robots,
                     frequency=r.frequency,
                 )
-                out.extend(gen_host_pages(spec, seed))
-            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+                out = gen_host_pages_range(spec, seed, r.start_k, r.end_k)
+                # one yield per spec row keeps every Arrow batch bounded
+                if out:
+                    yield pd.DataFrame(out, columns=cols)
 
     pages = spec_df.mapInPandas(gen, schema)
     seeds, robots = _seeds_robots(specs)
