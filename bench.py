@@ -76,9 +76,15 @@ def _cached_web(spark, n_hosts: int, pages: int):
 
 def bench_crawl(spark, n_hosts: int, pages: int, waves: int) -> dict:
     pages_df, seeds_df, robots_df = _cached_web(spark, n_hosts, pages)
-    # cache the web only when it plausibly fits executor memory; at
-    # benchmark-realism page weights, re-reading parquet per wave is the
-    # honest (and cluster-faithful) configuration
+    # Optional explicit repartition of the page store (BENCH_PAGES_PARTS>0).
+    # Prefer $SPARK_MAX_PART_BYTES instead: scan parallelism must yield
+    # several tasks per core at the widest level or it idles on stragglers,
+    # and a smaller split size achieves that without shuffling the store.
+    parts = int(os.environ.get("BENCH_PAGES_PARTS", "0"))
+    if parts > 0:
+        pages_df = pages_df.repartition(parts)
+    # cache the web (compressed columnar) unless disabled; the "fetch" then
+    # probes memory instead of re-decoding parquet every wave
     cache_web = os.environ.get("BENCH_CACHE_WEB", "1") != "0"
     if cache_web:
         pages_df = pages_df.cache()

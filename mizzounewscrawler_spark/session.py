@@ -52,7 +52,22 @@ def build_session(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("SPARK_ARROW_BATCH", "20000"),
         )
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # scan-split size governs scan parallelism: bytes/split must yield
+        # several tasks per core at the largest parallelism level, or wide
+        # sessions idle on stragglers (e.g. 4.5 GB / 128 MB = 36 tasks
+        # leaves local[32] half-utilized) — tune down for small-but-heavy
+        # tables via $SPARK_MAX_PART_BYTES
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_MAX_PART_BYTES", "128m"),
+        )
+        # vectorized parquet reader rows/batch: 4096 × row-bytes is held
+        # contiguously per task — with ~40 KB binary rows that is ~160 MB a
+        # task, an OOM at any useful concurrency; drop via $SPARK_PARQUET_BATCH
+        .config(
+            "spark.sql.parquet.columnarReaderBatchSize",
+            os.environ.get("SPARK_PARQUET_BATCH", "4096"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

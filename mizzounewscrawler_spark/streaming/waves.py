@@ -91,6 +91,95 @@ def stream_hourly_rollup(
     )
 
 
+def stream_host_politeness_state(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = "host string, ts timestamp, ok boolean",
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-host politeness state over a stream of fetch results.
+
+    The streaming twin of :func:`operators.scheduler.update_host_state`
+    (SURVEY.md P3/P7): state per host = (consecutive_failures,
+    backoff_until, fetched_total); each micro-batch folds its group's rows
+    into the state with the same semantics — failures reset on success,
+    ≥3 consecutive failures → 30-min pause, else exponential backoff
+    60·2^(n−1)s capped 1 h — and emits the updated row.  State lives in the
+    streaming state store (RocksDB/HDFS-backed on a cluster), checkpointed
+    per batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from mizzounewscrawler_spark.operators.scheduler import (
+        BACKOFF_BASE_S,
+        BACKOFF_CAP_S,
+        FAILURE_PAUSE_AFTER,
+        FAILURE_PAUSE_S,
+    )
+
+    out_schema = (
+        "host string, consecutive_failures int, backoff_until double, "
+        "fetched_total long"
+    )
+    state_schema = "consecutive_failures int, backoff_until double, fetched_total long"
+
+    def update(key, pdfs, state: GroupState):
+        (host,) = key
+        if state.exists:
+            consec, backoff, fetched = state.get
+        else:
+            consec, backoff, fetched = 0, None, 0
+        last_ts = 0.0
+        for pdf in pdfs:
+            # deterministic fold order within the batch
+            pdf = pdf.sort_values("ts")
+            for ok, ts in zip(pdf["ok"], pdf["ts"]):
+                last_ts = ts.timestamp()
+                if bool(ok):
+                    consec, backoff, fetched = 0, None, fetched + 1
+                else:
+                    consec += 1
+                    if consec >= FAILURE_PAUSE_AFTER:
+                        backoff = last_ts + FAILURE_PAUSE_S
+                    else:
+                        backoff = last_ts + min(
+                            BACKOFF_BASE_S * 2 ** (consec - 1), BACKOFF_CAP_S
+                        )
+        state.update((int(consec), backoff, int(fetched)))
+        yield pd.DataFrame(
+            {
+                "host": [host],
+                "consecutive_failures": [int(consec)],
+                "backoff_until": [backoff],
+                "fetched_total": [int(fetched)],
+            }
+        )
+
+    raw = spark.readStream.schema(schema).parquet(in_dir)
+    updated = raw.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # file sinks are append-only; update-mode state emissions go through
+    # foreachBatch (idempotent per batch_id on retry via overwrite-by-batch)
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        updated.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_into_laketable(
     spark: SparkSession,
     in_dir: str,

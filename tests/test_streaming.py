@@ -77,3 +77,51 @@ def test_stream_into_laketable_snapshots(spark, tmpdirs):
     snaps = t.snapshots()
     assert snaps and snaps[-1].summary.get("streaming") is True
     assert "batch_id" in snaps[-1].summary
+
+
+def test_stream_host_politeness_state(spark, tmpdirs):
+    """applyInPandasWithState: per-host failure/backoff state over two
+    micro-batch runs — state persists across restarts via the checkpoint."""
+    import datetime as dt
+
+    from mizzounewscrawler_spark.streaming.waves import (
+        stream_host_politeness_state,
+    )
+
+    base = dt.datetime(2024, 1, 15, 12, 0, 0)
+    in_dir, out_dir, ckpt = f"{tmpdirs}/sin", f"{tmpdirs}/sout", f"{tmpdirs}/sckpt"
+    batch1 = [
+        ("ok.test", base, True),
+        ("ok.test", base + dt.timedelta(seconds=1), True),
+        ("flaky.test", base, False),
+        ("flaky.test", base + dt.timedelta(seconds=1), False),
+    ]
+    spark.createDataFrame(
+        batch1, "host string, ts timestamp, ok boolean"
+    ).write.parquet(in_dir)
+    q = stream_host_politeness_state(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    out = {r["host"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert out["ok.test"]["consecutive_failures"] == 0
+    assert out["ok.test"]["fetched_total"] == 2
+    assert out["ok.test"]["backoff_until"] is None
+    # 2 consecutive failures → exponential backoff 60·2^(2−1) = 120 s
+    assert out["flaky.test"]["consecutive_failures"] == 2
+    f_ts = (base + dt.timedelta(seconds=1)).timestamp()
+    assert abs(out["flaky.test"]["backoff_until"] - (f_ts + 120.0)) < 1e-6
+
+    # second micro-batch: third failure crosses the pause threshold (state
+    # carried across a fresh query start from the same checkpoint)
+    batch2 = [("flaky.test", base + dt.timedelta(seconds=2), False)]
+    spark.createDataFrame(
+        batch2, "host string, ts timestamp, ok boolean"
+    ).write.mode("append").parquet(in_dir)
+    q2 = stream_host_politeness_state(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    rows = [
+        r for r in spark.read.parquet(out_dir).collect()
+        if r["host"] == "flaky.test" and r["consecutive_failures"] == 3
+    ]
+    assert rows, "third failure must emit an updated state row"
+    f2_ts = (base + dt.timedelta(seconds=2)).timestamp()
+    assert abs(rows[0]["backoff_until"] - (f2_ts + 1800.0)) < 1e-6
