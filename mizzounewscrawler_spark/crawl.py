@@ -247,23 +247,52 @@ def run_crawl(
         host_state_df = _read_at_wave(t.host_state, start_wave - 1)
     else:
         if initial_frontier is not None:
-            frontier = (
+            # Pre-seeded (Common-Crawl-regime) frontier rows get the SAME
+            # admission gates as discovered links (ADVICE r1): host scope +
+            # enqueue-time robots — a seed list must not smuggle
+            # robots-disallowed URLs past the engine's enqueue guarantee.
+            # All canonical seed URLs enter url_seen (disallowed ones are
+            # never reconsidered); only allowed ones reach the frontier.
+            from mizzounewscrawler_spark.operators.robots import (
+                path_from_surt,
+                robots_allowed_expr,
+            )
+
+            cand = (
                 _canonical_cols(initial_frontier.select("url"))
-                .withColumn("status", F.lit("discovered"))
                 .withColumn("priority", priority_expr())
                 .withColumn("depth", F.lit(0))
-                .select(*FRONTIER_COLS)
                 .dropDuplicates(["url_hash"])
+            )
+            hr = host_rules.select("host", F.col("disallow").alias("_dis"))
+            cand = (
+                cand.join(F.broadcast(hr), on="host", how="inner")
+                .withColumn(
+                    "robots_allowed",
+                    robots_allowed_expr(
+                        path_from_surt(F.col("url_surt")), F.col("_dis")
+                    ),
+                )
+                .drop("_dis")
                 .cache()
             )
+            frontier = (
+                cand.where(F.col("robots_allowed"))
+                .withColumn("status", F.lit("discovered"))
+                .select(*FRONTIER_COLS)
+                .cache()
+            )
+            seen = cand.select("url_hash", "url_surt")
         else:
             frontier = seed_frontier(spark, seeds).cache()
+            seen = frontier.select("url_hash", "url_surt")
         frontier_size = frontier.count()
-        seen = frontier.select("url_hash", "url_surt")
         t.url_seen.append(seen, {"wave": -1})
         t.frontier.overwrite(
             frontier, {"wave": -1, "frontier": frontier_size, "next_frontier": frontier_size}
         )
+        if initial_frontier is not None:
+            cand.unpersist()
         seen = t.url_seen.read()
         host_state_df = None
         start_wave = 0
@@ -342,6 +371,7 @@ def run_crawl(
             F.col("fetch_status").alias("status"),
             "title",
             "author",
+            "publish_date",
             "text",
             "method",
             "content_hash",
@@ -404,15 +434,6 @@ def run_crawl(
                 ),
             )
 
-        next_frontier = (
-            frontier.join(wave_df.select("url_hash"), "url_hash", "left_anti")
-            .select(*FRONTIER_COLS)
-            .unionByName(
-                new_frontier_rows.where(F.col("robots_allowed"))
-                .withColumn("status", F.lit("discovered"))
-                .select(*FRONTIER_COLS)
-            )
-        )
         next_size = frontier_size - scheduled + admitted
         summary = {
             "wave": wave,
@@ -430,8 +451,29 @@ def run_crawl(
             "sec_discover": sec_discover,
             "sec_commit": round(time.time() - wave_t0 - sec_fetch - sec_discover, 3),
         }
-        snap = t.frontier.overwrite(next_frontier, summary)
+        # Frontier checkpoint = ONE merge-on-read commit: append this wave's
+        # admitted rows + tombstone the scheduled url_hashes — O(wave) I/O.
+        # The r1 shape recomputed and OVERWROTE the whole frontier every
+        # wave: O(frontier) I/O per wave, the dominant cost on the north
+        # rule's 10^10-URL frontier (VERDICT r1 #6).
+        admitted_rows = (
+            new_frontier_rows.where(F.col("robots_allowed"))
+            .withColumn("status", F.lit("discovered"))
+            .select(*FRONTIER_COLS)
+            .coalesce(small_n)
+            if admitted > 0
+            else None
+        )
+        snap = t.frontier.merge(
+            admitted_rows, wave_df.select("url_hash"), "url_hash", summary
+        )
         frontier_size = next_size
+        # Tombstones cost every reader a broadcast anti-join; once they
+        # outnumber the live frontier, pay one O(frontier) rewrite to clear
+        # them (Iceberg rewrite-data-files analog). Amortized: compactions
+        # are at least a frontier-drain apart.
+        if t.frontier.pending_delete_rows() > max(next_size, 10 * scheduled):
+            snap = t.frontier.compact({**summary, "compaction": True})
         frontier.unpersist()  # release the pre-wave cache (perpetual-crawl hygiene)
         frontier = t.frontier.read().where(F.col("status") == "discovered")
         stats = {**stats, **summary, "waves_run": stats["waves_run"] + 1,

@@ -117,20 +117,133 @@ def is_challenge_page(html_text: str) -> bool:
     return any(m in title for m in CHALLENGE_MARKERS)
 
 
-def extract_feed_links(xml_text: str) -> list[str]:
-    """RSS/Atom item links in document order (reference feed discovery,
-    /root/reference/src/crawler/discovery.py:3105-3489, re-specced as a
-    deterministic parse of ``<link>`` elements inside ``<item>``/``<entry>``)."""
-    out: list[str] = []
+def extract_feed_entries(xml_text: str) -> list[tuple[str, str | None]]:
+    """RSS/Atom (link, pubDate-string) entries in document order (reference
+    feed discovery /root/reference/src/crawler/discovery.py:3105-3489 +
+    entry-date coercion ``_coerce_feed_entry`` :135-158, re-specced as a
+    deterministic parse of ``<link>``/``<pubDate>`` inside items)."""
+    out: list[tuple[str, str | None]] = []
     for m in re.finditer(
         r"<(item|entry)\b.*?</\1>", xml_text, re.IGNORECASE | re.DOTALL
     ):
         block = m.group(0)
+        dm = re.search(
+            r"<(pubDate|published|updated)[^>]*>(.*?)</\1>",
+            block,
+            re.IGNORECASE | re.DOTALL,
+        )
+        pub = dm.group(2).strip() if dm else None
         lm = re.search(r"<link[^>]*>(.*?)</link>", block, re.IGNORECASE | re.DOTALL)
         if lm and lm.group(1).strip():
-            out.append(lm.group(1).strip())
+            out.append((lm.group(1).strip(), pub))
             continue
         lm = re.search(r"<link\b[^>]*?href\s*=\s*[\"']([^\"']+)[\"']", block, re.IGNORECASE)
         if lm:
-            out.append(lm.group(1).strip())
+            out.append((lm.group(1).strip(), pub))
     return out
+
+
+def extract_feed_links(xml_text: str) -> list[str]:
+    """Feed item links only (see :func:`extract_feed_entries`)."""
+    return [u for u, _ in extract_feed_entries(xml_text)]
+
+
+MAX_FEED_ENTRIES = 50  # O4 per-feed cap, reference discovery.py:3293
+
+
+def fresh_feed_links(xml_text: str) -> list[str]:
+    """Feed links surviving the O4 cap + F6 recency window: at most 50 raw
+    entries considered (reference ``feed.entries[:50]``), then entries dated
+    older than ``RECENCY_DAYS_BACK`` before the pinned clock are dropped at
+    discovery time; undated entries pass (reference discovery.py:1951-1956)."""
+    from mizzounewscrawler_spark.functions.dates import (
+        guard_future,
+        is_recent,
+        parse_date,
+    )
+
+    out = []
+    for url, pub in extract_feed_entries(xml_text)[:MAX_FEED_ENTRIES]:
+        if is_recent(guard_future(parse_date(pub))):
+            out.append(url)
+    return out
+
+
+# -- structured data (C11) + publish date (C9) --------------------------------
+
+_RE_JSONLD = re.compile(
+    r"<script\b[^>]*type\s*=\s*[\"']application/ld\+json[\"'][^>]*>(.*?)</script>",
+    re.IGNORECASE | re.DOTALL,
+)
+_RE_META_PROP = re.compile(
+    r"<meta\b[^>]*?property\s*=\s*[\"']([^\"']+)[\"'][^>]*?content\s*=\s*[\"']([^\"']*)[\"']",
+    re.IGNORECASE,
+)
+# wire-service provider panel (reference wire_services table seeds /
+# structured-data wire signals, src/mcmetadata/structured_data.py:106-487)
+_RE_WIRE_PROVIDER = re.compile(
+    r"(?i)\b(associated press|reuters|afp|agence france|cnn newsource|"
+    r"tribune news service|states newsroom)\b"
+)
+
+
+def extract_structured(html_text: str) -> dict:
+    """JSON-LD + og/meta structured data (reference
+    /root/reference/src/mcmetadata/structured_data.py:106-487): returns
+    {title, author, date (raw string), provider, is_wire} with JSON-LD
+    taking precedence over og/meta tags.  Tolerant of malformed JSON (the
+    reference swallows parse errors the same way)."""
+    import json as _json
+
+    out = {"title": "", "author": "", "date": "", "provider": "", "is_wire": False}
+    m = _RE_JSONLD.search(html_text)
+    if m:
+        try:
+            data = _json.loads(m.group(1))
+        except (ValueError, TypeError):
+            data = None
+        if isinstance(data, list):
+            data = data[0] if data else None
+        if isinstance(data, dict):
+            out["title"] = str(data.get("headline") or "")
+            author = data.get("author")
+            if isinstance(author, list) and author:
+                author = author[0]
+            if isinstance(author, dict):
+                author = author.get("name")
+            out["author"] = str(author or "")
+            out["date"] = str(data.get("datePublished") or "")
+            prov = data.get("sourceOrganization") or data.get("provider")
+            if isinstance(prov, dict):
+                prov = prov.get("name")
+            out["provider"] = str(prov or "")
+    metas = dict()
+    for prop, content in _RE_META_PROP.findall(html_text):
+        metas.setdefault(prop.lower(), content)
+    out["title"] = out["title"] or metas.get("og:title", "")
+    out["author"] = out["author"] or metas.get("article:author", "")
+    out["date"] = out["date"] or metas.get("article:published_time", "")
+    out["is_wire"] = bool(
+        _RE_WIRE_PROVIDER.search(out["provider"])
+        or _RE_WIRE_PROVIDER.search(metas.get("article:provider", ""))
+    )
+    return out
+
+
+def extract_publish_date(html_text: str, structured: dict | None = None):
+    """C9 publish-date guess with the pinned future-date guard: JSON-LD
+    datePublished → og article:published_time → <time datetime=…>; parsed
+    via the deterministic format list, guarded vs REFERENCE_TS+90d
+    (reference /root/reference/src/mcmetadata/dates.py:11-32)."""
+    from mizzounewscrawler_spark.functions.dates import guard_future, parse_date
+
+    sd = structured if structured is not None else extract_structured(html_text)
+    raw = sd.get("date") or ""
+    if not raw:
+        tm = re.search(
+            r"<time\b[^>]*?datetime\s*=\s*[\"']([^\"']+)[\"']",
+            html_text,
+            re.IGNORECASE,
+        )
+        raw = tm.group(1) if tm else ""
+    return guard_future(parse_date(raw))

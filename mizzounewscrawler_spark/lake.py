@@ -15,7 +15,14 @@ runtime jar, so IceLite provides the same *semantics* on plain parquet:
 - reads resolve the latest (or an explicit) snapshot and load only its live
   data directories — time travel for free;
 - ``append`` keeps prior versions live (Iceberg append), ``overwrite``
-  replaces them (Iceberg overwrite).
+  replaces them (Iceberg overwrite);
+- ``merge`` is the merge-on-read commit (Iceberg v2 equality deletes):
+  append new rows + record delete keys in one O(batch) snapshot; readers
+  apply deletes as a broadcast anti-join until ``compact`` rewrites.
+  Simplification vs Iceberg: deletes apply to ALL data versions (no
+  sequence-number ordering), so callers must never append a row whose key
+  was previously deleted — the crawl frontier guarantees this because
+  url_seen blocks any URL from being admitted twice.
 
 On a real cluster this module is replaced 1:1 by Iceberg:
 ``df.writeTo(tbl).option("snapshot-property.frontier", …).append()`` and
@@ -45,6 +52,10 @@ class Snapshot:
     live_versions: list[int]
     schema_json: str = ""
     parent: int | None = None
+    # merge-on-read state (Iceberg v2 equality-delete analog): versions whose
+    # deletes/v{N}/ dir holds delete-key files, and the equality column
+    delete_versions: list[int] = field(default_factory=list)
+    delete_key_col: str = ""
 
     @property
     def snapshot_id(self) -> int:
@@ -68,6 +79,9 @@ class LakeTable:
     def _data_dir(self, version: int) -> str:
         return os.path.join(self.path, "data", f"v{version:06d}")
 
+    def _delete_dir(self, version: int) -> str:
+        return os.path.join(self.path, "deletes", f"v{version:06d}")
+
     def snapshots(self) -> list[Snapshot]:
         if not os.path.isdir(self._snap_dir):
             return []
@@ -85,6 +99,8 @@ class LakeTable:
                     live_versions=raw.get("live_versions", []),
                     schema_json=raw.get("schema_json", ""),
                     parent=raw.get("parent"),
+                    delete_versions=raw.get("delete_versions", []),
+                    delete_key_col=raw.get("delete_key_col", ""),
                 )
             out.append(self._cache[version])
         return out
@@ -99,26 +115,56 @@ class LakeTable:
     # -- writes ---------------------------------------------------------------
 
     def _commit(
-        self, df: DataFrame, mode: str, summary: dict[str, Any] | None
+        self,
+        df: DataFrame | None,
+        mode: str,
+        summary: dict[str, Any] | None,
+        delete_keys: DataFrame | None = None,
+        delete_key_col: str = "",
     ) -> Snapshot:
         prev = self.current_snapshot()
         version = (prev.version + 1) if prev else 0
-        data_dir = self._data_dir(version)
-        df.write.mode("errorifexists").parquet(data_dir)
+        if df is not None:
+            df.write.mode("errorifexists").parquet(self._data_dir(version))
+        if delete_keys is not None:
+            delete_keys.write.mode("errorifexists").parquet(self._delete_dir(version))
 
-        if mode == "append" and prev is not None:
-            live = [*prev.live_versions, version]
-        else:
+        if mode in ("append", "merge") and prev is not None:
+            live = [*prev.live_versions] + ([version] if df is not None else [])
+        elif df is not None:
             live = [version]
+        else:
+            live = []
+        if mode == "merge" and prev is not None:
+            deletes = [*prev.delete_versions] + (
+                [version] if delete_keys is not None else []
+            )
+            key_col = delete_key_col or prev.delete_key_col
+        elif mode == "merge":
+            deletes = [version] if delete_keys is not None else []
+            key_col = delete_key_col
+        else:  # append keeps prior deletes; overwrite clears them
+            deletes = list(prev.delete_versions) if (
+                mode == "append" and prev is not None
+            ) else []
+            key_col = prev.delete_key_col if (
+                mode == "append" and prev is not None
+            ) else ""
 
         snap_summary = dict(summary or {})
         snap_summary.setdefault("committed_at", time.time())
         snap_summary.setdefault("operation", mode)
+        schema_json = (
+            df.schema.json() if df is not None
+            else (prev.schema_json if prev else "")
+        )
         manifest = {
             "summary": snap_summary,
             "live_versions": live,
-            "schema_json": df.schema.json(),
+            "schema_json": schema_json,
             "parent": prev.version if prev else None,
+            "delete_versions": deletes,
+            "delete_key_col": key_col,
         }
         os.makedirs(self._snap_dir, exist_ok=True)
         tmp = os.path.join(self._snap_dir, f".v{version:06d}.json.tmp")
@@ -132,8 +178,10 @@ class LakeTable:
             version=version,
             summary=snap_summary,
             live_versions=live,
-            schema_json=manifest["schema_json"],
+            schema_json=schema_json,
             parent=manifest["parent"],
+            delete_versions=deletes,
+            delete_key_col=key_col,
         )
         self._cache[version] = snap
         return snap
@@ -146,6 +194,51 @@ class LakeTable:
     ) -> Snapshot:
         return self._commit(df, "overwrite", summary)
 
+    def merge(
+        self,
+        appends: DataFrame | None,
+        delete_keys: DataFrame | None,
+        key_col: str,
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Merge-on-read commit (Iceberg v2 equality-delete analog): append
+        new rows AND record delete keys in ONE snapshot — O(batch) I/O where
+        ``overwrite`` pays O(table).  This is the frontier's per-wave commit:
+        the north rule's 10^10-URL frontier cannot be rewritten every wave.
+
+        ``delete_keys`` must contain exactly the ``key_col`` column; readers
+        apply them as a broadcast anti-join.  Call :meth:`compact` when the
+        accumulated delete set grows past a fraction of the table (readers
+        pay the anti-join until then)."""
+        return self._commit(
+            appends, "merge", summary, delete_keys=delete_keys,
+            delete_key_col=key_col,
+        )
+
+    def compact(self, summary: dict[str, Any] | None = None) -> Snapshot:
+        """Materialize the merged view into one data version and clear the
+        delete set (Iceberg rewrite-data-files analog)."""
+        current = self.read()
+        snap_summary = dict(summary or {})
+        snap_summary.setdefault("compaction", True)
+        return self._commit(current, "overwrite", snap_summary)
+
+    def pending_delete_rows(self) -> int:
+        """Total rows across live delete files (compaction heuristic input),
+        from parquet footers — no Spark job."""
+        snap = self.current_snapshot()
+        if snap is None or not snap.delete_versions:
+            return 0
+        import pyarrow.parquet as pq
+
+        total = 0
+        for v in snap.delete_versions:
+            d = self._delete_dir(v)
+            for name in os.listdir(d):
+                if name.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(d, name)).metadata.num_rows
+        return total
+
     # -- reads ----------------------------------------------------------------
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
@@ -154,4 +247,12 @@ class LakeTable:
             raise FileNotFoundError(f"LakeTable at {self.path} has no snapshots")
         snap = snaps[-1] if snapshot_id is None else self._cache[snapshot_id]
         dirs = [self._data_dir(v) for v in snap.live_versions]
-        return self.spark.read.parquet(*dirs)
+        df = self.spark.read.parquet(*dirs)
+        if snap.delete_versions:
+            from pyspark.sql import functions as F
+
+            dk = self.spark.read.parquet(
+                *[self._delete_dir(v) for v in snap.delete_versions]
+            )
+            df = df.join(F.broadcast(dk), on=snap.delete_key_col, how="left_anti")
+        return df

@@ -31,7 +31,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mizzounewscrawler_spark.functions.text import (
@@ -422,14 +422,22 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
     Inverted-index join on distinct shingles (not a cross join): explode
     shingles → self-join on shingle → count common shingles per pair →
     Jaccard = common / (|A| + |B| − common).  Scales as the sum of squared
-    posting-list lengths; for corpora with hot shingles add a document-
-    frequency cap upstream.
+    posting-list lengths.
+
+    ``max_df`` is the hot-shingle mitigation for skewed corpora: posting
+    lists longer than ``max_df`` documents are dropped before the self-join
+    (a boilerplate shingle shared by 10^6 docs would otherwise make the join
+    quadratic in that list).  With a cap the result is a LOWER BOUND on the
+    true common-shingle count — near-identical documents still share plenty
+    of rare shingles, so high-threshold pairs survive; pass ``None`` (the
+    default) for the exact oracle-checked semantics.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -437,6 +445,13 @@ def ngram_jaccard_pairs(
     ).where(F.size("shingles") > 0)
     sizes = sh.select("id", F.size("shingles").alias("n"))
     posting = sh.select("id", F.explode("shingles").alias("s"))
+    if max_df is not None:
+        w = Window.partitionBy("s")
+        posting = (
+            posting.withColumn("_df", F.count("*").over(w))
+            .where(F.col("_df") <= max_df)
+            .drop("_df")
+        )
     a, b = posting.alias("a"), posting.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))

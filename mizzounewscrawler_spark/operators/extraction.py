@@ -28,15 +28,22 @@ from pyspark.sql import types as T
 
 from mizzounewscrawler_spark.functions.html import (
     extract_author,
-    extract_feed_links,
     extract_links,
+    extract_publish_date,
+    extract_structured,
     extract_text,
     extract_title,
+    fresh_feed_links,
     is_challenge_page,
 )
 
 # wire byline panel (reference wire_services table seeds, pattern_type='byline')
 WIRE_AUTHOR_RE = r"(?i)^(the\s+)?(associated press|ap|reuters|afp|cnn newsource)\b"
+
+_COLS = (
+    "url", "found", "text", "title", "author", "method", "is_challenge",
+    "links", "is_feed", "publish_date", "sd_provider", "sd_is_wire",
+)
 
 EXTRACT_SCHEMA = T.StructType(
     [
@@ -49,35 +56,44 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("is_challenge", T.BooleanType()),
         T.StructField("links", T.ArrayType(T.StringType())),
         T.StructField("is_feed", T.BooleanType()),
+        # C9: JSON-LD/meta publish date, parsed + future-guarded (pinned clock)
+        T.StructField("publish_date", T.TimestampType()),
+        # C11/C17 stage 1: structured-data wire signals
+        T.StructField("sd_provider", T.StringType()),
+        T.StructField("sd_is_wire", T.BooleanType()),
     ]
 )
 
 
 def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    out = {k: [] for k in
-           ("url", "found", "text", "title", "author", "method",
-            "is_challenge", "links", "is_feed")}
+    out = {k: [] for k in _COLS}
     for url, html in zip(pdf["url"], pdf["html"]):
         out["url"].append(url)
         if html is None:
+            for k in ("text", "title", "author", "method", "publish_date"):
+                out[k].append(None)
             out["found"].append(False)
-            out["text"].append(None)
-            out["title"].append(None)
-            out["author"].append(None)
-            out["method"].append(None)
             out["is_challenge"].append(False)
             out["links"].append([])
             out["is_feed"].append(False)
+            out["sd_provider"].append("")
+            out["sd_is_wire"].append(False)
             continue
         doc = bytes(html).decode("utf-8", errors="replace")
         is_feed = doc.lstrip().startswith("<?xml") or "<rss" in doc[:200]
         if is_feed:
-            links = extract_feed_links(doc)
+            # F6 recency at discovery time: stale feed entries never become
+            # candidates (reference discovery.py:1951-1956)
+            links = fresh_feed_links(doc)
             text, method, title, author, challenge = "", "feed", "", "", False
+            pub, sd = None, {"provider": "", "is_wire": False}
         else:
             text, method = extract_text(doc)
             title = extract_title(doc)
-            author = extract_author(doc)
+            sd = extract_structured(doc)
+            # U3 per-field merge: meta author first, JSON-LD fallback
+            author = extract_author(doc) or sd["author"]
+            pub = extract_publish_date(doc, sd)
             challenge = is_challenge_page(doc)
             links = extract_links(doc, url)
         out["found"].append(True)
@@ -88,6 +104,9 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         out["is_challenge"].append(challenge)
         out["links"].append(links)
         out["is_feed"].append(is_feed)
+        out["publish_date"].append(pub)
+        out["sd_provider"].append(sd["provider"])
+        out["sd_is_wire"].append(bool(sd["is_wire"]))
     return pd.DataFrame(out)
 
 
@@ -97,18 +116,20 @@ def fetch_and_extract(wave: DataFrame, pages: DataFrame) -> DataFrame:
     The wave is politeness-bounded (≤ max_per_host × #hosts) — tiny relative
     to the page store — so the fetch is a **broadcast-wave inner join**: the
     page table streams once with a hash probe and its html blobs are never
-    shuffled.  Missing pages (the HTTP-404 analog) are recovered with a
-    second broadcast anti-join on the wave side.  A naive
-    ``wave.join(pages, "url", "left")`` would sort-merge-shuffle the whole
-    page store every wave — the 100 TB anti-pattern.
+    shuffled.  Missing pages (the HTTP-404 analog) are recovered by probing
+    the page store's **url column only** (a second, column-pruned scan that
+    never touches html) and broadcast-anti-joining the wave against it — no
+    wave-sized html ever needs caching (r1 shape cached the joined html,
+    ~wave × page-size heap per wave).  A naive ``wave.join(pages, "url",
+    "left")`` would sort-merge-shuffle the whole page store every wave — the
+    100 TB anti-pattern.
     """
-    inner = (
-        pages.select("url", "html")
-        .join(F.broadcast(wave), on="url", how="inner")
-        .cache()  # wave-sized; reused by the missing-row anti-join below
+    inner = pages.select("url", "html").join(F.broadcast(wave), on="url", how="inner")
+    matched_urls = pages.select("url").join(
+        F.broadcast(wave.select("url")), on="url", how="left_semi"
     )
     missing = wave.join(
-        F.broadcast(inner.select("url")), on="url", how="left_anti"
+        F.broadcast(matched_urls), on="url", how="left_anti"
     ).withColumn("html", F.lit(None).cast("binary"))
     fetched = inner.unionByName(missing.select(*inner.columns))
 
@@ -126,12 +147,18 @@ def fetch_and_extract(wave: DataFrame, pages: DataFrame) -> DataFrame:
 
 
 def with_status(extracted: DataFrame) -> DataFrame:
-    """Apply the deterministic status cascade (column exprs only)."""
+    """Apply the deterministic status cascade (column exprs only).
+
+    Wire detection follows the reference's C17 stage precedence
+    (/root/reference/src/cli/commands/extraction.py:1344-1502):
+    stage 1 JSON-LD/meta provider signals → stage 2 byline patterns.
+    """
     text_len = F.length(F.trim(F.coalesce(F.col("text"), F.lit(""))))
     status = (
         F.when(~F.col("found"), F.lit("failed"))
         .when(F.col("is_feed"), F.lit("feed"))
         .when(F.col("is_challenge"), F.lit("proxy_blocked"))
+        .when(F.coalesce(F.col("sd_is_wire"), F.lit(False)), F.lit("wire"))
         .when(F.coalesce(F.col("author"), F.lit("")).rlike(WIRE_AUTHOR_RE), F.lit("wire"))
         .when(text_len < 150, F.lit("paywall"))
         .otherwise(F.lit("extracted"))

@@ -1,0 +1,166 @@
+"""URL verification stage (F3/F4/F5/F9/F10/U4 — the discovered→article
+status transition the reference runs between discovery and extraction).
+
+Reference semantics being re-expressed:
+- ``check_is_article`` chain (/root/reference/src/pipeline/url_filters.py:51-131):
+  normalize → blocklist paths (/search/, /author/, /feed/, file extensions,
+  /video/, /podcast/ …) → allowlist regexes (/stories?/, date paths
+  ``/\\d{4}/\\d{1,2}/\\d{1,2}/``, /news/…, long numeric ids) → StorySniffer
+  fallback on survivors.
+- verification outcome → status ∈ {article, not_article, wire}
+  (/root/reference/src/services/url_verification.py:676-703).
+- wire-URL prefilter (F9): wire_services url patterns
+  (/root/reference/src/services/url_verification.py:487-521).
+- shortener / non-news-domain predicates (F5)
+  (/root/reference/src/mcmetadata/urls.py:381-435).
+- dynamic url_path_filters table (F4)
+  (/root/reference/src/services/url_verification.py:253-329): regex rows
+  loaded from a table — here a broadcast-collected dimension folded into
+  the same column expression.
+- site-spec skip (F10) (/root/reference/src/pipeline/site_filters.py:88-131):
+  per-host token lists from a spec table.
+
+Everything is a single whole-stage-codegen'd ``when`` ladder — the chain
+runs in one pass over the URLs with no Python.  The StorySniffer stub (U4)
+is a deterministic md5-parity rule, chosen to be expressible in BOTH Spark
+and ANSI SQL so the whole chain is oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# F3 blocklist (url_filters.py:51-131 panels, collapsed to one alternation)
+BLOCKLIST_RE = (
+    r"(?i)(/(search|author|feed|tag|category|topics?|video|podcast|gallery|"
+    r"photos?|classifieds?|jobs|weather|staff|about|contact|subscribe|"
+    r"newsletters?)(/|$))|\.(jpe?g|png|gif|pdf|mp[34]|zip|css|js)$"
+)
+# F3 allowlist: story paths, date paths, /news/ sections, long numeric ids
+ALLOWLIST_RE = (
+    r"(?i)(/stor(y|ies)/|/news/.+|/\d{4}/\d{1,2}/\d{1,2}/|-\d{3,}(\.html?)?$|"
+    r"/article[s]?/)"
+)
+# F9 wire-URL patterns (wire_services table seeds, pattern_type='url')
+WIRE_URL_RE = r"(?i)(apnews\.com|reuters\.com|/wire[s]?/|/ap-|/national/ap/)"
+# F5 shortener hosts + non-news domain suffixes (mcmetadata/urls.py:381-435)
+SHORTENER_HOSTS = ("bit.ly", "t.co", "tinyurl.com", "goo.gl", "ow.ly", "buff.ly")
+NON_NEWS_SUFFIXES = (
+    "facebook.com", "twitter.com", "x.com", "youtube.com", "instagram.com",
+    "pinterest.com", "linkedin.com", "reddit.com", "wikipedia.org",
+)
+
+SNIFFER_ARTICLE_CHARS = "02468ace"  # even hex nibbles → "looks like a story"
+
+
+def sniffer_guess_expr(url: Column) -> Column:
+    """U4 StorySniffer stub: a deterministic predict-UDF stand-in.
+
+    The real model is an ML URL classifier (reference url_verification.py:569);
+    this container has no model, so the stub derives a stable pseudo-label
+    from md5(url) parity — deterministic across runs/parallelism AND
+    mirrorable in DuckDB SQL, which makes the full verification chain
+    oracle-checkable.  Swap for a broadcast model + pandas_udf in production.
+    """
+    return F.substring(F.md5(url), 1, 1).isin(*SNIFFER_ARTICLE_CHARS)
+
+
+def _host_expr(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, r"^https?://([^/]+)", 1))
+
+
+def verify_status_expr(
+    url: Column,
+    dynamic_exclude_re: str | None = None,
+    dynamic_include_re: str | None = None,
+) -> Column:
+    """The F3 chain as one ordered expression → {article, not_article, wire}.
+
+    ``dynamic_*_re`` are the F4 url_path_filters table rows collapsed into
+    alternations (exclude beats include, both beat the static panels —
+    reference checks dynamic patterns first, url_verification.py:253-329).
+    """
+    u = F.coalesce(url, F.lit(""))
+    host = _host_expr(u)
+    bare = F.regexp_replace(host, r"^www\.", "")
+    non_news = None
+    for suf in NON_NEWS_SUFFIXES:
+        cond = bare == suf
+        cond = cond | bare.endswith("." + suf)
+        non_news = cond if non_news is None else (non_news | cond)
+    shortener = bare.isin(*SHORTENER_HOSTS)
+
+    expr = F.when(shortener | non_news, F.lit("not_article"))
+    if dynamic_exclude_re:
+        expr = expr.when(u.rlike(dynamic_exclude_re), F.lit("not_article"))
+    if dynamic_include_re:
+        expr = expr.when(u.rlike(dynamic_include_re), F.lit("article"))
+    return (
+        expr.when(u.rlike(WIRE_URL_RE), F.lit("wire"))
+        .when(u.rlike(BLOCKLIST_RE), F.lit("not_article"))
+        .when(u.rlike(ALLOWLIST_RE), F.lit("article"))
+        .when(sniffer_guess_expr(u), F.lit("article"))
+        .otherwise(F.lit("not_article"))
+    )
+
+
+def collapse_dynamic_filters(patterns: DataFrame) -> tuple[str | None, str | None]:
+    """F4: fold the active rows of a url_path_filters table into (exclude_re,
+    include_re) alternations.  The table is a dimension (hundreds of rows);
+    collecting it driver-side mirrors the reference's TTL cache and keeps
+    the chain a pure column expression."""
+    rows = (
+        patterns.where(F.col("active"))
+        .select("pattern", "filter_type")
+        .collect()
+    )
+    exc = [r["pattern"] for r in rows if r["filter_type"] == "exclude"]
+    inc = [r["pattern"] for r in rows if r["filter_type"] == "include"]
+    join = lambda ps: ("(?i)(" + "|".join(ps) + ")") if ps else None  # noqa: E731
+    return join(exc), join(inc)
+
+
+def site_spec_skip_expr(url: Column, tokens: Column) -> Column:
+    """F10 ``should_skip``: any spec token substring-matches the URL
+    (site_filters.py:88-131).  ``tokens`` is the broadcast-joined
+    array<string> column (null ⇒ no spec ⇒ keep)."""
+    return F.when(
+        tokens.isNull(), F.lit(False)
+    ).otherwise(F.exists(tokens, lambda t: F.col("url").contains(t)))
+
+
+def verify_urls(
+    candidates: DataFrame,
+    url_col: str = "url",
+    dynamic_filters: DataFrame | None = None,
+    site_specs: DataFrame | None = None,
+) -> DataFrame:
+    """Apply the verification stage to a candidate-URL table: adds
+    ``verify_status`` ∈ {article, not_article, wire} (+ drops F10 skips).
+
+    ``site_specs``: (host, tokens array<string>) — broadcast dimension.
+    """
+    exc_re, inc_re = (
+        collapse_dynamic_filters(dynamic_filters)
+        if dynamic_filters is not None
+        else (None, None)
+    )
+    out = candidates
+    if site_specs is not None:
+        spec = site_specs.select(
+            F.col("host").alias("_spec_host"), F.col("tokens").alias("_spec_tokens")
+        )
+        host = _host_expr(F.col(url_col))
+        out = (
+            out.join(
+                F.broadcast(spec),
+                F.regexp_replace(host, r"^www\.", "") == spec["_spec_host"],
+                "left",
+            )
+            .where(~site_spec_skip_expr(F.col(url_col), F.col("_spec_tokens")))
+            .drop("_spec_host", "_spec_tokens")
+        )
+    return out.withColumn(
+        "verify_status", verify_status_expr(F.col(url_col), exc_re, inc_re)
+    )

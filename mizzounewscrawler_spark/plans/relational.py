@@ -280,7 +280,7 @@ def q_sessionize(spark, sf):
 
 
 SQL_SESSIONIZE = """
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM (SELECT user_id,
              CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
                                                         ORDER BY ts, event_id)) > 1800
@@ -348,9 +348,56 @@ def q_json_extract(spark, sf):
 
 
 SQL_JSON = """
-SELECT event_type, sum(cast(json_extract_string(props, '$.k') as int)) AS sum_k,
+SELECT event_type, CAST(sum(cast(json_extract_string(props, '$.k') as int)) AS BIGINT) AS sum_k,
        count(*) AS n
 FROM events GROUP BY event_type
+"""
+
+
+def q_feed_date_parse(spark, sf):
+    """C18/C9: feed-date parse + pinned future-guard + F6 recency window.
+
+    events.ts plays the RSS pubDate role: format to the reference's string
+    shape, re-parse with an explicit format (no locale), null out dates past
+    the pinned clock (REFERENCE_TS 2024-01-15 + 90 d guard — here the guard
+    cutoff is the clock itself so the guard actually fires on this data),
+    and count the F6-recent (>= clock - 7 d) ones.
+    """
+    e = t(spark, sf, "events")
+    s = F.date_format("ts", "dd MMM yyyy HH:mm:ss")
+    parsed = F.to_timestamp(s, "dd MMM yyyy HH:mm:ss")
+    guarded = F.when(
+        parsed <= F.lit("2024-01-15 12:00:00").cast("timestamp"), parsed
+    )
+    return (
+        e.select("event_type", guarded.alias("pd"))
+        .groupBy("event_type")
+        .agg(
+            F.count("pd").alias("n_dated"),
+            F.sum(
+                F.when(F.col("pd") >= F.lit("2024-01-08 12:00:00"), 1).otherwise(0)
+            ).cast("bigint").alias("n_recent"),
+            # string-typed so pandas timestamp-resolution (ns vs us) can't
+            # perturb the driver's value hash
+            F.date_format(F.max("pd"), "yyyy-MM-dd HH:mm:ss").alias("latest"),
+        )
+    )
+
+
+SQL_FEED_DATE = """
+SELECT event_type,
+       count(pd) AS n_dated,
+       CAST(sum(CASE WHEN pd >= TIMESTAMP '2024-01-08 12:00:00' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_recent,
+       strftime(max(pd), '%Y-%m-%d %H:%M:%S') AS latest
+FROM (
+  SELECT event_type,
+         CASE WHEN p <= TIMESTAMP '2024-01-15 12:00:00' THEN p END AS pd
+  FROM (SELECT event_type,
+               strptime(strftime(ts, '%d %b %Y %H:%M:%S'),
+                        '%d %b %Y %H:%M:%S') AS p
+        FROM events)
+) GROUP BY event_type
 """
 
 
@@ -455,9 +502,9 @@ def q_token_stats(spark, sf):
 
 SQL_TOKEN_STATS = f"""
 SELECT lang,
-       sum(CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS ws_tokens,
-       sum(len(regexp_extract_all(text, '{BPE_ISH_RE}'))) AS bpe_ish_tokens,
+       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{BPE_ISH_RE}'))) AS BIGINT) AS bpe_ish_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY lang
 """
@@ -575,6 +622,186 @@ common AS (
 SELECT id_a, id_b, round(cmn::double / (sa.n + sb.n - cmn), 6) AS jaccard
 FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(cmn::double / (sa.n + sb.n - cmn), 6) >= 0.3
+"""
+
+
+def _verify_url_expr():
+    """Deterministic URL zoo from doc_id covering every verification-chain
+    branch (shortener, non-news, wire url, blocklist, allowlist × 3,
+    extension, sniffer fallback × 2, dynamic-pattern shapes)."""
+    i = F.col("doc_id")
+    return (
+        F.when(i % 12 == 0, F.concat(F.lit("https://bit.ly/x"), i))
+        .when(i % 12 == 1, F.concat(F.lit("https://www.youtube.com/watch?v="), i))
+        .when(i % 12 == 2, F.concat(F.lit("https://apnews.com/article/"), i))
+        .when(i % 12 == 3, F.concat(F.lit("https://www.site.news.test/search/q"), i))
+        .when(i % 12 == 4, F.concat(F.lit("https://www.site.news.test/news/story-"), i))
+        .when(i % 12 == 5, F.concat(F.lit("https://www.site.news.test/2024/01/15/t-"), i))
+        .when(i % 12 == 6, F.concat(F.lit("https://www.site.news.test/story/"), i))
+        .when(i % 12 == 7, F.concat(F.lit("https://www.site.news.test/img"), i, F.lit(".jpg")))
+        .when(i % 12 == 8, F.concat(F.lit("https://www.site.news.test/page-x"), i))
+        .when(i % 12 == 9, F.concat(F.lit("https://www.site.news.test/y"), i))
+        .when(i % 12 == 10, F.concat(F.lit("https://www.site.news.test/tag/t"), i))
+        .otherwise(F.concat(F.lit("https://www.site.news.test/z"), i, F.lit("-4567")))
+    )
+
+
+def q_url_verification(spark, sf):
+    """F3/F5/F9/U4: the verification chain (blocklist → allowlist → sniffer
+    stub), oracle-checked end-to-end — the md5-parity sniffer stub was
+    chosen precisely so DuckDB can mirror the whole chain."""
+    from mizzounewscrawler_spark.operators.verification import verify_status_expr
+
+    d = t(spark, sf, "documents")
+    return (
+        d.select("doc_id", _verify_url_expr().alias("url"))
+        .withColumn("verify_status", verify_status_expr(F.col("url")))
+    )
+
+
+def _sql_verify() -> str:
+    from mizzounewscrawler_spark.operators.verification import (
+        ALLOWLIST_RE,
+        BLOCKLIST_RE,
+        NON_NEWS_SUFFIXES,
+        SHORTENER_HOSTS,
+        SNIFFER_ARTICLE_CHARS,
+        WIRE_URL_RE,
+    )
+
+    short = ", ".join(f"'{h}'" for h in SHORTENER_HOSTS)
+    nn = " OR ".join(
+        f"(bare = '{s}' OR bare LIKE '%.{s}')" for s in NON_NEWS_SUFFIXES
+    )
+    sniff = ", ".join(f"'{c}'" for c in SNIFFER_ARTICLE_CHARS)
+    return f"""
+WITH urls AS (
+  SELECT doc_id,
+         CASE doc_id % 12
+           WHEN 0 THEN 'https://bit.ly/x' || doc_id
+           WHEN 1 THEN 'https://www.youtube.com/watch?v=' || doc_id
+           WHEN 2 THEN 'https://apnews.com/article/' || doc_id
+           WHEN 3 THEN 'https://www.site.news.test/search/q' || doc_id
+           WHEN 4 THEN 'https://www.site.news.test/news/story-' || doc_id
+           WHEN 5 THEN 'https://www.site.news.test/2024/01/15/t-' || doc_id
+           WHEN 6 THEN 'https://www.site.news.test/story/' || doc_id
+           WHEN 7 THEN 'https://www.site.news.test/img' || doc_id || '.jpg'
+           WHEN 8 THEN 'https://www.site.news.test/page-x' || doc_id
+           WHEN 9 THEN 'https://www.site.news.test/y' || doc_id
+           WHEN 10 THEN 'https://www.site.news.test/tag/t' || doc_id
+           ELSE 'https://www.site.news.test/z' || doc_id || '-4567'
+         END AS url
+  FROM documents
+), hosts AS (
+  SELECT doc_id, url,
+         regexp_replace(lower(regexp_extract(url, '^https?://([^/]+)', 1)),
+                        '^www\\.', '') AS bare
+  FROM urls
+)
+SELECT doc_id, url,
+       CASE
+         WHEN bare IN ({short}) OR {nn} THEN 'not_article'
+         WHEN regexp_matches(url, '{WIRE_URL_RE}') THEN 'wire'
+         WHEN regexp_matches(url, '{BLOCKLIST_RE}') THEN 'not_article'
+         WHEN regexp_matches(url, '{ALLOWLIST_RE}') THEN 'article'
+         WHEN substr(md5(url), 1, 1) IN ({sniff}) THEN 'article'
+         ELSE 'not_article'
+       END AS verify_status
+FROM hosts
+"""
+
+
+_NER_N1 = [
+    "Boone County", "Columbia", "Greene City Park", "Mary Smith",
+    "Rock Bridge", "Jefferson School Board",
+]
+_NER_N2 = ["John Doe", "Audrain County", "University Hospital", "Oak Street"]
+_GAZ_ROWS = [
+    (101, "boone county", "admin_boundary"),
+    (102, "columbia", "city"),
+    (103, "rock bridge park", "park"),      # fuzzy target for "rock bridge"
+    (104, "audrain county", "admin_boundary"),
+    (105, "university hospital", "building"),
+    (106, "oak street", "road"),
+]
+
+
+def q_ner_gazetteer(spark, sf):
+    """U6+J6: heuristic NER over synthesized entity-bearing text (the
+    fixture documents are all-lowercase, so entities are planted
+    deterministically from doc_id) → gazetteer fuzzy match (prefix-blocked
+    broadcast join + JVM levenshtein scoring).  Fully oracle-checked: the
+    NER regex, typing rules, blocking, scoring, and best-match ranking are
+    all mirrored independently in DuckDB SQL."""
+    from mizzounewscrawler_spark.operators.ml import (
+        extract_entities,
+        match_gazetteer,
+    )
+
+    d = t(spark, sf, "documents")
+    i = F.col("doc_id")
+    text = F.concat(
+        F.lit("the council met at "),
+        F.element_at(F.array(*[F.lit(x) for x in _NER_N1]), (i % 6 + 1).cast("int")),
+        F.lit(" before "),
+        F.element_at(F.array(*[F.lit(x) for x in _NER_N2]), (i % 4 + 1).cast("int")),
+        F.lit(" spoke about the budget"),
+    )
+    docs = d.select("doc_id", text.alias("text"))
+    ents = extract_entities(docs, id_col="doc_id", text_col="text")
+    gaz = spark.createDataFrame(
+        _GAZ_ROWS, "gazetteer_id long, name_norm string, osm_category string"
+    )
+    return match_gazetteer(ents, gaz, min_score=0.6).select(
+        "article_id", "entity_norm", "entity_label",
+        "matched_gazetteer_id", "osm_category", "match_score",
+    )
+
+
+def _sql_ner_gazetteer() -> str:
+    from mizzounewscrawler_spark.operators.ml import _GPE_WORDS, _ORG_WORDS
+
+    n1 = ", ".join(f"'{x}'" for x in _NER_N1)
+    n2 = ", ".join(f"'{x}'" for x in _NER_N2)
+    gaz = ", ".join(f"({i}, '{n}', '{c}')" for i, n, c in _GAZ_ROWS)
+    gpe = ", ".join(f"'{w}'" for w in sorted(_GPE_WORDS))
+    org = ", ".join(f"'{w}'" for w in sorted(_ORG_WORDS))
+    pat = r"\b([A-Z][a-z]+(?: [A-Z][a-z]+){0,3})\b"
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         'the council met at ' || ([{n1}])[(doc_id % 6 + 1)::int] ||
+         ' before ' || ([{n2}])[(doc_id % 4 + 1)::int] ||
+         ' spoke about the budget' AS text
+  FROM documents
+), spans AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{pat}', 1)) AS s FROM docs
+), ents AS (
+  SELECT DISTINCT doc_id AS article_id, lower(s) AS entity_norm,
+         CASE WHEN len(list_intersect(string_split(lower(s), ' '), [{gpe}])) > 0
+                THEN 'GPE'
+              WHEN len(list_intersect(string_split(lower(s), ' '), [{org}])) > 0
+                THEN 'ORG'
+              WHEN len(string_split(s, ' ')) >= 2 THEN 'PERSON'
+              ELSE 'MISC' END AS entity_label
+  FROM spans
+), gaz(gazetteer_id, name_norm, osm_category) AS (VALUES {gaz}),
+cand AS (
+  SELECT e.article_id, e.entity_norm, e.entity_label,
+         g.gazetteer_id, g.osm_category,
+         round(1.0 - levenshtein(e.entity_norm, g.name_norm) /
+               greatest(len(e.entity_norm), len(g.name_norm)), 6) AS match_score
+  FROM ents e JOIN gaz g
+    ON substr(e.entity_norm, 1, 4) = substr(g.name_norm, 1, 4)
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY article_id, entity_norm
+                               ORDER BY match_score DESC, gazetteer_id ASC) AS rn
+  FROM cand WHERE match_score >= 0.6
+)
+SELECT article_id, entity_norm, entity_label,
+       CAST(gazetteer_id AS BIGINT) AS matched_gazetteer_id, osm_category,
+       match_score
+FROM best WHERE rn = 1
 """
 
 
@@ -739,6 +966,9 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("regex_panel_filter", q_rlike_panel, SQL_RLIKE, "F2/F3/F9"),
     QuerySpec("json_extract", q_json_extract, SQL_JSON, "C12"),
     QuerySpec("content_hash_keys", q_hash_keys, SQL_HASH, "C3/C6"),
+    QuerySpec("feed_date_parse", q_feed_date_parse, SQL_FEED_DATE, "C18/C9/F6"),
+    QuerySpec("url_verification_chain", q_url_verification, _sql_verify(), "F3/F5/F9/U4"),
+    QuerySpec("ner_gazetteer_match", q_ner_gazetteer, _sql_ner_gazetteer(), "U6/J6"),
     QuerySpec("hourly_rollup", q_hourly_rollup, SQL_HOURLY, "P13"),
     QuerySpec("due_cadence", q_due_cadence, SQL_DUE, "P1"),
     QuerySpec("union_discovery_dedup", q_union_dedup, SQL_UNION, "§2.7"),

@@ -78,8 +78,17 @@ def county_report(
     if county:
         out = out.where(F.col("county") == county)
     cols = ["url", "host", "title", "author", "status", "name", "city", "county"]
+    has_pub = "publish_date" in articles.columns
+    if has_pub:
+        cols.insert(4, "publish_date")
     if labels is not None:
         cols += ["primary_label", "confidence"]
     if entities is not None:
         cols += ["entities"]
-    return out.select(*cols).orderBy("host", "url")
+    # O3 report order: publish_date DESC (reference county_report.py:217),
+    # deterministic tie-break on url; undated articles sort last
+    order = (
+        [F.col("publish_date").desc_nulls_last(), "url"] if has_pub
+        else ["host", "url"]
+    )
+    return out.select(*cols).orderBy(*order)

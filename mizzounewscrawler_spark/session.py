@@ -68,7 +68,13 @@ def build_session(
             "spark.sql.parquet.columnarReaderBatchSize",
             os.environ.get("SPARK_PARQUET_BATCH", "4096"),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # local mode: the driver JVM IS the executor — size its heap for the
+        # workload, not for a thin coordinator.  The crawl bench caches the
+        # page store + holds 32 concurrent 40 KB-row scan buffers; a 16 g
+        # heap spills the cache to disk and GC-thrashes at high parallelism
+        # (the r1 scaling-efficiency killer).  NB: only the FIRST session in
+        # a Python process sets this — the JVM outlives spark.stop().
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")

@@ -26,10 +26,11 @@ import pandas as pd
 
 from mizzounewscrawler_spark.functions.html import (
     extract_author,
-    extract_feed_links,
     extract_links,
+    extract_structured,
     extract_text,
     extract_title,
+    fresh_feed_links,
     is_challenge_page,
 )
 from mizzounewscrawler_spark.functions.urls import surt as surt_py
@@ -146,14 +147,17 @@ def simulate_crawl(
             else:
                 is_feed = doc.lstrip().startswith("<?xml") or "<rss" in doc[:200]
                 if is_feed:
-                    links = extract_feed_links(doc)
+                    links = fresh_feed_links(doc)  # F6 recency at discovery
                     text, status = "", "feed"
                 else:
                     text, _method = extract_text(doc)
-                    author = extract_author(doc)
+                    sd = extract_structured(doc)
+                    author = extract_author(doc) or sd["author"]
                     if is_challenge_page(doc):
                         status = "proxy_blocked"
-                    elif author and _WIRE_RE.search(author):
+                    elif sd["is_wire"]:  # C17 stage 1: structured data
+                        status = "wire"
+                    elif author and _WIRE_RE.search(author):  # stage 2: byline
                         status = "wire"
                     elif len(text.strip()) < 150:
                         status = "paywall"

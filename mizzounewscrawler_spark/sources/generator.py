@@ -29,9 +29,8 @@ from dataclasses import dataclass
 
 import pandas as pd
 
+from mizzounewscrawler_spark.functions.dates import REFERENCE_TS
 from mizzounewscrawler_spark.functions.html import extract_text
-
-REFERENCE_TS = dt.datetime(2024, 1, 15, 12, 0, 0)
 
 # Benchmark realism knob: extra KB of article body per page (0 = fixture
 # default).  Read once at import; local-mode python workers inherit the env.
@@ -77,6 +76,8 @@ class HostSpec:
     crawl_delay: float
     has_robots: bool
     frequency: str
+    # total hosts in the web (for the homepage's cross-host link); 0 = unknown
+    n_hosts: int = 0
 
 
 def make_host_specs(seed: int, n_hosts: int, target_pages: int) -> list[HostSpec]:
@@ -95,9 +96,68 @@ def make_host_specs(seed: int, n_hosts: int, target_pages: int) -> list[HostSpec
                 crawl_delay=[0.5, 1.0, 2.0, 5.0, 10.0][i % 5],
                 has_robots=(i % 4 == 0),
                 frequency=FREQUENCIES[i % len(FREQUENCIES)],
+                n_hosts=n_hosts,
             )
         )
     return specs
+
+
+def _pub_iso(k: int) -> str:
+    """Article k's publish timestamp (pinned clock − k minutes), ISO."""
+    return (REFERENCE_TS - dt.timedelta(seconds=k * 60)).strftime(
+        "%Y-%m-%dT%H:%M:%S"
+    )
+
+
+def _is_wire_article(k: int) -> bool:
+    """Wire-service syndications detectable only via JSON-LD provider
+    (stage 1 of the C17 cascade — the byline stays a local reporter).
+    k≡5 (mod 19) puts the first one (k=5) in every host's homepage/feed
+    "recent" list, so short politeness-bounded crawls still fetch some."""
+    return k % 19 == 5
+
+
+def _article_html(
+    title: str, author: str, k: int, body: str, rel_links: str
+) -> str:
+    """Article page with publish-date meta (C9) and, for wire syndications,
+    a JSON-LD block carrying provider + datePublished (C11/C17 stage 1)."""
+    head = (
+        f"<title>{title}</title>"
+        f'<meta name="author" content="{author}">'
+        f'<meta property="article:published_time" content="{_pub_iso(k)}">'
+    )
+    if _is_wire_article(k):
+        head += (
+            '<script type="application/ld+json">'
+            f'{{"headline": "{title}", "datePublished": "{_pub_iso(k)}", '
+            '"provider": {"name": "Associated Press"}}'
+            "</script>"
+        )
+    return (
+        f"<html><head>{head}</head>"
+        f"<body><article>{body}</article><nav>{rel_links}</nav></body></html>"
+    )
+
+
+def _feed_xml(base: str, recent_urls: list[str]) -> str:
+    """RSS feed: fresh items (pubDate = the article's publish minute) plus
+    two stale archive items 30 days old — the F6 recency window must drop
+    those at discovery time (their URLs are not in the page store, so a
+    recency regression shows up as scheduled-then-failed fetches)."""
+    items = "".join(
+        f"<item><title>i{j}</title><link>{u}</link>"
+        f"<pubDate>{(REFERENCE_TS - dt.timedelta(seconds=j * 60)).strftime('%a, %d %b %Y %H:%M:%S +0000')}</pubDate>"
+        f"</item>"
+        for j, u in enumerate(recent_urls)
+    )
+    items += "".join(
+        f"<item><title>old{j}</title><link>{base}/archive/old-{j}.html</link>"
+        f"<pubDate>{(REFERENCE_TS - dt.timedelta(days=30 + j)).strftime('%a, %d %b %Y %H:%M:%S +0000')}</pubDate>"
+        f"</item>"
+        for j in range(2)
+    )
+    return f'<?xml version="1.0"?><rss><channel>{items}</channel></rss>'
 
 
 def gen_host_pages(spec: HostSpec, seed: int) -> list[dict]:
@@ -160,11 +220,7 @@ def gen_host_pages(spec: HostSpec, seed: int) -> list[dict]:
                 prev_body = body
             related = rng.sample(article_urls, min(3, len(article_urls)))
             rel_links = "".join(f'<a href="{u}">rel</a>' for u in related)
-            html = (
-                f"<html><head><title>{title}</title>"
-                f'<meta name="author" content="{author}"></head>'
-                f"<body><article>{body}</article><nav>{rel_links}</nav></body></html>"
-            )
+            html = _article_html(title, author, k, body, rel_links)
         add(url, html, offset_s=k * 60)
         article_urls.append(url)
 
@@ -205,7 +261,9 @@ def gen_host_pages(spec: HostSpec, seed: int) -> list[dict]:
         for j, u in enumerate(article_urls)
         if j % 7 == 5
     ]
-    next_host = host_name((spec.host_idx + 1) % max(spec.host_idx + 1, 1))
+    next_host = host_name(
+        (spec.host_idx + 1) % spec.n_hosts if spec.n_hosts > 0 else 0
+    )
     ext = f"https://www.{next_host}/"
     links = "".join(
         f'<a href="{u}">l</a>'
@@ -218,11 +276,7 @@ def gen_host_pages(spec: HostSpec, seed: int) -> list[dict]:
     )
 
     # -- RSS feed ---------------------------------------------------------------
-    items = "".join(
-        f"<item><title>i{j}</title><link>{u}</link></item>"
-        for j, u in enumerate(recent)
-    )
-    feed = f'<?xml version="1.0"?><rss><channel>{items}</channel></rss>'
+    feed = _feed_xml(base, recent)
     rows.append(
         {
             "url": f"{base}/feed",
@@ -367,11 +421,7 @@ def gen_host_pages_range(
                 for j in (rng.sample(range(k), min(3, k)) if k > 0 else [])
             ]
             rel_links = "".join(f'<a href="{u}">rel</a>' for u in related)
-            html = (
-                f"<html><head><title>{title}</title>"
-                f'<meta name="author" content="{author}"></head>'
-                f"<body><article>{body}</article><nav>{rel_links}</nav></body></html>"
-            )
+            html = _article_html(title, author, k, body, rel_links)
         add(url, html, offset_s=k * 60)
 
     if start_k > 0:
@@ -412,7 +462,11 @@ def gen_host_pages_range(
         for j, u in enumerate(article_urls)
         if j % 7 == 5
     ]
-    next_host = host_name((spec.host_idx + 1) % max(spec.host_idx + 1, 1))
+    # cross-host edge: homepage links to the NEXT host (wraps at n_hosts);
+    # falls back to host 0 when the spec predates n_hosts plumbing
+    next_host = host_name(
+        (spec.host_idx + 1) % spec.n_hosts if spec.n_hosts > 0 else 0
+    )
     ext = f"https://www.{next_host}/"
     links = "".join(
         f'<a href="{u}">l</a>'
@@ -424,11 +478,7 @@ def gen_host_pages_range(
         offset_s=10,
     )
 
-    items = "".join(
-        f"<item><title>i{j}</title><link>{u}</link></item>"
-        for j, u in enumerate(recent)
-    )
-    feed = f'<?xml version="1.0"?><rss><channel>{items}</channel></rss>'
+    feed = _feed_xml(base, recent)
     rows.append(
         {
             "url": f"{base}/feed",
@@ -495,6 +545,7 @@ def generate_web_spark(spark, seed: int = 42, n_hosts: int = 200, target_pages: 
                     crawl_delay=r.crawl_delay,
                     has_robots=r.has_robots,
                     frequency=r.frequency,
+                    n_hosts=n_hosts,
                 )
                 out = gen_host_pages_range(spec, seed, r.start_k, r.end_k)
                 # one yield per spec row keeps every Arrow batch bounded

@@ -167,9 +167,12 @@ def stream_host_politeness_state(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     # file sinks are append-only; update-mode state emissions go through
-    # foreachBatch (idempotent per batch_id on retry via overwrite-by-batch)
+    # foreachBatch.  Each batch lands in its own batch_id-keyed directory
+    # with overwrite, so a micro-batch retried after a crash between the
+    # write and the checkpoint commit replaces its partial output instead
+    # of duplicating it (exactly-once per batch_id).
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     return (
         updated.writeStream.foreachBatch(sink)

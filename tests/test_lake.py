@@ -1,0 +1,89 @@
+"""IceLite merge-on-read semantics (the frontier's per-wave commit path).
+
+merge() must behave like Iceberg v2 equality deletes under the engine's
+never-readmit invariant: appends + delete keys land in one snapshot,
+readers see (data ∪ appends) ∖ deletes, time travel still works, and
+compact() clears the delete set without changing the visible rows.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mizzounewscrawler_spark.lake import LakeTable  # noqa: E402
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def test_merge_append_and_delete_one_snapshot(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    t.overwrite(base, {"wave": -1})
+
+    appends = spark.createDataFrame([(4, "d")], "k long, v string")
+    deletes = spark.createDataFrame([(2,)], "k long")
+    snap = t.merge(appends, deletes, "k", {"wave": 0})
+
+    assert _rows(t.read()) == [(1, "a"), (3, "c"), (4, "d")]
+    assert snap.delete_versions and snap.delete_key_col == "k"
+    # time travel: the pre-merge snapshot still shows the original rows
+    assert _rows(t.read(snap.parent)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_merge_accumulates_and_none_sides(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t2"))
+    t.overwrite(
+        spark.createDataFrame([(i, "x") for i in range(6)], "k long, v string"),
+        {"wave": -1},
+    )
+    # delete-only wave
+    t.merge(None, spark.createDataFrame([(0,), (1,)], "k long"), "k", {"wave": 0})
+    # append-only wave
+    t.merge(
+        spark.createDataFrame([(10, "n")], "k long, v string"), None, "k",
+        {"wave": 1},
+    )
+    # both
+    t.merge(
+        spark.createDataFrame([(11, "m")], "k long, v string"),
+        spark.createDataFrame([(2,)], "k long"),
+        "k",
+        {"wave": 2},
+    )
+    assert _rows(t.read()) == [(3, "x"), (4, "x"), (5, "x"), (10, "n"), (11, "m")]
+    assert t.pending_delete_rows() == 3
+
+
+def test_compact_clears_deletes_keeps_rows(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t3"))
+    t.overwrite(
+        spark.createDataFrame([(i, "x") for i in range(5)], "k long, v string"),
+        {"wave": -1},
+    )
+    t.merge(
+        spark.createDataFrame([(7, "y")], "k long, v string"),
+        spark.createDataFrame([(1,), (3,)], "k long"),
+        "k",
+        {"wave": 0},
+    )
+    before = _rows(t.read())
+    snap = t.compact({"wave": 0})
+    assert _rows(t.read()) == before
+    assert snap.delete_versions == []
+    assert t.pending_delete_rows() == 0
+    assert len(snap.live_versions) == 1
+
+
+def test_overwrite_clears_delete_state(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t4"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.merge(None, spark.createDataFrame([(1,)], "k long"), "k")
+    assert _rows(t.read()) == []
+    t.overwrite(spark.createDataFrame([(1, "z")], "k long, v string"))
+    assert _rows(t.read()) == [(1, "z")]
+    assert t.current_snapshot().delete_versions == []

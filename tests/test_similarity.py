@@ -1,0 +1,176 @@
+"""Recall oracles for the approximate similarity/dedup paths (VERDICT r1 #7).
+
+The LSH/IVF/MinHash operators are not SQL-expressible (xxhash64-derived
+hyperplanes / signatures), so the driver records them rows-only.  These
+tests supply the missing correctness bar:
+
+- ANN paths (lsh_ann_topk, ivf_topk): recall@10 >= 0.9 against the exact
+  cosine_topk baseline on the sf0.01 embeddings table.
+- MinHash-LSH / SimHash candidate generation: recall against the exact
+  n-gram Jaccard ground truth on the same corpus.
+- Zero-norm guard: a zero vector must never win an IVF cell assignment via
+  NaN-cosine ordering.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mizzounewscrawler_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from mizzounewscrawler_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    ivf_topk,
+    lsh_ann_topk,
+    query_signature,
+    signature_expr,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    row = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return [float(x) for x in row]
+
+
+def _ids(df):
+    return [r["vec_id"] for r in df.collect()]
+
+
+@pytest.fixture(scope="module")
+def planted(spark, qvec):
+    """sf0.01 embeddings (near-random, top-10 cosine ~0.3 — outside any LSH
+    regime) + 12 planted near-neighbors of the query (small deterministic
+    perturbations, cosine >= ~0.95).  ANN recall is asserted on the planted
+    set: the contract of LSH/IVF is recalling *near* neighbors."""
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where(
+        F.col("vec_id") > 0
+    )
+    rows = []
+    for i in range(12):
+        noisy = [
+            x + 0.03 * ((7 * i + d) % 5 - 2) for d, x in enumerate(qvec)
+        ]
+        rows.append((10_000 + i, noisy))
+    extra = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    df = base.select(
+        F.col("vec_id").cast("int").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    ).unionByName(extra).cache()
+    df.count()
+    return df
+
+
+def test_lsh_ann_recall_at_10(spark, planted, qvec):
+    exact = set(_ids(cosine_topk(planted, qvec, k=10)))
+    assert all(i >= 10_000 for i in exact)  # planted rows dominate top-10
+    approx = set(_ids(lsh_ann_topk(planted, qvec, k=10, probe_radius=1)))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH ANN recall@10 {recall} < 0.9"
+
+
+def test_lsh_multiprobe_recall_monotone(spark, planted, qvec):
+    """Raising probe_radius can only widen the candidate set."""
+    big = 10**6  # k > corpus: both calls return their full candidate set
+    r0 = set(_ids(lsh_ann_topk(planted, qvec, k=big, probe_radius=0)))
+    r1 = set(_ids(lsh_ann_topk(planted, qvec, k=big, probe_radius=1)))
+    assert r0 <= r1
+
+
+def test_ivf_ann_recall_at_10(spark, planted, qvec):
+    exact = set(_ids(cosine_topk(planted, qvec, k=10)))
+    approx = set(_ids(ivf_topk(planted, qvec, k=10, n_centroids=16, nprobe=4)))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF ANN recall@10 {recall} < 0.9"
+
+
+def test_ivf_fullprobe_equals_exact(spark, emb, qvec):
+    """nprobe == n_centroids probes every cell -> must equal exact top-k."""
+    base = emb.where(F.col("vec_id") > 0)
+    exact = _ids(cosine_topk(base, qvec, k=10))
+    full = _ids(ivf_topk(base, qvec, k=10, n_centroids=8, nprobe=8))
+    assert exact == full
+
+
+def test_query_signature_matches_spark_expr(spark, qvec):
+    """Driver-side query_signature must equal the Spark-side signature_expr
+    on the same vector (the one-scan LSH filter depends on this parity)."""
+    df = spark.createDataFrame([(qvec,)], "v array<double>")
+    for t in range(4):
+        spark_sig = df.select(
+            signature_expr(F.col("v"), t, 8, len(qvec)).alias("s")
+        ).collect()[0]["s"]
+        assert spark_sig == query_signature(qvec, t, 8), f"table {t}"
+
+
+def test_ivf_zero_vector_guard(spark):
+    """A zero vector's cosine vs every centroid is undefined (0/0); the guard
+    pins it to -2.0 so NaN never wins the array_max cell assignment and the
+    query itself still returns clean top-k."""
+    rows = [(i, [float(i % 3 + 1), float(i % 5)]) for i in range(1, 40)]
+    rows.append((99, [0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = ivf_topk(df, [1.0, 0.5], k=5, n_centroids=4, nprobe=4)
+    got = out.collect()
+    assert len(got) == 5
+    assert all(r["cosine"] == r["cosine"] for r in got)  # no NaN scores
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    df.count()
+    return df
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.select("id_a", "id_b").collect()}
+
+
+def test_minhash_candidate_recall_vs_exact_jaccard(spark, docs):
+    """MinHash-LSH candidates must cover >= 0.9 of the truly-similar pairs
+    (exact n-gram Jaccard >= 0.8 ground truth)."""
+    truth = _pairs(ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8))
+    assert truth, "fixture corpus must contain near-dup pairs"
+    cand = _pairs(minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=8))
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.9, f"MinHash candidate recall {recall} < 0.9"
+
+
+def test_simhash_candidate_recall_vs_exact_jaccard(spark, docs):
+    """SimHash(hamming<=8) candidates cover >= 0.9 of exact-Jaccard>=0.9 pairs."""
+    truth = _pairs(ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.9))
+    assert truth, "fixture corpus must contain near-identical pairs"
+    cand = _pairs(simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=8))
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.9, f"SimHash candidate recall {recall} < 0.9"
+
+
+def test_ngram_jaccard_df_cap_keeps_high_threshold_pairs(spark, docs):
+    """The hot-shingle document-frequency cap must not lose near-identical
+    pairs: rare shingles carry them.  (Cap approximates common-counts from
+    below, so it can only shrink jaccard - verify survivors.)"""
+    exact = _pairs(ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.9))
+    capped = _pairs(
+        ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.85, max_df=20)
+    )
+    missing = exact - capped
+    assert not missing, f"df-cap lost near-identical pairs: {sorted(missing)[:5]}"
