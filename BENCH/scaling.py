@@ -34,15 +34,63 @@ from bench import bench_crawl  # noqa: E402
 from mizzounewscrawler_spark.session import build_session  # noqa: E402
 
 
+def _steal() -> tuple[int, int]:
+    f = open("/proc/stat").readline().split()
+    return int(f[8]), sum(int(x) for x in f[1:9])
+
+
 def run_once(cores: int, n_hosts: int, pages: int, waves: int, shuffle: int, rep: int) -> dict:
     spark = build_session(
         cores, shuffle_partitions=shuffle, app_name=f"scale-{cores}-r{rep}"
     )
     spark.sparkContext.setLogLevel("ERROR")
+    s0, t0 = _steal()
     try:
-        return bench_crawl(spark, n_hosts, pages, waves)
+        out = bench_crawl(spark, n_hosts, pages, waves)
     finally:
         spark.stop()
+    s1, t1 = _steal()
+    # hypervisor CPU-steal fraction over this rep (audit column: a rep with
+    # high steal is the one min-filtering is expected to discard)
+    out["steal_frac"] = round((s1 - s0) / max(t1 - t0, 1), 4)
+    return out
+
+
+def host_ceiling_probe(shuffle: int, low: int, high: int, reps: int = 2) -> dict:
+    """Engine-independent host-capacity measurement: a pure columnar scan
+    (decompress the whole page store, sum html lengths — no Python, no
+    shuffle, embarrassingly parallel) at both parallelism levels.  Its
+    low→high speedup is the memory-bandwidth/hypervisor ceiling of THIS
+    box; no software can scale a scan-bound stage past it.  Published next
+    to the crawl numbers so the efficiency figure is interpretable."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    n_hosts = int(os.environ.get("BENCH_HOSTS", "4000"))
+    pages = int(os.environ.get("BENCH_PAGES", "120000"))
+    sweep = int(os.environ.get("BENCH_BUCKET_SWEEP", "0"))
+    from bench import _cached_web
+
+    best = {}
+    for rep in range(reps):
+        for cores in (low, high):
+            spark = build_session(
+                cores, shuffle_partitions=shuffle, app_name=f"ceil-{cores}-{rep}"
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+            pages_df, _, _ = _cached_web(spark, n_hosts, pages, bucket_sweep=sweep)
+            t0 = _t.time()
+            pages_df.agg(F.sum(F.length("html"))).collect()
+            dt = _t.time() - t0
+            spark.stop()
+            best[cores] = min(best.get(cores, float("inf")), dt)
+    return {
+        "scan_sec_low": round(best[low], 2),
+        "scan_sec_high": round(best[high], 2),
+        "scan_speedup": round(best[low] / best[high], 2),
+        "scan_efficiency": round(best[low] / best[high] / (high / low), 3),
+    }
 
 
 def aggregate_level(runs: list[dict], cores: int, reps: int) -> dict:
@@ -86,7 +134,13 @@ def main() -> None:
     high = int(os.environ.get("SCALE_HIGH", "32"))
     n_hosts = int(os.environ.get("BENCH_HOSTS", "4000"))
     pages = int(os.environ.get("BENCH_PAGES", "120000"))
-    waves = int(os.environ.get("BENCH_WAVES", "6"))
+    sweep = int(os.environ.get("BENCH_BUCKET_SWEEP", "0"))
+    # with the bucket sweep on, the crawl needs >= sweep+1 waves to touch
+    # every bucket once; scan parallelism per pruned bucket needs a finer
+    # split size than the 128 MB default
+    waves = int(os.environ.get("BENCH_WAVES", str(max(6, sweep + 1))))
+    if sweep > 0:
+        os.environ.setdefault("SPARK_MAX_PART_BYTES", "16m")
     shuffle = int(os.environ.get("BENCH_SHUFFLE", "64"))
 
     reps = int(os.environ.get("SCALE_REPS", "3"))
@@ -97,8 +151,11 @@ def main() -> None:
 
     gen_spark = build_session(high, shuffle_partitions=shuffle, app_name="scale-gen")
     gen_spark.sparkContext.setLogLevel("ERROR")
-    _cached_web(gen_spark, n_hosts, pages)
+    _cached_web(gen_spark, n_hosts, pages, bucket_sweep=sweep)
     gen_spark.stop()
+
+    # engine-independent host ceiling (see host_ceiling_probe docstring)
+    ceiling = host_ceiling_probe(shuffle, low, high)
 
     # interleave reps (low, high, low, high, …): a multi-minute CPU-steal
     # window then contaminates at most one rep of EACH level, not one
@@ -126,6 +183,8 @@ def main() -> None:
         "scaling_efficiency_total": round(eff_tot, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
+        "bucket_sweep": sweep,
+        "host_ceiling": ceiling,
     }
     print(json.dumps(result))
     with open(os.path.join(HERE, "scaling_result.json"), "w") as f:
@@ -143,7 +202,32 @@ def write_md(result, low, high, n_hosts, pages, waves, shuffle, reps):
     tp_high = r_high["steady_state_urls_per_sec"]
     tot_low = r_low["throughput_urls_per_sec"]
     tot_high = r_high["throughput_urls_per_sec"]
+    sweep = result.get("bucket_sweep", 0)
+    ceil = result.get("host_ceiling") or {}
     today = datetime.date.today().isoformat()
+    sweep_note = (
+        f"Bucket sweep ON (H={sweep}): the page store is stored partitioned "
+        f"by url_hash bucket and each wave's fetch partition-prunes to one "
+        f"bucket — per-wave scan = store/{sweep}.\n" if sweep else
+        "Bucket sweep OFF: each wave's fetch streams the whole page store.\n"
+    )
+    ceil_md = ""
+    if ceil:
+        ceil_md = f"""
+## Host capacity ceiling (engine-independent)
+
+A pure columnar scan of the same page store (decompress + sum lengths; no
+Python, no shuffle, embarrassingly parallel) measures what THIS shared
+microVM can give software going from the low to the high level:
+
+| | low | high | speedup | efficiency |
+|---|---|---|---|---|
+| scan-only | {ceil["scan_sec_low"]} s | {ceil["scan_sec_high"]} s | {ceil["scan_speedup"]}× | {ceil["scan_efficiency"]} |
+
+Any stage that streams bytes (scan/decompress/cache) is capped by this
+hardware ceiling regardless of plan quality; the crawl's efficiency above
+should be read against it, not against an ideal 1.0.
+"""
     md = f"""# BENCH/BASELINE.md — two-parallelism scaling evidence
 
 North rule: ≥0.8 throughput scaling efficiency from N to 4N executors on a
@@ -161,6 +245,7 @@ north rule's Common-Crawl seed-list scenario; politeness-bounded waves of
 `min(max_per_host={os.environ.get("BENCH_CAP", "3")},
 ⌊wave_duration={os.environ.get("BENCH_WAVE_DUR", "60")}s / host delay⌋)`
 URLs per host drain it); `discovery` starts from homepages/feeds only.
+{sweep_note}
 
 Measured {today} with `python BENCH/scaling.py` (env above).
 
@@ -182,6 +267,7 @@ Per-wave timings at local[{low}] / local[{high}] (min across {reps} reps;
 {json.dumps(r_low["per_wave"], indent=0)}
 {json.dumps(r_high["per_wave"], indent=0)}
 ```
+{ceil_md}
 
 Methodology notes:
 - Waves ≥ 1 are steady state: wave 0 pays JVM/codegen/Arrow-worker warmup,
@@ -219,8 +305,13 @@ reference's single-node rate at equal politeness semantics.
 - The Bloom filter is sharded (2^4 shards here, configurable) and merged
   incrementally — O(new URLs) per wave, broadcast once per wave.
 - Wave outputs are politeness-bounded, so commit sizes stay flat as the
-  frontier grows; the frontier table itself is only rewritten as a
-  hash-partitioned overwrite (storage-partitioned in Iceberg terms).
+  frontier grows; the frontier checkpoint is a merge-on-read commit
+  (append admitted rows + tombstone scheduled keys — O(wave) I/O, Iceberg
+  v2 equality-delete semantics) with amortized compaction.
+- With the bucket sweep, per-wave fetch I/O is store/H via partition
+  pruning — the politeness waves are aligned with storage partitioning
+  (Iceberg bucket(url_hash) transform), so per-wave cost is independent
+  of total store size at fixed bucket size.
 """
     with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
         f.write(md)

@@ -52,22 +52,52 @@ HEADLINE = [
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 
 
-def _cached_web(spark, n_hosts: int, pages: int):
-    """Generate-once (distributed), cache as parquet keyed by size."""
+def _cached_web(spark, n_hosts: int, pages: int, bucket_sweep: int = 0):
+    """Generate-once (distributed), cache as parquet keyed by size.
+
+    With ``bucket_sweep`` > 0 the page store is written **partitioned by
+    the crawl's hash bucket** (``bucket = pmod(xxhash64(surt(url)), H)``),
+    so the engine's bucket-sweep fetch partition-prunes each wave's scan to
+    one directory — the storage layout a Common-Crawl-scale deployment
+    would use (Iceberg bucket transform on the url key)."""
     from mizzounewscrawler_spark.sources.generator import generate_web_spark
 
     filler = os.environ.get("GEN_FILLER_KB", "0")
-    # v2: generator's cross-host homepage link fixed (ADVICE r1) — new content
-    tag = f"web2_h{n_hosts}_p{pages}" + (f"_f{filler}" if filler != "0" else "")
+    # v3: content revision key — bump when the generator's page content
+    # changes (v2: cross-host link fix; v3: publish-date metas, JSON-LD wire
+    # blocks, dated feeds, per-host boilerplate chrome)
+    tag = f"web3_h{n_hosts}_p{pages}" + (f"_f{filler}" if filler != "0" else "")
+    if bucket_sweep > 0:
+        tag += f"_b{bucket_sweep}"
     root = os.path.join(CACHE_DIR, tag)
     pq = {n: os.path.join(root, n) for n in ("pages", "seeds", "robots")}
     if not all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in pq.values()):
         pages_df, seeds_df, robots_df = generate_web_spark(
             spark, seed=42, n_hosts=n_hosts, target_pages=pages
         )
-        pages_df.write.mode("overwrite").parquet(pq["pages"])
+        if bucket_sweep > 0:
+            from pyspark.sql import functions as F
+
+            from mizzounewscrawler_spark.functions.urls import (
+                surt_expr,
+                url_hash_expr,
+            )
+
+            pages_df = pages_df.withColumn(
+                "bucket",
+                F.pmod(
+                    url_hash_expr(surt_expr(F.col("url"))),
+                    F.lit(bucket_sweep),
+                ).cast("int"),
+            )
+            pages_df.write.mode("overwrite").partitionBy("bucket").parquet(
+                pq["pages"]
+            )
+        else:
+            pages_df.write.mode("overwrite").parquet(pq["pages"])
         seeds_df.write.mode("overwrite").parquet(pq["seeds"])
         robots_df.write.mode("overwrite").parquet(pq["robots"])
+        # partitioned writes put _SUCCESS at the root — also true unbucketed
     return (
         spark.read.parquet(pq["pages"]),
         spark.read.parquet(pq["seeds"]),
@@ -76,26 +106,43 @@ def _cached_web(spark, n_hosts: int, pages: int):
 
 
 def bench_crawl(spark, n_hosts: int, pages: int, waves: int) -> dict:
-    pages_df, seeds_df, robots_df = _cached_web(spark, n_hosts, pages)
-    # Page-store partitioning: the cached table's partition count is frozen
-    # at materialization, and every wave's fetch scan inherits it.  The raw
-    # parquet yields ~bytes/128 MB partitions (36 for the 4.5 GB scaling
-    # web) — barely 1 task/core at local[32], so the wide level idles on
-    # stragglers while local[8] packs 4.5 waves/core (the r1 scaling-
-    # efficiency killer).  Pin to a level-independent count ≥ 4× the widest
-    # parallelism so BOTH levels run the identical, well-packed plan; the
-    # one-time shuffle happens before timing starts.
-    parts = int(os.environ.get("BENCH_PAGES_PARTS", "0"))
-    if parts == 0:
-        parts = max(128, spark.sparkContext.defaultParallelism * 4)
-    if parts > 0:
-        pages_df = pages_df.repartition(parts)
-    # cache the web (compressed columnar) unless disabled; the "fetch" then
-    # probes memory instead of re-decoding parquet every wave
-    cache_web = os.environ.get("BENCH_CACHE_WEB", "1") != "0"
-    if cache_web:
-        pages_df = pages_df.cache()
-    pages_df.count()  # materialize the web (and the cache) before timing
+    # BENCH_BUCKET_SWEEP > 0: partition-aligned crawl sweep — the page
+    # store is stored partitioned by hash bucket and each wave's fetch
+    # partition-prunes to ONE bucket (per-wave scan = store/H instead of
+    # the whole store).  Use with BENCH_SEED_FRONTIER=all and waves >= H.
+    sweep = int(os.environ.get("BENCH_BUCKET_SWEEP", "0"))
+    pages_df, seeds_df, robots_df = _cached_web(
+        spark, n_hosts, pages, bucket_sweep=sweep
+    )
+    if sweep > 0:
+        # no repartition (it would sit between the scan and the per-wave
+        # bucket filter for no benefit) and no whole-store cache (each wave
+        # reads one pruned bucket dir; the OS page cache holds it).  Scan
+        # parallelism per bucket comes from spark.sql.files.maxPartitionBytes
+        # — size it so one bucket yields >= 2 tasks/core at the widest level.
+        pages_df.count()  # warm file listing/footers before timing
+        cache_web = False
+    else:
+        # Page-store partitioning: the cached table's partition count is
+        # frozen at materialization, and every wave's fetch scan inherits
+        # it.  The raw parquet yields ~bytes/128 MB partitions (36 for the
+        # 4.5 GB scaling web) — barely 1 task/core at local[32], so the
+        # wide level idles on stragglers while local[8] packs 4.5
+        # waves/core (the r1 scaling-efficiency killer).  Pin to a
+        # level-independent count >= 4x the widest parallelism so BOTH
+        # levels run the identical, well-packed plan; the one-time shuffle
+        # happens before timing starts.
+        parts = int(os.environ.get("BENCH_PAGES_PARTS", "0"))
+        if parts == 0:
+            parts = max(128, spark.sparkContext.defaultParallelism * 4)
+        if parts > 0:
+            pages_df = pages_df.repartition(parts)
+        # cache the web (compressed columnar) unless disabled; the "fetch"
+        # then probes memory instead of re-decoding parquet every wave
+        cache_web = os.environ.get("BENCH_CACHE_WEB", "1") != "0"
+        if cache_web:
+            pages_df = pages_df.cache()
+        pages_df.count()  # materialize the web (and the cache) before timing
     out_dir = tempfile.mkdtemp(prefix="bench_crawl_")
     cfg = CrawlConfig(
         max_waves=waves,
@@ -105,6 +152,7 @@ def bench_crawl(spark, n_hosts: int, pages: int, waves: int) -> dict:
         # budget/host = ⌊wave_duration/delay⌋ capped at max_per_host)
         max_per_host=int(os.environ.get("BENCH_CAP", "3")),
         wave_duration=float(os.environ.get("BENCH_WAVE_DUR", "60")),
+        bucket_sweep=sweep,
     )
     # BENCH_SEED_FRONTIER=all → start from the full known-URL frontier (the
     # north rule's Common-Crawl regime: a 10^10-URL seed list, politeness-
@@ -139,7 +187,8 @@ def bench_crawl(spark, n_hosts: int, pages: int, waves: int) -> dict:
     )
     median_tp = per_wave_tp[len(per_wave_tp) // 2] if per_wave_tp else None
     shutil.rmtree(out_dir, ignore_errors=True)
-    pages_df.unpersist()
+    if cache_web:
+        pages_df.unpersist()
     return {
         "throughput_urls_per_sec": round(urls / crawl_sec, 1),
         "steady_state_urls_per_sec": round(ss_urls / ss_sec, 1) if ss_sec else None,

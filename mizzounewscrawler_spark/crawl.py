@@ -68,6 +68,18 @@ class CrawlConfig:
     # parity, but it is a single-partition sort — turn OFF for throughput
     # runs / production where within-host order suffices
     with_order_log: bool = True
+    # Partition-aligned bucket sweep (0 = off): wave w fetches only frontier
+    # rows with url_hash % bucket_sweep == w % bucket_sweep, and — when the
+    # pages table carries a matching ``bucket`` partition column — the fetch
+    # scan partition-prunes to that one bucket.  This turns the per-wave
+    # "fetch" from an O(page-store) scan into an O(store/H) pruned read:
+    # the sandbox stand-in for HTTP is a join against the page table, and
+    # sweeping the hash space cyclically aligns the politeness waves with
+    # storage partitioning (the Common-Crawl reprocessing pattern).  Total
+    # work to drain the frontier is unchanged; politeness semantics are
+    # unchanged (budgets per host per wave); a URL waits at most H−1 extra
+    # waves for its bucket's turn.
+    bucket_sweep: int = 0
 
 
 def _canonical_cols(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -227,8 +239,18 @@ def run_crawl(
     robots_star = robots.where(F.col("user_agent") == "*").select(
         "host", "crawl_delay", "disallow"
     )
+    from mizzounewscrawler_spark.operators.scheduler import (
+        FREQ_DEFAULT_DAYS,
+        cadence_days_expr,
+    )
+
+    cadence = (
+        cadence_days_expr(F.col("frequency"))
+        if "frequency" in seeds.columns
+        else F.lit(FREQ_DEFAULT_DAYS)
+    )
     host_dim = (
-        seeds.select("host", "bot_sensitivity")
+        seeds.select("host", "bot_sensitivity", cadence.alias("cadence_days"))
         .dropDuplicates(["host"])
         .join(robots_star.select("host", "crawl_delay"), "host", "left")
         .cache()
@@ -318,8 +340,24 @@ def run_crawl(
         if frontier_size == 0:
             break
 
+        # bucket sweep: restrict this wave's eligibility (and the page scan)
+        # to the wave's hash bucket — see CrawlConfig.bucket_sweep
+        if cfg.bucket_sweep > 0:
+            b = wave % cfg.bucket_sweep
+            eligible = frontier.where(
+                F.pmod(F.col("url_hash"), F.lit(cfg.bucket_sweep)) == b
+            )
+            pages_wave = (
+                pages.where(F.col("bucket") == b)
+                if "bucket" in pages.columns
+                else pages
+            )
+        else:
+            eligible = frontier
+            pages_wave = pages
+
         wave_df = build_wave(
-            frontier,
+            eligible,
             seeds,
             robots,
             host_state_df,
@@ -330,7 +368,7 @@ def run_crawl(
             host_dim=host_dim,
         ).cache()
 
-        results = with_status(fetch_and_extract(wave_df, pages)).cache()
+        results = with_status(fetch_and_extract(wave_df, pages_wave)).cache()
         ok_expr = F.col("fetch_status").isin("extracted", "wire", "paywall", "feed")
         # ONE job materializes the fetch+extract cache and yields both counters
         agg = results.agg(
@@ -383,7 +421,18 @@ def run_crawl(
         new_seen = new_frontier_rows.select("url_hash", "url_surt").coalesce(small_n)
 
         host_state_next = update_host_state(
-            host_state_df, results.select("host", ok_expr.alias("ok")), wave_ts, wave
+            host_state_df,
+            results.select(
+                "host",
+                ok_expr.alias("ok"),
+                F.col("is_challenge").alias("challenge"),
+                # URL-shape feed flag (a FAILED feed fetch must still count
+                # as a feed event for the P11 retry window)
+                F.col("url_surt").endswith(")/feed").alias("is_feed"),
+            ),
+            wave_ts,
+            wave,
+            host_dim=host_dim,
         )
 
         # The four pre-checkpoint commits are independent of each other (the

@@ -25,6 +25,24 @@ def content_hash_expr(text: Column) -> Column:
     return F.sha2(text, 256)
 
 
+_ROT47_FROM = "".join(chr(33 + i) for i in range(94))
+_ROT47_TO = "".join(chr(33 + (i + 47) % 94) for i in range(94))
+
+
+def rot47_expr(text: Column) -> Column:
+    """C15 ROT47 de-obfuscation (reference
+    /root/reference/src/pipeline/text_cleaning.py:12-107): rotate printable
+    ASCII 33–126 by 47.  A fixed character permutation, so ``F.translate``
+    does it entirely JVM-side — the reference's per-char Python loop becomes
+    one codegen'd expression.  Self-inverse: rot47(rot47(x)) == x."""
+    return F.translate(text, _ROT47_FROM, _ROT47_TO)
+
+
+def rot47(s: str) -> str:
+    """Pure-Python twin of :func:`rot47_expr` (parity tests)."""
+    return s.translate(str.maketrans(_ROT47_FROM, _ROT47_TO))
+
+
 # --------------------------------------------------------------------------
 # tokenization / counting
 # --------------------------------------------------------------------------

@@ -129,6 +129,65 @@ def host_expr(url: Column) -> Column:
     return host
 
 
+# C4 canonical_domain: public-suffix registered-domain semantics (reference
+# /root/reference/src/mcmetadata/urls.py:51-103 via tldextract).  A compact
+# built-in suffix set covers the multi-label public suffixes a news crawl
+# actually meets; everything else falls back to the last two labels.  The
+# blog-platform exception list keeps the distinguishing subdomain (reference
+# keeps `<name>.substack.com` etc. as the canonical identity).
+_TWO_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "org.nz", "net.nz",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "com.br", "org.br", "net.br", "gov.br",
+    "co.in", "org.in", "net.in", "gov.in", "ac.in",
+    "com.mx", "org.mx", "com.ar", "com.cn", "org.cn", "net.cn",
+    "co.za", "org.za", "com.sg", "com.hk", "co.kr", "or.kr",
+)
+_PLATFORM_SUFFIXES = (
+    "substack.com", "blogspot.com", "wordpress.com", "medium.com",
+    "tumblr.com", "github.io", "typepad.com", "squarespace.com",
+)
+
+
+def registered_domain_expr(host: Column) -> Column:
+    """C4: registered domain of a normalized host — public-suffix-aware
+    (suffix + one label), keeping the platform subdomain for blog hosts,
+    passing IPv4 literals through unchanged.  Pure JVM regex/`when` ladder;
+    the reference calls tldextract per row in Python."""
+    ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    expr = F.when(ip, host)
+    for suf in _PLATFORM_SUFFIXES:
+        esc = suf.replace(".", r"\.")
+        expr = expr.when(
+            host.rlike(rf"(^|\.)[^.]+\.{esc}$"),
+            F.regexp_extract(host, rf"([^.]+\.{esc})$", 1),
+        )
+    for suf in _TWO_LABEL_SUFFIXES:
+        esc = suf.replace(".", r"\.")
+        expr = expr.when(
+            host.rlike(rf"(^|\.)[^.]+\.{esc}$"),
+            F.regexp_extract(host, rf"([^.]+\.{esc})$", 1),
+        )
+    return expr.otherwise(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
+
+
+def registered_domain(host: str) -> str:
+    """Pure-Python twin of :func:`registered_domain_expr` (parity tests)."""
+    import re as _re
+
+    if _re.match(r"^\d{1,3}(\.\d{1,3}){3}$", host):
+        return host
+    for suf in (*_PLATFORM_SUFFIXES, *_TWO_LABEL_SUFFIXES):
+        if host == suf or host.endswith("." + suf):
+            m = _re.search(r"([^.]+\." + suf.replace(".", r"\.") + ")$", host)
+            if m:
+                return m.group(1)
+    m = _re.search(r"([^.]+\.[^.]+)$", host)
+    return m.group(1) if m else host
+
+
 def surt_expr(url: Column) -> Column:
     """SURT-canonical form, NULL for invalid URLs."""
     valid, host, path, query = canonical_parts(url)

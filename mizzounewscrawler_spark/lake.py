@@ -223,6 +223,68 @@ class LakeTable:
         snap_summary.setdefault("compaction", True)
         return self._commit(current, "overwrite", snap_summary)
 
+    def export_version(
+        self, dest_dir: str, snapshot_id: int | None = None
+    ) -> dict[str, Any]:
+        """S11 versioned dataset export with per-file checksums (reference
+        ``export_dataset_version`` /root/reference/src/models/versioning.py:113-330):
+        write the snapshot's merged view to ``dest_dir`` as parquet, then a
+        ``manifest.json`` recording snapshot id, per-file SHA-256 + size,
+        and row count — fsynced, so a verifier can re-hash the export.
+        Returns the manifest dict."""
+        import hashlib
+
+        df = self.read(snapshot_id)
+        df.write.mode("errorifexists").parquet(dest_dir)
+        snap = (
+            self.current_snapshot() if snapshot_id is None
+            else self._cache[snapshot_id]
+        )
+        files = {}
+        for name in sorted(os.listdir(dest_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.join(dest_dir, name)
+            h = hashlib.sha256()
+            with open(p, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            files[name] = {"sha256": h.hexdigest(), "bytes": os.path.getsize(p)}
+        manifest = {
+            "snapshot_id": snap.version if snap else None,
+            "table_path": self.path,
+            "files": files,
+            "row_count": self.spark.read.parquet(dest_dir).count(),
+        }
+        tmp = os.path.join(dest_dir, ".manifest.json.tmp")
+        final = os.path.join(dest_dir, "manifest.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
+        return manifest
+
+    @staticmethod
+    def verify_export(dest_dir: str) -> bool:
+        """Re-hash an export against its manifest (the reference's checksum
+        verification path)."""
+        import hashlib
+
+        with open(os.path.join(dest_dir, "manifest.json")) as f:
+            manifest = json.load(f)
+        for name, meta in manifest["files"].items():
+            p = os.path.join(dest_dir, name)
+            if not os.path.exists(p) or os.path.getsize(p) != meta["bytes"]:
+                return False
+            h = hashlib.sha256()
+            with open(p, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            if h.hexdigest() != meta["sha256"]:
+                return False
+        return True
+
     def pending_delete_rows(self) -> int:
         """Total rows across live delete files (compaction heuristic input),
         from parquet footers — no Spark job."""

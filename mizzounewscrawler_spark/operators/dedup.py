@@ -190,25 +190,47 @@ def bloom_maybe_seen_col(spark, bloom: PartitionedBloom, hash_col: str) -> Colum
     return _maybe_seen(F.col(hash_col))
 
 
+# Above this many Bloom-positive rows, stop broadcasting the possible-seen
+# slice and fall back to a shuffled anti-join (both sides hash-shuffled on
+# the uniform url_hash key).  ~2M longs ≈ 16 MB — comfortably inside any
+# broadcast budget; beyond it the driver round-trip and per-executor copy
+# stop paying for themselves.
+BROADCAST_PROBE_MAX_ROWS = 2_000_000
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame | None,
     bloom: PartitionedBloom | None,
     hash_col: str = "url_hash",
+    broadcast_max_rows: int = BROADCAST_PROBE_MAX_ROWS,
 ) -> DataFrame:
     """Rows of ``candidates`` whose ``hash_col`` is NOT in ``seen``.
 
     Bloom pre-filter → exact backstop on the possible-seen slice only.
 
     Shuffle discipline (the 10^10 design point): the seen table is the
-    biggest table in the system and must NEVER shuffle.  The exact backstop
+    biggest table in the system and should not shuffle.  The exact backstop
     is therefore a *probe*, not an anti-join against seen:
       hits = seen ⋈ broadcast(possible)   (seen streams, hash probe)
       new  = possible ▷ broadcast(hits)   (broadcast left-anti)
-    — one columnar scan of seen per wave, zero shuffle of it.  The Bloom
-    keeps ``possible`` small (true revisits + ~FPR), so both broadcasts are
-    wave-sized.  ``seen`` rows are unique by construction (admissions are
-    anti-joined before insert), so no distinct() is needed.
+    — one columnar scan of seen per wave, zero shuffle of it.
+
+    **High-revisit fallback** (VERDICT r1): in a link crawl most discovered
+    links are revisits, so ``possible`` scales with discovery volume — not
+    the politeness-bounded wave — and can exceed any broadcast budget.
+    When it does (``broadcast_max_rows``), fall back to a plain shuffled
+    left-anti join: both sides hash-partition on the uniform xxhash64 key
+    (no skew by construction), and seen shuffles at most once per wave.  On
+    a real deployment this case becomes Iceberg's bucket(url_hash)
+    storage-partitioned join — only the small side moves; IceLite cannot
+    express storage partitioning, so the fallback pays one seen shuffle.
+    Hash-range *bucket pruning* of the seen scan cannot help here: Bloom-
+    positive hashes are uniformly distributed, so any wave with more than a
+    few dozen revisits touches every bucket.
+
+    ``seen`` rows are unique by construction (admissions are anti-joined
+    before insert), so no distinct() is needed.
     """
     if seen is None:
         return candidates
@@ -221,12 +243,18 @@ def filter_unseen(
         possible = flagged.where(F.col("_maybe_seen")).drop("_maybe_seen").cache()
     else:
         definitely_new = None
-        possible = candidates
-    hits = (
-        seen.select(F.col(hash_col))
-        .join(F.broadcast(possible.select(F.col(hash_col))), on=hash_col, how="inner")
-    )
-    fp_survivors = possible.join(F.broadcast(hits), on=hash_col, how="left_anti")
+        possible = candidates.cache()
+    # materializes the cache (reused by the join below) and sizes the probe
+    n_possible = possible.count()
+    if n_possible > broadcast_max_rows:
+        fp_survivors = possible.join(
+            seen.select(F.col(hash_col)), on=hash_col, how="left_anti"
+        )
+    else:
+        hits = seen.select(F.col(hash_col)).join(
+            F.broadcast(possible.select(F.col(hash_col))), on=hash_col, how="inner"
+        )
+        fp_survivors = possible.join(F.broadcast(hits), on=hash_col, how="left_anti")
     if definitely_new is None:
         return fp_survivors
     return definitely_new.unionByName(fp_survivors)

@@ -113,25 +113,43 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 def fetch_and_extract(wave: DataFrame, pages: DataFrame) -> DataFrame:
     """Join the wave against ``pages`` ("fetch") and extract.
 
+    The join key is the **canonical SURT**, not the raw URL: a frontier row
+    discovered via a tracking-param variant (`…?utm_source=…`) must fetch
+    the same resource as the canonical URL — the reference fetches by
+    normalized URL (mcmetadata/urls.py:290-344).  The page store's surt is
+    computed on the fly (a JVM regex over the url column — cheap next to
+    the html bytes).  Requirement: the store must be canonical-unique (at
+    most one row per surt — true of a deduplicated Common-Crawl-style
+    capture); a duplicate surt would fan a frontier row out into duplicate
+    results.  The fixture generator guarantees this and the parity suite
+    asserts it.
+
     The wave is politeness-bounded (≤ max_per_host × #hosts) — tiny relative
     to the page store — so the fetch is a **broadcast-wave inner join**: the
     page table streams once with a hash probe and its html blobs are never
     shuffled.  Missing pages (the HTTP-404 analog) are recovered by probing
-    the page store's **url column only** (a second, column-pruned scan that
+    the page store's **surt column only** (a second, column-pruned scan that
     never touches html) and broadcast-anti-joining the wave against it — no
     wave-sized html ever needs caching (r1 shape cached the joined html,
-    ~wave × page-size heap per wave).  A naive ``wave.join(pages, "url",
+    ~wave × page-size heap per wave).  A naive ``wave.join(pages, …,
     "left")`` would sort-merge-shuffle the whole page store every wave — the
     100 TB anti-pattern.
     """
-    inner = pages.select("url", "html").join(F.broadcast(wave), on="url", how="inner")
-    matched_urls = pages.select("url").join(
-        F.broadcast(wave.select("url")), on="url", how="left_semi"
+    from mizzounewscrawler_spark.functions.urls import surt_expr
+
+    pages_k = pages.select(
+        surt_expr(F.col("url")).alias("url_surt"), "html"
+    ).where(F.col("url_surt").isNotNull())
+    inner = pages_k.join(F.broadcast(wave), on="url_surt", how="inner")
+    matched = pages_k.select("url_surt").join(
+        F.broadcast(wave.select("url_surt")), on="url_surt", how="left_semi"
     )
     missing = wave.join(
-        F.broadcast(matched_urls), on="url", how="left_anti"
+        F.broadcast(matched), on="url_surt", how="left_anti"
     ).withColumn("html", F.lit(None).cast("binary"))
-    fetched = inner.unionByName(missing.select(*inner.columns))
+    fetched = inner.select(*wave.columns, "html").unionByName(
+        missing.select(*wave.columns, "html")
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

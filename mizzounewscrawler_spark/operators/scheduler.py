@@ -55,6 +55,51 @@ FAILURE_PAUSE_S = 1800.0  # reference work_queue.py:42
 BACKOFF_BASE_S = 60.0  # reference crawler/__init__.py:1097-1142
 BACKOFF_CAP_S = 3600.0
 
+# P8 sensitivity adaptation (reference SENSITIVITY_ADJUSTMENT_RULES,
+# /root/reference/src/utils/bot_sensitivity_manager.py:116-122):
+# captcha/challenge → +3, plain failures (429-like) → +1, cap at tier 10;
+# decay one tier per SENSITIVITY_DECAY_WAVES quiet waves back toward base.
+SENSITIVITY_CAPTCHA_DELTA = 3
+SENSITIVITY_FAILURE_DELTA = 1
+SENSITIVITY_MAX = 10
+SENSITIVITY_DECAY_WAVES = 10
+
+# P10 adaptive pause thresholds by cadence (reference
+# _calculate_pause_threshold, src/crawler/source_processing.py:301-335):
+# fast-cadence sources tolerate more consecutive failures before pausing.
+PAUSE_THRESHOLD_BY_CADENCE = ((1.0, 7), (7.0, 5), (float("inf"), 3))
+SOURCE_PAUSE_S = 86400.0  # paused sources sit out a day
+
+# P1 frequency → cadence days (reference parse_frequency_to_days,
+# src/crawler/scheduling.py:30-62)
+FREQ_DAYS = {
+    "daily": 0.25, "weekly": 3.5, "biweekly": 14.0, "monthly": 30.0,
+}
+FREQ_DEFAULT_DAYS = 7.0
+
+
+def cadence_days_expr(frequency: Column) -> Column:
+    expr = F.lit(FREQ_DEFAULT_DAYS)
+    for name, days in FREQ_DAYS.items():
+        expr = F.when(frequency == name, F.lit(days)).otherwise(expr)
+    return expr
+
+
+def pause_threshold_expr(cadence_days: Column) -> Column:
+    """P10: daily-ish → 7 consecutive failures, weekly-ish → 5, slower → 3."""
+    return (
+        F.when(cadence_days <= 1.0, F.lit(PAUSE_THRESHOLD_BY_CADENCE[0][1]))
+        .when(cadence_days <= 7.0, F.lit(PAUSE_THRESHOLD_BY_CADENCE[1][1]))
+        .otherwise(F.lit(PAUSE_THRESHOLD_BY_CADENCE[2][1]))
+    )
+
+
+def feed_retry_window_s(cadence_days: Column) -> Column:
+    """P11 RSS failure window: clamp(2×cadence, 2..7 days), in seconds
+    (reference _rss_retry_window_days, src/crawler/discovery.py:1934-1949)."""
+    days = F.least(F.greatest(cadence_days * 2, F.lit(2.0)), F.lit(7.0))
+    return days * 86400.0
+
 
 def tier_delay_expr(sensitivity: Column) -> Column:
     expr = F.lit(TIER_DELAY_S[5])
@@ -125,12 +170,24 @@ def build_wave(
             .drop("_r_host")
         )
 
-    # exclude hosts paused / in backoff (host_state is #hosts-sized → broadcast)
+    # exclude hosts paused / in backoff (host_state is #hosts-sized → broadcast);
+    # P11: a host inside its RSS retry window keeps crawling but its FEED
+    # URLs sit out; P8: the adapted sensitivity tier (if present) overrides
+    # the seeds' base tier in the budget below.
     if host_state is not None:
-        hs = host_state.select(
+        hs = host_state
+        for name, typ in (
+            ("bot_sensitivity", "int"), ("feed_retry_until", "double"),
+        ):
+            if name not in hs.columns:
+                hs = hs.withColumn(name, F.lit(None).cast(typ))
+        hs = hs.select(
             F.col("host").alias("_h_host"),
             F.col("backoff_until").alias("_backoff_until"),
+            F.col("bot_sensitivity").alias("_adapted_sens"),
+            F.col("feed_retry_until").alias("_feed_retry"),
         )
+        is_feed_url = F.col("url_surt").endswith(")/feed")
         ready = (
             ready.join(F.broadcast(hs), ready["host"] == hs["_h_host"], "left")
             .drop("_h_host")
@@ -138,11 +195,18 @@ def build_wave(
                 F.col("_backoff_until").isNull()
                 | (F.col("_backoff_until") <= F.lit(wave_ts))
             )
-            .drop("_backoff_until")
+            .where(
+                ~is_feed_url
+                | F.col("_feed_retry").isNull()
+                | (F.col("_feed_retry") <= F.lit(wave_ts))
+            )
+            .drop("_backoff_until", "_feed_retry")
         )
+    else:
+        ready = ready.withColumn("_adapted_sens", F.lit(None).cast("int"))
 
     budget = host_budget_expr(
-        F.coalesce(F.col("_sens"), F.lit(5)),
+        F.coalesce(F.col("_adapted_sens"), F.col("_sens"), F.lit(5)),
         F.col("_rdelay"),
         wave_duration,
         max_per_host,
@@ -154,7 +218,7 @@ def build_wave(
         ready.withColumn("_budget", budget)
         .withColumn("_rn", F.row_number().over(in_host))
         .where(F.col("_rn") <= F.col("_budget"))
-        .drop("_rn", "_budget", "_sens", "_rdelay")
+        .drop("_rn", "_budget", "_sens", "_rdelay", "_adapted_sens")
     )
     if with_global_order:
         # global deterministic sequence — the crawl-order parity artifact.
@@ -182,8 +246,14 @@ def salted_host_key(host: Column, nsalts: int, salt_on: Column) -> Column:
 
 HOST_STATE_SCHEMA = (
     "host string, consecutive_failures int, backoff_until double, "
-    "last_wave int, fetched_total long"
+    "last_wave int, fetched_total long, bot_sensitivity int, "
+    "sens_event_wave int, paused_reason string, feed_retry_until double"
 )
+
+_STATE_DEFAULTS = {
+    "_succ": 0, "_fail": 0, "_captcha": 0, "_feed_ok": 0, "_feed_fail": 0,
+    "consecutive_failures": 0, "fetched_total": 0,
+}
 
 
 def update_host_state(
@@ -191,18 +261,41 @@ def update_host_state(
     wave_results: DataFrame,
     wave_ts: float,
     wave_idx: int,
+    host_dim: DataFrame | None = None,
 ) -> DataFrame:
     """MERGE-style host-state update from this wave's fetch results.
 
-    ``wave_results`` needs (host, ok boolean).  Failure semantics per the
-    reference: consecutive failures reset on any success; ≥3 consecutive
-    failures → 30 min pause; otherwise exponential backoff 60·2^(n−1)s
-    capped at 1 h (work_queue.py:400-434; crawler/__init__.py:1097-1142).
+    ``wave_results`` needs (host, ok boolean); optional columns ``challenge``
+    (captcha/challenge page seen) and ``is_feed`` (row was a feed fetch)
+    enable P8 sensitivity adaptation and P11 RSS failure windows.
+    ``host_dim`` (host, bot_sensitivity [, cadence_days]) supplies the base
+    tier for decay and the P10/P11 cadence inputs.
+
+    Semantics per the reference:
+    - consecutive failures reset on any success; ≥3 consecutive failures →
+      30 min pause; otherwise exponential backoff 60·2^(n−1)s capped 1 h
+      (work_queue.py:400-434; crawler/__init__.py:1097-1142);
+    - P8: challenge → tier+3, failures → tier+1, cap 10; one-tier decay
+      toward base after SENSITIVITY_DECAY_WAVES quiet waves
+      (bot_sensitivity_manager.py:116-122, decay_sensitivity :539+);
+    - P10: consecutive failures ≥ cadence-adaptive threshold → source pause
+      for a day with paused_reason (source_processing.py:301-335);
+    - P11: a failed feed fetch (no success that wave) opens a retry window
+      clamp(2×cadence, 2..7 d) during which the host's feed URLs are not
+      rescheduled (discovery.py:1934-1949).
     """
+    has_challenge = "challenge" in wave_results.columns
+    has_feed = "is_feed" in wave_results.columns
+    ch = F.col("challenge") if has_challenge else F.lit(False)
+    fe = F.col("is_feed") if has_feed else F.lit(False)
     per_host = wave_results.groupBy("host").agg(
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("_succ"),
         F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("_fail"),
+        F.sum(F.when(ch, 1).otherwise(0)).alias("_captcha"),
+        F.sum(F.when(fe & F.col("ok"), 1).otherwise(0)).alias("_feed_ok"),
+        F.sum(F.when(fe & ~F.col("ok"), 1).otherwise(0)).alias("_feed_fail"),
     )
+    state_cols = [f.split(" ")[0] for f in HOST_STATE_SCHEMA.split(", ")]
     if host_state is None:
         merged = per_host.select(
             "host",
@@ -210,29 +303,98 @@ def update_host_state(
             F.lit(None).cast("double").alias("backoff_until"),
             F.lit(0).alias("last_wave"),
             F.lit(0).cast("long").alias("fetched_total"),
-            "_succ",
-            "_fail",
+            F.lit(None).cast("int").alias("bot_sensitivity"),
+            F.lit(None).cast("int").alias("sens_event_wave"),
+            F.lit(None).cast("string").alias("paused_reason"),
+            F.lit(None).cast("double").alias("feed_retry_until"),
+            "_succ", "_fail", "_captcha", "_feed_ok", "_feed_fail",
         )
     else:
-        merged = host_state.join(per_host, "host", "full").fillna(
-            {"_succ": 0, "_fail": 0, "consecutive_failures": 0, "fetched_total": 0}
+        hs = host_state
+        # schema evolution: older state tables lack the P8/P10/P11 columns
+        for name, typ in (
+            ("bot_sensitivity", "int"), ("sens_event_wave", "int"),
+            ("paused_reason", "string"), ("feed_retry_until", "double"),
+        ):
+            if name not in hs.columns:
+                hs = hs.withColumn(name, F.lit(None).cast(typ))
+        merged = hs.select(*state_cols).join(per_host, "host", "full").fillna(
+            _STATE_DEFAULTS
         )
+    if host_dim is not None:
+        dim = host_dim.select(
+            F.col("host").alias("_d_host"),
+            F.col("bot_sensitivity").alias("_base_sens"),
+            *(
+                [F.col("cadence_days").alias("_cadence")]
+                if "cadence_days" in host_dim.columns
+                else [F.lit(FREQ_DEFAULT_DAYS).alias("_cadence")]
+            ),
+        )
+        merged = merged.join(
+            F.broadcast(dim), merged["host"] == dim["_d_host"], "left"
+        ).drop("_d_host")
+    else:
+        merged = merged.withColumn("_base_sens", F.lit(None).cast("int"))
+        merged = merged.withColumn("_cadence", F.lit(FREQ_DEFAULT_DAYS))
+
+    base_sens = F.coalesce(F.col("_base_sens"), F.lit(5))
+    cur_sens = F.coalesce(F.col("bot_sensitivity"), base_sens)
+    had_event = (F.col("_captcha") > 0) | (F.col("_fail") > 0)
+    quiet_for = F.lit(wave_idx) - F.coalesce(F.col("sens_event_wave"), F.lit(wave_idx))
+    new_sens = (
+        F.when(
+            F.col("_captcha") > 0,
+            F.least(cur_sens + SENSITIVITY_CAPTCHA_DELTA, F.lit(SENSITIVITY_MAX)),
+        )
+        .when(
+            F.col("_fail") > 0,
+            F.least(cur_sens + SENSITIVITY_FAILURE_DELTA, F.lit(SENSITIVITY_MAX)),
+        )
+        .when(
+            quiet_for >= SENSITIVITY_DECAY_WAVES,
+            F.greatest(cur_sens - 1, base_sens),
+        )
+        .otherwise(cur_sens)
+        .cast("int")
+    )
+    new_event_wave = (
+        F.when(had_event, F.lit(wave_idx))
+        .when(quiet_for >= SENSITIVITY_DECAY_WAVES, F.lit(wave_idx))
+        .otherwise(F.col("sens_event_wave"))
+        .cast("int")
+    )
+
     new_consec = (
         F.when(F.col("_succ") > 0, F.lit(0))
         .otherwise(F.col("consecutive_failures") + F.col("_fail"))
         .cast("int")
     )
-    backoff = F.when(
-        new_consec >= FAILURE_PAUSE_AFTER, F.lit(wave_ts + FAILURE_PAUSE_S)
-    ).otherwise(
-        F.when(
+    pause_thresh = pause_threshold_expr(F.col("_cadence"))
+    paused = new_consec >= pause_thresh
+    backoff = (
+        F.when(paused, F.lit(wave_ts) + F.lit(SOURCE_PAUSE_S))
+        .when(new_consec >= FAILURE_PAUSE_AFTER, F.lit(wave_ts + FAILURE_PAUSE_S))
+        .when(
             new_consec > 0,
             F.lit(wave_ts)
             + F.least(
                 F.lit(BACKOFF_BASE_S) * F.pow(F.lit(2.0), new_consec - 1),
                 F.lit(BACKOFF_CAP_S),
             ),
-        ).otherwise(F.lit(None).cast("double"))
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    paused_reason = F.when(paused, F.lit("persistent_failures")).otherwise(
+        F.lit(None).cast("string")
+    )
+    feed_retry = (
+        F.when(F.col("_feed_ok") > 0, F.lit(None).cast("double"))
+        .when(
+            F.col("_feed_fail") > 0,
+            F.lit(wave_ts) + feed_retry_window_s(F.col("_cadence")),
+        )
+        .otherwise(F.col("feed_retry_until"))
     )
     return merged.select(
         "host",
@@ -240,4 +402,8 @@ def update_host_state(
         backoff.alias("backoff_until"),
         F.lit(wave_idx).alias("last_wave"),
         (F.col("fetched_total") + F.col("_succ")).cast("long").alias("fetched_total"),
+        new_sens.alias("bot_sensitivity"),
+        new_event_wave.alias("sens_event_wave"),
+        paused_reason.alias("paused_reason"),
+        feed_retry.alias("feed_retry_until"),
     )

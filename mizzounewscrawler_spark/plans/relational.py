@@ -929,9 +929,9 @@ def q_lsh_ann(spark, sf):
     return lsh_ann_topk(emb.where(F.col("vec_id") > 0), [float(x) for x in qvec], k=10)
 
 
-def q_crawl_wave(spark, sf):
-    """One politeness wave of the crawl engine on an in-memory fixture web —
-    exposes scheduler+extraction+dedup to the driver as a rows-only check."""
+def _fixture_wave(spark):
+    """One politeness wave (scheduler → fetch → extraction cascade) over the
+    tiny in-memory fixture web — shared by the crawl-surface queries."""
     from mizzounewscrawler_spark.operators.extraction import (
         fetch_and_extract,
         with_status,
@@ -946,8 +946,74 @@ def q_crawl_wave(spark, sf):
     robots = spark.createDataFrame(web.robots)
     frontier = seed_frontier(spark, seeds)
     wave = build_wave(frontier, seeds, robots, None, wave_ts=0.0)
-    out = with_status(fetch_and_extract(wave, pages))
+    return with_status(fetch_and_extract(wave, pages))
+
+
+def q_crawl_wave(spark, sf):
+    """One politeness wave of the crawl engine on an in-memory fixture web —
+    exposes scheduler+extraction+dedup to the driver as a rows-only check."""
+    out = _fixture_wave(spark)
     return out.select("url", "seq", "fetch_status", "content_hash").orderBy("seq")
+
+
+def q_extractor_method_stats(spark, sf):
+    """A8: extraction-method success counters (reference global Counter,
+    /root/reference/src/mcmetadata/content.py:57,87-97) as a groupBy over
+    the fixture wave's results; rows-only (fixture web, not sf tables)."""
+    out = _fixture_wave(spark)
+    return (
+        out.where(F.col("found"))
+        .groupBy("method", "fetch_status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_articles_per_source(spark, sf):
+    """A10: existing-article count per source host (reference saturation
+    check, /root/reference/src/crawler/discovery.py:1979-2003); rows-only."""
+    out = _fixture_wave(spark)
+    return (
+        out.where(F.col("fetch_status").isin("extracted", "wire"))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_articles"),
+            F.sum(F.when(F.col("fetch_status") == "wire", 1).otherwise(0)).alias(
+                "n_wire"
+            ),
+        )
+    )
+
+
+def q_never_attempted_first(spark, sf):
+    """O2 never-attempted-first ordering (reference ``ORDER BY
+    discovery_attempted ASC, canonical_name ASC``, discovery.py:2195),
+    restated over customer/orders: customers with no orders rank first.
+    The rank is emitted as a column so the order itself is value-checked
+    (the driver's compare is order-insensitive)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    attempted = o.select("o_custkey").distinct()
+    flagged = c.join(
+        attempted, c["c_custkey"] == attempted["o_custkey"], "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.col("o_custkey").isNotNull().alias("attempted"),
+    )
+    w = Window.orderBy(F.col("attempted").asc(), F.col("c_name").asc())
+    return flagged.withColumn("pick_rank", F.row_number().over(w))
+
+
+SQL_NEVER_ATTEMPTED = """
+SELECT c_custkey, c_name, attempted,
+       CAST(row_number() OVER (ORDER BY attempted ASC, c_name ASC) AS INT)
+           AS pick_rank
+FROM (
+  SELECT c_custkey, c_name,
+         EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS attempted
+  FROM customer
+)
+"""
 
 
 CATALOG: list[QuerySpec] = [
@@ -988,4 +1054,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("embedding_neardup_lsh", q_embedding_neardup_lsh, None, "dedup (embedding LSH)"),
     QuerySpec("multimodal_decode", q_multimodal_metadata, None, "multimodal"),
     QuerySpec("crawl_wave_demo", q_crawl_wave, None, "crawl engine"),
+    QuerySpec("never_attempted_first", q_never_attempted_first, SQL_NEVER_ATTEMPTED, "O2/S1"),
+    QuerySpec("extractor_method_stats", q_extractor_method_stats, None, "A8"),
+    QuerySpec("articles_per_source", q_articles_per_source, None, "A10"),
 ]

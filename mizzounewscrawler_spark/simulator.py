@@ -41,9 +41,32 @@ from mizzounewscrawler_spark.operators.scheduler import (
     BACKOFF_CAP_S,
     FAILURE_PAUSE_AFTER,
     FAILURE_PAUSE_S,
+    FREQ_DAYS,
+    FREQ_DEFAULT_DAYS,
     MAX_PER_HOST_PER_WAVE,
+    SENSITIVITY_CAPTCHA_DELTA,
+    SENSITIVITY_DECAY_WAVES,
+    SENSITIVITY_FAILURE_DELTA,
+    SENSITIVITY_MAX,
+    SOURCE_PAUSE_S,
     TIER_DELAY_S,
 )
+
+
+def _cadence_days(freq: str | None) -> float:
+    return FREQ_DAYS.get(freq, FREQ_DEFAULT_DAYS)
+
+
+def _pause_threshold(cadence: float) -> int:
+    if cadence <= 1.0:
+        return 7
+    if cadence <= 7.0:
+        return 5
+    return 3
+
+
+def _feed_retry_window_s(cadence: float) -> float:
+    return min(max(cadence * 2, 2.0), 7.0) * 86400.0
 
 _WIRE_RE = re.compile(r"(?i)^(the\s+)?(associated press|ap|reuters|afp|cnn newsource)\b")
 
@@ -74,12 +97,25 @@ def simulate_crawl(
     wave_duration: float = 60.0,
     max_per_host: int = MAX_PER_HOST_PER_WAVE,
     max_depth: int = 10,
+    bucket_sweep: int = 0,
 ) -> SimResult:
-    page_html = {
-        r.url: bytes(r.html).decode("utf-8", errors="replace")
-        for r in pages.itertuples(index=False)
-    }
-    sens = dict(zip(seeds["host"], seeds["bot_sensitivity"]))
+    # fetch by canonical SURT (mirrors operators/extraction.fetch_and_extract:
+    # variant frontier URLs resolve to the canonical stored resource); the
+    # store is canonical-unique per surt by fixture contract
+    page_html: dict[str, str] = {}
+    for r in pages.itertuples(index=False):
+        s = surt_py(r.url)
+        if s is not None and s not in page_html:
+            page_html[s] = bytes(r.html).decode("utf-8", errors="replace")
+    base_sens = dict(zip(seeds["host"], seeds["bot_sensitivity"]))
+    cadence = (
+        {h: _cadence_days(f) for h, f in zip(seeds["host"], seeds["frequency"])}
+        if "frequency" in seeds.columns
+        else {h: FREQ_DEFAULT_DAYS for h in seeds["host"]}
+    )
+    sens = dict(base_sens)  # P8: adapted tier, starts at base
+    sens_event_wave: dict[str, int] = {}
+    feed_retry_until: dict[str, float] = {}
     robots_by_host = {
         r.host: (list(r.disallow) if r.disallow is not None else [], r.crawl_delay)
         for r in robots[robots["user_agent"] == "*"].itertuples(index=False)
@@ -115,16 +151,25 @@ def simulate_crawl(
             break
         wave_ts = wave * wave_duration
 
-        # group frontier by host, excluding hosts in backoff
+        # group frontier by host, excluding hosts in backoff; P11: feed URLs
+        # of a host inside its RSS retry window sit out (host keeps crawling)
         by_host: dict[str, list[tuple[int, str, str, int, int]]] = {}
         for h, (url, s, host, prio, depth) in frontier.items():
+            # bucket sweep: Python % matches Spark pmod for negative hashes
+            if bucket_sweep > 0 and h % bucket_sweep != wave % bucket_sweep:
+                continue
             if backoff_until.get(host, -math.inf) > wave_ts:
+                continue
+            if (
+                s.endswith(")/feed")
+                and feed_retry_until.get(host, -math.inf) > wave_ts
+            ):
                 continue
             by_host.setdefault(host, []).append((h, url, s, prio, depth))
 
         selected: list[tuple[int, str, str, int, int]] = []
         for host, cands in by_host.items():
-            delay_tier = TIER_DELAY_S[sens.get(host, 5)]
+            delay_tier = TIER_DELAY_S[sens.get(host, 5)]  # P8 adapted tier
             rdelay = robots_by_host.get(host, ([], 0.0))[1]
             delay = max(delay_tier, rdelay or 0.0)
             budget = max(1, min(max_per_host, int(wave_duration // delay)))
@@ -137,11 +182,14 @@ def simulate_crawl(
 
         wave_ok: dict[str, int] = {}
         wave_fail: dict[str, int] = {}
+        wave_captcha: dict[str, int] = {}
+        wave_feed_ok: dict[str, int] = {}
+        wave_feed_fail: dict[str, int] = {}
         discovered: list[tuple[str, int]] = []  # (raw url, depth)
         for seq, (h, url, s, prio, depth) in enumerate(selected, start=1):
             res.order.append((wave, seq, s))
             host = _host_of_surt(s)
-            doc = page_html.get(url)
+            doc = page_html.get(s)
             if doc is None:
                 status, text = "failed", None
             else:
@@ -170,6 +218,11 @@ def simulate_crawl(
             (wave_ok if ok else wave_fail)[host] = (
                 (wave_ok if ok else wave_fail).get(host, 0) + 1
             )
+            if status == "proxy_blocked":  # P8 captcha signal
+                wave_captcha[host] = wave_captcha.get(host, 0) + 1
+            if s.endswith(")/feed"):  # P11 feed event (URL-shape flag)
+                tgt = wave_feed_ok if ok else wave_feed_fail
+                tgt[host] = tgt.get(host, 0) + 1
             text_hash = (
                 hashlib.sha256(text.encode("utf-8")).hexdigest()
                 if text is not None and text != ""
@@ -200,19 +253,56 @@ def simulate_crawl(
                 continue
             frontier[h] = (url, s, host, priority_of(s), depth)
 
-        # host state update
-        for host in set(wave_ok) | set(wave_fail):
+        # host state update (mirrors operators/scheduler.update_host_state)
+        evented = set(wave_ok) | set(wave_fail)
+        for host in evented:
+            cad = cadence.get(host, FREQ_DEFAULT_DAYS)
+            base = base_sens.get(host, 5)
+            cur = sens.get(host, base)
+            # P8 sensitivity adaptation: captcha beats plain failure
+            if wave_captcha.get(host, 0) > 0:
+                sens[host] = min(cur + SENSITIVITY_CAPTCHA_DELTA, SENSITIVITY_MAX)
+                sens_event_wave[host] = wave
+            elif wave_fail.get(host, 0) > 0:
+                sens[host] = min(cur + SENSITIVITY_FAILURE_DELTA, SENSITIVITY_MAX)
+                sens_event_wave[host] = wave
+            elif (
+                host in sens_event_wave
+                and wave - sens_event_wave[host] >= SENSITIVITY_DECAY_WAVES
+            ):
+                # success-only wave can still decay a previously-bumped tier
+                sens[host] = max(cur - 1, base)
+                sens_event_wave[host] = wave
+            # P11 RSS retry window: any feed success clears it
+            if wave_feed_ok.get(host, 0) > 0:
+                feed_retry_until.pop(host, None)
+            elif wave_feed_fail.get(host, 0) > 0:
+                feed_retry_until[host] = wave_ts + _feed_retry_window_s(cad)
+            # failure backoff + P10 adaptive source pause
             if wave_ok.get(host, 0) > 0:
                 consec[host] = 0
                 backoff_until.pop(host, None)
             else:
                 n = consec.get(host, 0) + wave_fail.get(host, 0)
                 consec[host] = n
-                if n >= FAILURE_PAUSE_AFTER:
+                if n >= _pause_threshold(cad):
+                    backoff_until[host] = wave_ts + SOURCE_PAUSE_S
+                elif n >= FAILURE_PAUSE_AFTER:
                     backoff_until[host] = wave_ts + FAILURE_PAUSE_S
                 else:
                     backoff_until[host] = wave_ts + min(
                         BACKOFF_BASE_S * (2 ** (n - 1)), BACKOFF_CAP_S
                     )
+        # P8 decay: a quiet streak of SENSITIVITY_DECAY_WAVES waves steps the
+        # adapted tier back toward base (engine: quiet_for >= DECAY branch)
+        for host, ew in list(sens_event_wave.items()):
+            if host in evented:
+                continue
+            if wave - ew >= SENSITIVITY_DECAY_WAVES:
+                sens[host] = max(
+                    sens.get(host, base_sens.get(host, 5)) - 1,
+                    base_sens.get(host, 5),
+                )
+                sens_event_wave[host] = wave
         res.waves_run += 1
     return res

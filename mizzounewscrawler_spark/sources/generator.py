@@ -117,11 +117,27 @@ def _is_wire_article(k: int) -> bool:
     return k % 19 == 5
 
 
+def _boiler_html(host: str) -> tuple[str, str]:
+    """Per-host boilerplate chrome injected into every article — the C14
+    cleaner's mining target (repeated across all of a host's articles)."""
+    return (
+        f"<p>Sign up for the {host} morning newsletter to get local "
+        f"stories delivered to your inbox first.</p>",
+        f"<p>Copyright {host} - contact our newsroom for reprint "
+        f"permissions and licensing questions.</p>",
+    )
+
+
 def _article_html(
-    title: str, author: str, k: int, body: str, rel_links: str
+    title: str, author: str, k: int, body: str, rel_links: str, host: str = ""
 ) -> str:
     """Article page with publish-date meta (C9) and, for wire syndications,
-    a JSON-LD block carrying provider + datePublished (C11/C17 stage 1)."""
+    a JSON-LD block carrying provider + datePublished (C11/C17 stage 1).
+    Body is wrapped in per-host boilerplate chrome when ``host`` is given
+    (the C14 cleaner mines and strips it)."""
+    if host:
+        top, bottom = _boiler_html(host)
+        body = top + body + bottom
     head = (
         f"<title>{title}</title>"
         f'<meta name="author" content="{author}">'
@@ -195,10 +211,16 @@ def gen_host_pages(spec: HostSpec, seed: int) -> list[dict]:
                 "<body><p>Checking your browser before accessing.</p></body></html>"
             )
         elif k % 17 == 13:
-            # short paywall page (<150 chars of body text)
+            # paywall page: real content is just a subscription pitch, but
+            # per-host chrome inflates raw length past the 150-char gate —
+            # only the C14 cleaner's cleaned-text gate catches it
+            top, bottom = _boiler_html(spec.host)
             html = (
-                f"<html><head><title>{title}</title></head><body>"
-                f"<article><p>Subscribe to read this story.</p></article></body></html>"
+                f"<html><head><title>{title}</title>"
+                f'<meta property="article:published_time" content="{_pub_iso(k)}">'
+                f"</head><body>"
+                f"<article>{top}<p>Subscribe to read this story.</p>{bottom}"
+                f"</article></body></html>"
             )
         else:
             if k % 13 == 12 and prev_body is not None:
@@ -220,7 +242,7 @@ def gen_host_pages(spec: HostSpec, seed: int) -> list[dict]:
                 prev_body = body
             related = rng.sample(article_urls, min(3, len(article_urls)))
             rel_links = "".join(f'<a href="{u}">rel</a>' for u in related)
-            html = _article_html(title, author, k, body, rel_links)
+            html = _article_html(title, author, k, body, rel_links, spec.host)
         add(url, html, offset_s=k * 60)
         article_urls.append(url)
 
@@ -409,9 +431,13 @@ def gen_host_pages_range(
                 "<body><p>Checking your browser before accessing.</p></body></html>"
             )
         elif _is_paywall(k):
+            top, bottom = _boiler_html(spec.host)
             html = (
-                f"<html><head><title>{title}</title></head><body>"
-                f"<article><p>Subscribe to read this story.</p></article></body></html>"
+                f"<html><head><title>{title}</title>"
+                f'<meta property="article:published_time" content="{_pub_iso(k)}">'
+                f"</head><body>"
+                f"<article>{top}<p>Subscribe to read this story.</p>{bottom}"
+                f"</article></body></html>"
             )
         else:
             body = _article_body(spec, seed, k)
@@ -421,7 +447,7 @@ def gen_host_pages_range(
                 for j in (rng.sample(range(k), min(3, k)) if k > 0 else [])
             ]
             rel_links = "".join(f'<a href="{u}">rel</a>' for u in related)
-            html = _article_html(title, author, k, body, rel_links)
+            html = _article_html(title, author, k, body, rel_links, spec.host)
         add(url, html, offset_s=k * 60)
 
     if start_k > 0:

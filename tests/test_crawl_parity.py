@@ -58,17 +58,23 @@ def test_articles_byte_identical_text_and_status(spark, crawl_outputs):
 
 def test_text_matches_golden_pages_column(spark, crawl_outputs, web):
     """input_hint invariant: extracted text byte-identical to the golden
-    ``text`` column of the pages table, per url."""
+    ``text`` column of the pages table, per url (keyed canonically — a
+    frontier row fetched via a tracking-param variant resolves to the same
+    stored resource)."""
+    from mizzounewscrawler_spark.functions.urls import surt
+
     out_dir, _, _ = crawl_outputs
     t = open_tables(spark, out_dir)
     arts = {
         r["url"]: r["content_hash"]
         for r in t.articles.read().where(F.col("status") == "extracted").collect()
     }
-    golden = dict(zip(web.pages["url"], web.pages["text"]))
+    golden = {surt(u): txt for u, txt in zip(web.pages["url"], web.pages["text"])}
+    # fixture contract: the page store is canonical-unique per surt
+    assert len(golden) == len(web.pages)
     assert arts, "no extracted articles?"
     for url, chash in arts.items():
-        want = hashlib.sha256(golden[url].encode("utf-8")).hexdigest()
+        want = hashlib.sha256(golden[surt(url)].encode("utf-8")).hexdigest()
         assert chash == want, url
 
 

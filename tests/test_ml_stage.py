@@ -118,3 +118,28 @@ def test_county_report_on_engine_outputs(spark, engine_articles, web_spark):
     assert labeled, "no engine-produced labels joined into the report"
     with_ents = [r for r in rows if r["entities"]]
     assert with_ents, "no engine-produced entities joined into the report"
+
+
+def test_full_pipeline_chain(spark, engine_articles, web_spark):
+    """continuous-processor analog: crawl articles -> clean -> classify ->
+    entities -> report as ONE composed plan (plans/pipeline.py)."""
+    from mizzounewscrawler_spark.plans.pipeline import run_pipeline
+
+    _, seeds, _ = web_spark
+    src = seeds.select(
+        "host", "name",
+        F.lit("Columbia").alias("city"), F.lit("Boone").alias("county"),
+    )
+    gaz = spark.createDataFrame(
+        [(1, "rock bridge", "park"), (2, "mary smith", "person")],
+        "gazetteer_id long, name_norm string, osm_category string",
+    )
+    out = run_pipeline(spark, engine_articles, src, gazetteer=gaz)
+    assert set(out) == {"cleaned", "labels", "entities", "report"}
+    rep = out["report"].collect()
+    assert rep, "pipeline report is empty"
+    statuses = {r["status"] for r in rep}
+    assert statuses <= {"cleaned", "extracted", "feed", "failed"}
+    assert "cleaned" in statuses
+    # labels flowed through into the report
+    assert any(r["primary_label"] is not None for r in rep)
