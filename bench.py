@@ -68,7 +68,8 @@ def _cached_web(spark, n_hosts: int, pages: int, bucket_sweep: int = 0):
     # blocks, dated feeds, per-host boilerplate chrome)
     tag = f"web3_h{n_hosts}_p{pages}" + (f"_f{filler}" if filler != "0" else "")
     if bucket_sweep > 0:
-        tag += f"_b{bucket_sweep}"
+        # v2: bucketed store also persists the canonical url_surt column
+        tag += f"_b{bucket_sweep}v2"
     root = os.path.join(CACHE_DIR, tag)
     pq = {n: os.path.join(root, n) for n in ("pages", "seeds", "robots")}
     if not all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in pq.values()):
@@ -84,11 +85,11 @@ def _cached_web(spark, n_hosts: int, pages: int, bucket_sweep: int = 0):
             )
 
             pages_df = pages_df.withColumn(
+                "url_surt", surt_expr(F.col("url"))
+            ).withColumn(
                 "bucket",
-                F.pmod(
-                    url_hash_expr(surt_expr(F.col("url"))),
-                    F.lit(bucket_sweep),
-                ).cast("int"),
+                F.pmod(url_hash_expr(F.col("url_surt")), F.lit(bucket_sweep))
+                .cast("int"),
             )
             pages_df.write.mode("overwrite").partitionBy("bucket").parquet(
                 pq["pages"]
@@ -137,6 +138,15 @@ def bench_crawl(spark, n_hosts: int, pages: int, waves: int) -> dict:
             parts = max(128, spark.sparkContext.defaultParallelism * 4)
         if parts > 0:
             pages_df = pages_df.repartition(parts)
+        # precompute the canonical key once INTO the cache: recomputing the
+        # ~10-regex SURT chain over every store url on every wave's fetch
+        # scan is a pure per-wave tax (fetch_and_extract skips it when the
+        # column is present)
+        from pyspark.sql import functions as F
+
+        from mizzounewscrawler_spark.functions.urls import surt_expr
+
+        pages_df = pages_df.withColumn("url_surt", surt_expr(F.col("url")))
         # cache the web (compressed columnar) unless disabled; the "fetch"
         # then probes memory instead of re-decoding parquet every wave
         cache_web = os.environ.get("BENCH_CACHE_WEB", "1") != "0"

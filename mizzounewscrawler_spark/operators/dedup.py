@@ -236,11 +236,15 @@ def filter_unseen(
         return candidates
     if bloom is not None:
         spark = candidates.sparkSession
+        # cache the FLAGGED set (not just the possible slice): both the
+        # definitely-new branch and the probe read it, so the upstream
+        # canonicalize→dedup→bloom pipeline materializes exactly once per
+        # wave and the sizing count below is a cheap cache scan
         flagged = candidates.withColumn(
             "_maybe_seen", bloom_maybe_seen_col(spark, bloom, hash_col)
-        )
+        ).cache()
         definitely_new = flagged.where(~F.col("_maybe_seen")).drop("_maybe_seen")
-        possible = flagged.where(F.col("_maybe_seen")).drop("_maybe_seen").cache()
+        possible = flagged.where(F.col("_maybe_seen")).drop("_maybe_seen")
     else:
         definitely_new = None
         possible = candidates.cache()

@@ -137,12 +137,25 @@ def fetch_and_extract(wave: DataFrame, pages: DataFrame) -> DataFrame:
     """
     from mizzounewscrawler_spark.functions.urls import surt_expr
 
-    pages_k = pages.select(
-        surt_expr(F.col("url")).alias("url_surt"), "html"
-    ).where(F.col("url_surt").isNotNull())
+    # prefer a precomputed url_surt column (the production store carries
+    # the canonical key — Iceberg would bucket on it); computing it on the
+    # fly is ~10 chained JVM regexes per url per scan, a real per-wave tax
+    # on large stores
+    if "url_surt" in pages.columns:
+        pages_k = pages.select("url_surt", "html").where(
+            F.col("url_surt").isNotNull()
+        )
+    else:
+        pages_k = pages.select(
+            surt_expr(F.col("url")).alias("url_surt"), "html"
+        ).where(F.col("url_surt").isNotNull())
     inner = pages_k.join(F.broadcast(wave), on="url_surt", how="inner")
+    # the semi probe broadcasts the SAME wave plan (not a projected copy):
+    # Catalyst reuses the one broadcast exchange instead of building two —
+    # per-wave broadcast builds are driver latency that never shrinks with
+    # cluster size
     matched = pages_k.select("url_surt").join(
-        F.broadcast(wave.select("url_surt")), on="url_surt", how="left_semi"
+        F.broadcast(wave), on="url_surt", how="left_semi"
     )
     missing = wave.join(
         F.broadcast(matched), on="url_surt", how="left_anti"

@@ -970,16 +970,21 @@ def q_extractor_method_stats(spark, sf):
 
 def q_articles_per_source(spark, sf):
     """A10: existing-article count per source host (reference saturation
-    check, /root/reference/src/crawler/discovery.py:1979-2003); rows-only."""
+    check, /root/reference/src/crawler/discovery.py:1979-2003); rows-only.
+    Counts every successful fetch per host with the article subset broken
+    out (the fixture's wave 0 fetches homepages/feeds, so n_articles may be
+    0 while n_fetched is not)."""
     out = _fixture_wave(spark)
+    ok = F.col("fetch_status").isin("extracted", "wire", "paywall", "feed")
     return (
-        out.where(F.col("fetch_status").isin("extracted", "wire"))
+        out.where(ok)
         .groupBy("host")
         .agg(
-            F.count("*").alias("n_articles"),
-            F.sum(F.when(F.col("fetch_status") == "wire", 1).otherwise(0)).alias(
-                "n_wire"
-            ),
+            F.count("*").alias("n_fetched"),
+            F.sum(
+                F.when(F.col("fetch_status").isin("extracted", "wire"), 1)
+                .otherwise(0)
+            ).alias("n_articles"),
         )
     )
 
