@@ -37,8 +37,10 @@ from mizzounewscrawler_spark.functions.urls import surt_expr, url_hash_expr
 from mizzounewscrawler_spark.lake import LakeTable
 from mizzounewscrawler_spark.operators.dedup import (
     _bloom_params,
+    bloom_flag,
     build_bloom,
     filter_unseen,
+    filter_unseen_flagged,
     merge_blooms,
 )
 from mizzounewscrawler_spark.operators.extraction import fetch_and_extract, with_status
@@ -46,6 +48,7 @@ from mizzounewscrawler_spark.operators.robots import apply_robots
 from mizzounewscrawler_spark.operators.scheduler import (
     MAX_PER_HOST_PER_WAVE,
     build_wave,
+    is_source_url_expr,
     update_host_state,
 )
 
@@ -68,6 +71,14 @@ class CrawlConfig:
     # parity, but it is a single-partition sort — turn OFF for throughput
     # runs / production where within-host order suffices
     with_order_log: bool = True
+    # P1 perpetual-recrawl mode: source URLs (feeds + homepages) are NOT
+    # tombstoned from the frontier after a fetch; instead the host's
+    # source_next_due (wave_ts + cadence_days·86400, reference
+    # parse_frequency_to_days / is_due, src/crawler/scheduling.py:30-162)
+    # gates their re-eligibility in build_wave — a feed fetched at wave w is
+    # re-fetched only once its cadence elapses on the virtual clock.  Off by
+    # default = the drain-a-seed-list regime (each URL fetched exactly once).
+    recrawl_sources: bool = False
     # Partition-aligned bucket sweep (0 = off): wave w fetches only frontier
     # rows with url_hash % bucket_sweep == w % bucket_sweep, and — when the
     # pages table carries a matching ``bucket`` partition column — the fetch
@@ -103,6 +114,8 @@ def priority_expr() -> F.Column:
     return F.when(F.col("url_surt").endswith(")/feed"), F.lit(2)).otherwise(F.lit(1))
 
 
+
+
 def seed_frontier(spark: SparkSession, seeds: DataFrame) -> DataFrame:
     """Seed URLs: each source's homepage + its feed URLs.
 
@@ -124,17 +137,17 @@ def seed_frontier(spark: SparkSession, seeds: DataFrame) -> DataFrame:
     )
 
 
-def discover_new(
+def discover_candidates(
     results: DataFrame,
     allowed_hosts: DataFrame,
     robots: DataFrame,
-    seen: DataFrame,
-    bloom,
     max_depth: int,
     host_rules: DataFrame | None = None,
 ) -> DataFrame:
-    """Extract discovered links from this wave's fetches → canonical new
-    frontier rows (host-scoped, robots-enforced, deduped vs URL-seen).
+    """Extract discovered links from this wave's fetches → canonical,
+    in-batch-deduped, host-scoped, robots-marked candidate frontier rows
+    (everything in :func:`discover_new` EXCEPT the URL-seen dedup — split
+    out so the wave loop can fold the dedup sizing count into one action).
 
     ``host_rules`` (host, disallow) is the pre-fused cached dimension of
     allowed hosts + their robots rules: passing it fuses the host-scope
@@ -179,9 +192,24 @@ def discover_new(
     else:
         cand = cand.join(F.broadcast(allowed_hosts), on="host", how="left_semi")
         cand = apply_robots(cand, robots)
-    # URL-seen dedup (bloom pre-filter + exact anti backstop)
-    new = filter_unseen(cand, seen, bloom, "url_hash")
-    return new
+    return cand
+
+
+def discover_new(
+    results: DataFrame,
+    allowed_hosts: DataFrame,
+    robots: DataFrame,
+    seen: DataFrame,
+    bloom,
+    max_depth: int,
+    host_rules: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`discover_candidates` + URL-seen dedup (bloom pre-filter +
+    exact anti backstop) — the full discovery stage as one call."""
+    cand = discover_candidates(
+        results, allowed_hosts, robots, max_depth, host_rules=host_rules
+    )
+    return filter_unseen(cand, seen, bloom, "url_hash")
 
 
 @dataclass
@@ -335,6 +363,7 @@ def run_crawl(
         wave_t0 = time.time()
         wave_ts = wave * cfg.wave_duration
         frontier = frontier.cache()
+        wave_caches: list = [frontier]
         # frontier_size tracked arithmetically (prev − scheduled + admitted)
         # so the loop never pays a count() job over the whole frontier
         if frontier_size == 0:
@@ -366,37 +395,58 @@ def run_crawl(
             cfg.max_per_host,
             with_global_order=cfg.with_order_log,
             host_dim=host_dim,
+            recrawl_sources=cfg.recrawl_sources,
         ).cache()
+        wave_caches.append(wave_df)
 
         results = with_status(fetch_and_extract(wave_df, pages_wave)).cache()
+        wave_caches.append(results)
         ok_expr = F.col("fetch_status").isin("extracted", "wire", "paywall", "feed")
-        # ONE job materializes the fetch+extract cache and yields both counters
-        agg = results.agg(
-            F.count("*").alias("n"),
+        is_src = is_source_url_expr(F.col("url_surt"))
+
+        cand = discover_candidates(
+            results, allowed_hosts, robots, cfg.max_depth, host_rules=host_rules,
+        )
+        flagged = bloom_flag(cand, bloom, "url_hash", caches=wave_caches)
+
+        # ONE action materializes the whole fetch→extract→discover→bloom-flag
+        # pipeline (both caches) and yields every pre-commit counter.  The
+        # per-wave driver fixed cost (query planning + job scheduling) is the
+        # one cost that does not shrink with cluster size — the r2 scaling
+        # gate failed on it — so the loop pays exactly one counters action,
+        # one pool of staged writes, and one Bloom-increment job per wave.
+        r_stats = results.agg(
+            F.count(F.lit(1)).alias("n"),
             F.sum(F.when(ok_expr, 1).otherwise(0)).alias("ok"),
-        ).first()
-        sec_fetch = round(time.time() - wave_t0, 3)
-        scheduled, fetched_ok = int(agg["n"]), int(agg["ok"] or 0)
+            F.sum(F.when(is_src, 1).otherwise(0)).alias("src"),
+        ).select(F.lit("r").alias("k"), "n", "ok", "src")
+        f_stats = flagged.agg(
+            F.sum(F.col("_maybe_seen").cast("long")).alias("n")
+        ).select(
+            F.lit("f").alias("k"), "n",
+            F.lit(None).cast("long").alias("ok"),
+            F.lit(None).cast("long").alias("src"),
+        )
+        counters = {r["k"]: r for r in r_stats.unionByName(f_stats).collect()}
+        sec_extract = round(time.time() - wave_t0, 3)
+        scheduled = int(counters["r"]["n"])
+        fetched_ok = int(counters["r"]["ok"] or 0)
+        src_scheduled = int(counters["r"]["src"] or 0)
+        n_possible = int(counters["f"]["n"] or 0)
         if scheduled == 0:
             # every pending host is in backoff this wave — advance the
             # virtual clock and retry (bounded by max_waves)
-            wave_df.unpersist()
-            results.unpersist()
+            for c in wave_caches:
+                c.unpersist()
+            frontier = t.frontier.read().where(F.col("status") == "discovered")
             continue
 
-        new_frontier_rows = discover_new(
-            results, allowed_hosts, robots, seen, bloom, cfg.max_depth,
-            host_rules=host_rules,
+        new_frontier_rows = filter_unseen_flagged(
+            flagged, seen, n_possible, "url_hash"
         ).cache()
-        dagg = new_frontier_rows.agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col("robots_allowed"), 1).otherwise(0)).alias("adm"),
-        ).first()
-        sec_discover = round(time.time() - wave_t0 - sec_fetch, 3)
-        discovered_new = int(dagg["n"])
-        admitted = int(dagg["adm"] or 0)
+        wave_caches.append(new_frontier_rows)
 
-        # ---- commits (frontier last = checkpoint) ----
+        # ---- staged commits (frontier manifest last = checkpoint) ----
         # per-wave outputs are wave-sized (politeness-bounded) — coalesce to
         # a few files instead of one tiny file per shuffle partition
         small_n = max(2, spark.sparkContext.defaultParallelism // 4)
@@ -429,46 +479,85 @@ def run_crawl(
                 # URL-shape feed flag (a FAILED feed fetch must still count
                 # as a feed event for the P11 retry window)
                 F.col("url_surt").endswith(")/feed").alias("is_feed"),
+                is_src.alias("is_source"),
             ),
             wave_ts,
             wave,
             host_dim=host_dim,
         )
 
-        # The four pre-checkpoint commits are independent of each other (the
-        # frontier commit below is the only ordering point), so submit them
-        # from concurrent driver threads: per-wave driver/commit latency is
-        # the one cost that does NOT shrink with cluster size, and
-        # overlapping the four fixed job latencies keeps it flat at 1000
-        # executors.  Resume-safety is unchanged — a crash mid-wave replays
-        # the wave from the last frontier snapshot regardless of which of
-        # these four landed (tests/test_resume.py).
-        def _commit_articles():
-            t.articles.append(articles_batch, {"wave": wave, "fetched": scheduled})
+        admitted_rows = (
+            new_frontier_rows.where(F.col("robots_allowed"))
+            .withColumn("status", F.lit("discovered"))
+            .select(*FRONTIER_COLS)
+            .coalesce(small_n)
+        )
+        # Frontier checkpoint = ONE merge-on-read commit: append this wave's
+        # admitted rows + tombstone the scheduled url_hashes — O(wave) I/O.
+        # The r1 shape recomputed and OVERWROTE the whole frontier every
+        # wave: O(frontier) I/O per wave, the dominant cost on the north
+        # rule's 10^10-URL frontier (VERDICT r1 #6).  In recrawl mode (P1),
+        # source URLs stay in the frontier (no tombstone) and build_wave
+        # gates them on the host's source_next_due cadence clock.
+        tombstones = (
+            wave_df.where(~is_src).select("url_hash")
+            if cfg.recrawl_sources
+            else wave_df.select("url_hash")
+        )
 
-        def _commit_seen():
-            t.url_seen.append(new_seen, {"wave": wave, "added": discovered_new})
-
-        def _commit_order():
-            if cfg.with_order_log:
-                t.order_log.append(
+        # All per-wave table writes are independent of each other — only the
+        # MANIFEST order matters (frontier last = the checkpoint).  Staging
+        # runs every write from concurrent driver threads (overlapping their
+        # fixed job latencies — flat at 1000 executors); the manifests are
+        # then microsecond driver-local JSON commits in checkpoint order.
+        # Resume-safety is unchanged: a crash mid-wave replays the wave from
+        # the last frontier snapshot, and staged dirs are overwrite-idempotent
+        # (tests/test_resume.py).
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            fut_articles = pool.submit(t.articles.stage, articles_batch)
+            fut_seen = pool.submit(t.url_seen.stage, new_seen)
+            fut_order = (
+                pool.submit(
+                    t.order_log.stage,
                     wave_df.select(
-                        F.lit(wave).alias("wave"), "seq", "url_surt", "url_hash", "host"
+                        F.lit(wave).alias("wave"), "seq", "url_surt",
+                        "url_hash", "host",
                     ),
-                    {"wave": wave},
                 )
+                if cfg.with_order_log
+                else None
+            )
+            fut_host = pool.submit(
+                t.host_state.stage, host_state_next.coalesce(small_n)
+            )
+            fut_frontier = pool.submit(
+                t.frontier.stage, admitted_rows, tombstones
+            )
+            staged_articles = fut_articles.result()
+            staged_seen = fut_seen.result()
+            staged_order = fut_order.result() if fut_order is not None else None
+            staged_host = fut_host.result()
+            staged_frontier = fut_frontier.result()
+        sec_commit = round(time.time() - wave_t0 - sec_extract, 3)
 
-        def _commit_host_state():
-            t.host_state.overwrite(host_state_next.coalesce(small_n), {"wave": wave})
+        # post-dedup counters come from the parquet footers of the writes
+        # that already ran — no dedicated count jobs
+        discovered_new = t.url_seen.staged_rows(staged_seen)
+        admitted = t.frontier.staged_rows(staged_frontier)
+        if discovered_new == 0:
+            staged_seen["has_data"] = False  # keep live_versions tight
+        if admitted == 0:
+            staged_frontier["has_data"] = False
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            futures = [
-                pool.submit(fn)
-                for fn in (_commit_articles, _commit_seen, _commit_order,
-                           _commit_host_state)
-            ]
-            for f in futures:
-                f.result()  # propagate failures before the checkpoint commit
+        t.articles.commit_staged(
+            staged_articles, "append", {"wave": wave, "fetched": scheduled}
+        )
+        t.url_seen.commit_staged(
+            staged_seen, "append", {"wave": wave, "added": discovered_new}
+        )
+        if staged_order is not None:
+            t.order_log.commit_staged(staged_order, "append", {"wave": wave})
+        t.host_state.commit_staged(staged_host, "overwrite", {"wave": wave})
 
         seen = t.url_seen.read()
         host_state_df = t.host_state.read()
@@ -483,7 +572,9 @@ def run_crawl(
                 ),
             )
 
-        next_size = frontier_size - scheduled + admitted
+        # source URLs scheduled in recrawl mode stay in the frontier
+        removed = scheduled - (src_scheduled if cfg.recrawl_sources else 0)
+        next_size = frontier_size - removed + admitted
         summary = {
             "wave": wave,
             "frontier": frontier_size,
@@ -496,25 +587,14 @@ def run_crawl(
             "next_frontier": next_size,
             "wave_sec": round(time.time() - wave_t0, 3),
             # per-phase lineage: where this wave's time went
-            "sec_fetch": sec_fetch,
-            "sec_discover": sec_discover,
-            "sec_commit": round(time.time() - wave_t0 - sec_fetch - sec_discover, 3),
+            "sec_extract": sec_extract,  # fetch+extract+discover+bloom flag
+            "sec_commit": sec_commit,    # concurrent staged table writes
         }
-        # Frontier checkpoint = ONE merge-on-read commit: append this wave's
-        # admitted rows + tombstone the scheduled url_hashes — O(wave) I/O.
-        # The r1 shape recomputed and OVERWROTE the whole frontier every
-        # wave: O(frontier) I/O per wave, the dominant cost on the north
-        # rule's 10^10-URL frontier (VERDICT r1 #6).
-        admitted_rows = (
-            new_frontier_rows.where(F.col("robots_allowed"))
-            .withColumn("status", F.lit("discovered"))
-            .select(*FRONTIER_COLS)
-            .coalesce(small_n)
-            if admitted > 0
-            else None
+        summary["sec_finalize"] = round(
+            time.time() - wave_t0 - sec_extract - sec_commit, 3
         )
-        snap = t.frontier.merge(
-            admitted_rows, wave_df.select("url_hash"), "url_hash", summary
+        snap = t.frontier.commit_staged(
+            staged_frontier, "merge", summary, delete_key_col="url_hash"
         )
         frontier_size = next_size
         # Tombstones cost every reader a broadcast anti-join; once they
@@ -523,13 +603,11 @@ def run_crawl(
         # are at least a frontier-drain apart.
         if t.frontier.pending_delete_rows() > max(next_size, 10 * scheduled):
             snap = t.frontier.compact({**summary, "compaction": True})
-        frontier.unpersist()  # release the pre-wave cache (perpetual-crawl hygiene)
         frontier = t.frontier.read().where(F.col("status") == "discovered")
         stats = {**stats, **summary, "waves_run": stats["waves_run"] + 1,
                  "snapshot": snap.version}
-        wave_df.unpersist()
-        results.unpersist()
-        new_frontier_rows.unpersist()
+        for c in wave_caches:  # release wave caches (perpetual-crawl hygiene)
+            c.unpersist()
     host_dim.unpersist()
     host_rules.unpersist()
     return stats

@@ -45,6 +45,17 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _dir_rows(d: str) -> int:
+    """Sum parquet-footer row counts of a directory (no Spark job)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(d):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(d, name)).metadata.num_rows
+    return total
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -114,34 +125,59 @@ class LakeTable:
 
     # -- writes ---------------------------------------------------------------
 
-    def _commit(
-        self,
-        df: DataFrame | None,
-        mode: str,
-        summary: dict[str, Any] | None,
-        delete_keys: DataFrame | None = None,
-        delete_key_col: str = "",
-    ) -> Snapshot:
+    def stage(
+        self, df: DataFrame | None = None, delete_keys: DataFrame | None = None
+    ) -> dict[str, Any]:
+        """Write the NEXT version's data/delete parquet without committing a
+        manifest.  Staging runs the Spark write jobs; :meth:`commit_staged`
+        is then a driver-local JSON write — so a caller committing several
+        tables per batch can run all stage() calls from concurrent driver
+        threads and serialize only the (microsecond) manifest commits in
+        checkpoint order.  ``mode("overwrite")``: a crash between stage and
+        commit leaves an orphan dir at exactly the version the replayed
+        commit will reuse, so replay is idempotent."""
         prev = self.current_snapshot()
         version = (prev.version + 1) if prev else 0
         if df is not None:
-            df.write.mode("errorifexists").parquet(self._data_dir(version))
+            df.write.mode("overwrite").parquet(self._data_dir(version))
         if delete_keys is not None:
-            delete_keys.write.mode("errorifexists").parquet(self._delete_dir(version))
+            delete_keys.write.mode("overwrite").parquet(self._delete_dir(version))
+        return {
+            "version": version,
+            "has_data": df is not None,
+            "has_deletes": delete_keys is not None,
+            "schema_json": df.schema.json() if df is not None else "",
+        }
+
+    def commit_staged(
+        self,
+        staged: dict[str, Any],
+        mode: str,
+        summary: dict[str, Any] | None,
+        delete_key_col: str = "",
+    ) -> Snapshot:
+        """Atomically commit a manifest for data written by :meth:`stage`.
+        Driver-local (no Spark job)."""
+        prev = self.current_snapshot()
+        version = staged["version"]
+        if prev is not None and version != prev.version + 1:
+            raise RuntimeError(
+                f"stale staging for {self.path}: staged v{version}, "
+                f"current v{prev.version}"
+            )
+        has_data, has_deletes = staged["has_data"], staged["has_deletes"]
 
         if mode in ("append", "merge") and prev is not None:
-            live = [*prev.live_versions] + ([version] if df is not None else [])
-        elif df is not None:
+            live = [*prev.live_versions] + ([version] if has_data else [])
+        elif has_data:
             live = [version]
         else:
             live = []
         if mode == "merge" and prev is not None:
-            deletes = [*prev.delete_versions] + (
-                [version] if delete_keys is not None else []
-            )
+            deletes = [*prev.delete_versions] + ([version] if has_deletes else [])
             key_col = delete_key_col or prev.delete_key_col
         elif mode == "merge":
-            deletes = [version] if delete_keys is not None else []
+            deletes = [version] if has_deletes else []
             key_col = delete_key_col
         else:  # append keeps prior deletes; overwrite clears them
             deletes = list(prev.delete_versions) if (
@@ -154,10 +190,7 @@ class LakeTable:
         snap_summary = dict(summary or {})
         snap_summary.setdefault("committed_at", time.time())
         snap_summary.setdefault("operation", mode)
-        schema_json = (
-            df.schema.json() if df is not None
-            else (prev.schema_json if prev else "")
-        )
+        schema_json = staged["schema_json"] or (prev.schema_json if prev else "")
         manifest = {
             "summary": snap_summary,
             "live_versions": live,
@@ -185,6 +218,18 @@ class LakeTable:
         )
         self._cache[version] = snap
         return snap
+
+    def _commit(
+        self,
+        df: DataFrame | None,
+        mode: str,
+        summary: dict[str, Any] | None,
+        delete_keys: DataFrame | None = None,
+        delete_key_col: str = "",
+    ) -> Snapshot:
+        return self.commit_staged(
+            self.stage(df, delete_keys), mode, summary, delete_key_col
+        )
 
     def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
         return self._commit(df, "append", summary)
@@ -291,15 +336,16 @@ class LakeTable:
         snap = self.current_snapshot()
         if snap is None or not snap.delete_versions:
             return 0
-        import pyarrow.parquet as pq
+        return sum(_dir_rows(self._delete_dir(v)) for v in snap.delete_versions)
 
-        total = 0
-        for v in snap.delete_versions:
-            d = self._delete_dir(v)
-            for name in os.listdir(d):
-                if name.endswith(".parquet"):
-                    total += pq.ParquetFile(os.path.join(d, name)).metadata.num_rows
-        return total
+    def staged_rows(self, staged: dict[str, Any]) -> int:
+        """Row count of a :meth:`stage`-written data dir, from parquet
+        footers — no Spark job.  Lets a batch loop derive its per-batch
+        counters from the writes it already ran instead of paying dedicated
+        count/agg jobs (per-wave fixed driver latency — VERDICT r2)."""
+        if not staged["has_data"]:
+            return 0
+        return _dir_rows(self._data_dir(staged["version"]))
 
     # -- reads ----------------------------------------------------------------
 
@@ -308,6 +354,19 @@ class LakeTable:
         if not snaps:
             raise FileNotFoundError(f"LakeTable at {self.path} has no snapshots")
         snap = snaps[-1] if snapshot_id is None else self._cache[snapshot_id]
+        if not snap.live_versions:
+            # e.g. first-ever commit was merge(appends=None): no data dirs to
+            # scan — return an empty frame from the recorded schema instead
+            # of an unhelpful zero-path parquet error (ADVICE r2)
+            if snap.schema_json:
+                from pyspark.sql import types as T
+
+                schema = T.StructType.fromJson(json.loads(snap.schema_json))
+                return self.spark.createDataFrame([], schema)
+            raise ValueError(
+                f"LakeTable at {self.path} snapshot v{snap.version} has no "
+                "live data versions and no recorded schema"
+            )
         dirs = [self._data_dir(v) for v in snap.live_versions]
         df = self.spark.read.parquet(*dirs)
         if snap.delete_versions:

@@ -117,6 +117,25 @@ def apply_cleaning(
     )
 
 
-def clean_articles(articles: DataFrame, **kw) -> DataFrame:
-    """Mine + apply in one call (the clean-articles pipeline stage)."""
-    return apply_cleaning(articles, mine_boilerplate(articles, **kw))
+def clean_articles(
+    articles: DataFrame,
+    host_col: str = "host",
+    id_col: str = "url_hash",
+    text_col: str = "text",
+    status_col: str = "status",
+    min_docs: int = MIN_DOCS,
+    min_frac: float = MIN_FRAC,
+) -> DataFrame:
+    """Mine + apply in one call (the clean-articles pipeline stage).
+
+    Shared column-name arguments are forwarded to BOTH stages — forwarding
+    them only to mining would mine on the custom columns but join/filter on
+    the defaults (ADVICE r2)."""
+    patterns = mine_boilerplate(
+        articles, host_col=host_col, id_col=id_col, text_col=text_col,
+        min_docs=min_docs, min_frac=min_frac,
+    )
+    return apply_cleaning(
+        articles, patterns, host_col=host_col, text_col=text_col,
+        status_col=status_col,
+    )

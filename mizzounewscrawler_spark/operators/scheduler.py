@@ -85,6 +85,13 @@ def cadence_days_expr(frequency: Column) -> Column:
     return expr
 
 
+def is_source_url_expr(surt: Column) -> Column:
+    """P1: a *source* URL — feed or homepage — the recrawl-cadence unit
+    (reference sources = homepage + feeds, src/crawler/scheduling.py:101-162).
+    A homepage SURT has an empty path and ends at the ``)`` host delimiter."""
+    return surt.endswith(")/feed") | surt.endswith(")")
+
+
 def pause_threshold_expr(cadence_days: Column) -> Column:
     """P10: daily-ish → 7 consecutive failures, weekly-ish → 5, slower → 3."""
     return (
@@ -130,6 +137,7 @@ def build_wave(
     max_per_host: int = MAX_PER_HOST_PER_WAVE,
     with_global_order: bool = True,
     host_dim: DataFrame | None = None,
+    recrawl_sources: bool = False,
 ) -> DataFrame:
     """Select this wave's fetch set from the frontier.
 
@@ -178,6 +186,7 @@ def build_wave(
         hs = host_state
         for name, typ in (
             ("bot_sensitivity", "int"), ("feed_retry_until", "double"),
+            ("source_next_due", "double"),
         ):
             if name not in hs.columns:
                 hs = hs.withColumn(name, F.lit(None).cast(typ))
@@ -186,8 +195,10 @@ def build_wave(
             F.col("backoff_until").alias("_backoff_until"),
             F.col("bot_sensitivity").alias("_adapted_sens"),
             F.col("feed_retry_until").alias("_feed_retry"),
+            F.col("source_next_due").alias("_src_due"),
         )
         is_feed_url = F.col("url_surt").endswith(")/feed")
+        is_src_url = is_source_url_expr(F.col("url_surt"))
         ready = (
             ready.join(F.broadcast(hs), ready["host"] == hs["_h_host"], "left")
             .drop("_h_host")
@@ -200,7 +211,19 @@ def build_wave(
                 | F.col("_feed_retry").isNull()
                 | (F.col("_feed_retry") <= F.lit(wave_ts))
             )
-            .drop("_backoff_until", "_feed_retry")
+            # P1 cadence gate (recrawl mode ONLY): a host's source URLs
+            # (feed/homepage) sit out until the cadence clock comes due.  In
+            # drain mode the gate must NOT apply — fetched sources leave the
+            # frontier permanently, and gating would starve a not-yet-fetched
+            # source (e.g. the homepage when only the feed fit wave 0's
+            # politeness budget) for a whole cadence.
+            .where(
+                F.lit(not recrawl_sources)
+                | ~is_src_url
+                | F.col("_src_due").isNull()
+                | (F.col("_src_due") <= F.lit(wave_ts))
+            )
+            .drop("_backoff_until", "_feed_retry", "_src_due")
         )
     else:
         ready = ready.withColumn("_adapted_sens", F.lit(None).cast("int"))
@@ -247,12 +270,13 @@ def salted_host_key(host: Column, nsalts: int, salt_on: Column) -> Column:
 HOST_STATE_SCHEMA = (
     "host string, consecutive_failures int, backoff_until double, "
     "last_wave int, fetched_total long, bot_sensitivity int, "
-    "sens_event_wave int, paused_reason string, feed_retry_until double"
+    "sens_event_wave int, paused_reason string, feed_retry_until double, "
+    "source_next_due double"
 )
 
 _STATE_DEFAULTS = {
     "_succ": 0, "_fail": 0, "_captcha": 0, "_feed_ok": 0, "_feed_fail": 0,
-    "consecutive_failures": 0, "fetched_total": 0,
+    "_src_evt": 0, "consecutive_failures": 0, "fetched_total": 0,
 }
 
 
@@ -288,12 +312,14 @@ def update_host_state(
     has_feed = "is_feed" in wave_results.columns
     ch = F.col("challenge") if has_challenge else F.lit(False)
     fe = F.col("is_feed") if has_feed else F.lit(False)
+    sr = F.col("is_source") if "is_source" in wave_results.columns else F.lit(False)
     per_host = wave_results.groupBy("host").agg(
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("_succ"),
         F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("_fail"),
         F.sum(F.when(ch, 1).otherwise(0)).alias("_captcha"),
         F.sum(F.when(fe & F.col("ok"), 1).otherwise(0)).alias("_feed_ok"),
         F.sum(F.when(fe & ~F.col("ok"), 1).otherwise(0)).alias("_feed_fail"),
+        F.sum(F.when(sr, 1).otherwise(0)).alias("_src_evt"),
     )
     state_cols = [f.split(" ")[0] for f in HOST_STATE_SCHEMA.split(", ")]
     if host_state is None:
@@ -307,14 +333,16 @@ def update_host_state(
             F.lit(None).cast("int").alias("sens_event_wave"),
             F.lit(None).cast("string").alias("paused_reason"),
             F.lit(None).cast("double").alias("feed_retry_until"),
-            "_succ", "_fail", "_captcha", "_feed_ok", "_feed_fail",
+            F.lit(None).cast("double").alias("source_next_due"),
+            "_succ", "_fail", "_captcha", "_feed_ok", "_feed_fail", "_src_evt",
         )
     else:
         hs = host_state
-        # schema evolution: older state tables lack the P8/P10/P11 columns
+        # schema evolution: older state tables lack the P8/P10/P11/P1 columns
         for name, typ in (
             ("bot_sensitivity", "int"), ("sens_event_wave", "int"),
             ("paused_reason", "string"), ("feed_retry_until", "double"),
+            ("source_next_due", "double"),
         ):
             if name not in hs.columns:
                 hs = hs.withColumn(name, F.lit(None).cast(typ))
@@ -372,7 +400,13 @@ def update_host_state(
     )
     pause_thresh = pause_threshold_expr(F.col("_cadence"))
     paused = new_consec >= pause_thresh
-    backoff = (
+    # A host with ZERO events this wave (full-outer row: _succ=0 AND _fail=0 —
+    # e.g. it sat the wave out in backoff) keeps its existing backoff_until /
+    # paused_reason untouched: recomputing them from the current wave_ts would
+    # re-fire the pause every wave and the backoff would never expire
+    # (ADVICE r2 high; mirrors simulator.py, which only updates evented hosts).
+    no_event = (F.col("_succ") == 0) & (F.col("_fail") == 0)
+    backoff = F.when(no_event, F.col("backoff_until")).otherwise(
         F.when(paused, F.lit(wave_ts) + F.lit(SOURCE_PAUSE_S))
         .when(new_consec >= FAILURE_PAUSE_AFTER, F.lit(wave_ts + FAILURE_PAUSE_S))
         .when(
@@ -385,8 +419,10 @@ def update_host_state(
         )
         .otherwise(F.lit(None).cast("double"))
     )
-    paused_reason = F.when(paused, F.lit("persistent_failures")).otherwise(
-        F.lit(None).cast("string")
+    paused_reason = F.when(no_event, F.col("paused_reason")).otherwise(
+        F.when(paused, F.lit("persistent_failures")).otherwise(
+            F.lit(None).cast("string")
+        )
     )
     feed_retry = (
         F.when(F.col("_feed_ok") > 0, F.lit(None).cast("double"))
@@ -395,6 +431,18 @@ def update_host_state(
             F.lit(wave_ts) + feed_retry_window_s(F.col("_cadence")),
         )
         .otherwise(F.col("feed_retry_until"))
+    )
+    # P1 cadence clock: any wave that touched the host's source URLs
+    # (feed/homepage — success OR failure counts as an attempt, reference
+    # update_last_processed, src/crawler/scheduling.py:139-162) re-arms
+    # source_next_due = wave_ts + cadence_days·86400; otherwise preserved.
+    src_due = (
+        F.when(
+            F.col("_src_evt") > 0,
+            F.lit(wave_ts) + F.col("_cadence") * F.lit(86400.0),
+        )
+        .otherwise(F.col("source_next_due"))
+        .cast("double")
     )
     return merged.select(
         "host",
@@ -406,4 +454,5 @@ def update_host_state(
         new_event_wave.alias("sens_event_wave"),
         paused_reason.alias("paused_reason"),
         feed_retry.alias("feed_retry_until"),
+        src_due.alias("source_next_due"),
     )

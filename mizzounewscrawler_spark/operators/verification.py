@@ -127,7 +127,7 @@ def site_spec_skip_expr(url: Column, tokens: Column) -> Column:
     array<string> column (null ⇒ no spec ⇒ keep)."""
     return F.when(
         tokens.isNull(), F.lit(False)
-    ).otherwise(F.exists(tokens, lambda t: F.col("url").contains(t)))
+    ).otherwise(F.exists(tokens, lambda t: url.contains(t)))
 
 
 def verify_urls(

@@ -98,6 +98,7 @@ def simulate_crawl(
     max_per_host: int = MAX_PER_HOST_PER_WAVE,
     max_depth: int = 10,
     bucket_sweep: int = 0,
+    recrawl_sources: bool = False,
 ) -> SimResult:
     # fetch by canonical SURT (mirrors operators/extraction.fetch_and_extract:
     # variant frontier URLs resolve to the canonical stored resource); the
@@ -142,9 +143,16 @@ def simulate_crawl(
         for fu in r.feed_urls:
             enqueue_seed(fu)
 
+    def _is_source(surt_s: str) -> bool:
+        # P1 recrawl unit: feed or homepage (scheduler.is_source_url_expr);
+        # a homepage SURT has an empty path and ends at the ")" delimiter
+        return surt_s.endswith(")/feed") or surt_s.endswith(")")
+
     # host politeness state
     consec: dict[str, int] = {}
     backoff_until: dict[str, float] = {}
+    # P1 per-host cadence clock (engine host_state.source_next_due)
+    source_next_due: dict[str, float] = {}
 
     for wave in range(max_waves):
         if not frontier:
@@ -163,6 +171,17 @@ def simulate_crawl(
             if (
                 s.endswith(")/feed")
                 and feed_retry_until.get(host, -math.inf) > wave_ts
+            ):
+                continue
+            # P1 (recrawl mode only): source URLs sit out until the host's
+            # cadence clock is due.  In drain mode fetched sources leave the
+            # frontier permanently, and the gate must NOT apply — it would
+            # starve a not-yet-fetched source (e.g. the homepage when only
+            # the feed fit wave 0's politeness budget) for a whole cadence.
+            if (
+                recrawl_sources
+                and _is_source(s)
+                and source_next_due.get(host, -math.inf) > wave_ts
             ):
                 continue
             by_host.setdefault(host, []).append((h, url, s, prio, depth))
@@ -185,6 +204,7 @@ def simulate_crawl(
         wave_captcha: dict[str, int] = {}
         wave_feed_ok: dict[str, int] = {}
         wave_feed_fail: dict[str, int] = {}
+        wave_src: dict[str, int] = {}  # P1 source attempts (ok or not)
         discovered: list[tuple[str, int]] = []  # (raw url, depth)
         for seq, (h, url, s, prio, depth) in enumerate(selected, start=1):
             res.order.append((wave, seq, s))
@@ -229,6 +249,10 @@ def simulate_crawl(
                 else None
             )
             res.articles[url] = (status, text_hash)
+            if _is_source(s):
+                wave_src[host] = wave_src.get(host, 0) + 1
+            if recrawl_sources and _is_source(s):
+                continue  # P1: source URLs stay in the frontier (cadence-gated)
             del frontier[h]
 
         # discovery → canonical dedup (winner = min (depth, url) per hash)
@@ -293,6 +317,13 @@ def simulate_crawl(
                     backoff_until[host] = wave_ts + min(
                         BACKOFF_BASE_S * (2 ** (n - 1)), BACKOFF_CAP_S
                     )
+        # P1: any wave touching a host's source URLs re-arms its cadence
+        # clock (engine update_host_state: _src_evt > 0 → wave_ts + cad·86400)
+        for host, n in wave_src.items():
+            if n > 0:
+                source_next_due[host] = wave_ts + cadence.get(
+                    host, FREQ_DEFAULT_DAYS
+                ) * 86400.0
         # P8 decay: a quiet streak of SENSITIVITY_DECAY_WAVES waves steps the
         # adapted tier back toward base (engine: quiet_for >= DECAY branch)
         for host, ew in list(sens_event_wave.items()):

@@ -193,7 +193,13 @@ def stream_into_laketable(
 ):
     """foreachBatch → LakeTable snapshot per micro-batch: every batch commit
     carries (batch_id, rows) in the snapshot summary — the streaming twin of
-    the wave loop's checkpoint contract."""
+    the wave loop's checkpoint contract.
+
+    Exactly-once: foreachBatch alone is at-least-once (a micro-batch retried
+    after a crash between the table write and the stream checkpoint commit
+    re-runs), so the sink is idempotent per batch_id — if the table's latest
+    snapshot already committed this batch_id (or a later one), the append is
+    skipped instead of double-landing the batch (VERDICT r2 #6)."""
     from mizzounewscrawler_spark.lake import LakeTable
 
     table = LakeTable(spark, table_path)
@@ -202,6 +208,10 @@ def stream_into_laketable(
         raw = transform(raw)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        snap = table.current_snapshot()
+        last = snap.summary.get("batch_id", -1) if snap is not None else -1
+        if isinstance(last, int) and last >= batch_id:
+            return  # retried micro-batch: already committed
         table.append(batch_df, {"batch_id": batch_id, "streaming": True})
 
     return (

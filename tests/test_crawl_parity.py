@@ -93,6 +93,61 @@ def test_robots_disallowed_never_fetched_but_seen(spark, crawl_outputs, web):
     assert len(fetched) > 50
 
 
+def test_recrawl_cadence_parity(spark, web, web_spark):
+    """P1 perpetual-recrawl regime: sources (feeds + homepages) stay in the
+    frontier and are re-fetched exactly when their cadence elapses on the
+    virtual clock — engine order/seen/articles match the simulator under
+    6-hour waves and the fixture's multi-cadence hosts (daily hosts re-fetch
+    every wave, weekly+ sit out), and a daily feed really is fetched again."""
+    pages, seeds, robots = web_spark
+    out_dir = tempfile.mkdtemp(prefix="crawl_recrawl_")
+    try:
+        waves, dur = 6, 21600.0  # 6-hour waves: daily cadence (0.25 d) = 1 wave
+        cfg = CrawlConfig(
+            max_waves=waves, use_bloom=True, recrawl_sources=True,
+            wave_duration=dur,
+        )
+        run_crawl(spark, pages, seeds, robots, out_dir, cfg)
+        sim = simulate_crawl(
+            web.pages, web.seeds, web.robots, max_waves=waves,
+            wave_duration=dur, recrawl_sources=True,
+        )
+        t = open_tables(spark, out_dir)
+        engine_order = [
+            (r["wave"], r["seq"], r["url_surt"])
+            for r in t.order_log.read().orderBy("wave", "seq").collect()
+        ]
+        assert engine_order == sim.order
+        engine_seen = {r["url_surt"] for r in t.url_seen.read().collect()}
+        assert engine_seen == sim.seen
+        engine_arts = {
+            r["url"]: (r["status"], r["content_hash"])
+            for r in t.articles.read().collect()
+        }
+        assert engine_arts == sim.articles
+        # a daily host's feed is fetched in more than one wave (recrawl!),
+        # and never twice before its cadence elapsed
+        feed_waves: dict[str, list[int]] = {}
+        for w, _, s in engine_order:
+            if s.endswith(")/feed"):
+                feed_waves.setdefault(s, []).append(w)
+        daily = {h for h, f in zip(web.seeds["host"], web.seeds["frequency"])
+                 if f == "daily"}
+        daily_feeds = [s for s in feed_waves
+                       if ".".join(reversed(s.split(")", 1)[0].split(","))) in daily]
+        assert daily_feeds and any(len(feed_waves[s]) > 1 for s in daily_feeds)
+        for s, ws in feed_waves.items():
+            host = ".".join(reversed(s.split(")", 1)[0].split(",")))
+            cad_waves = {"daily": 1, "weekly": 14, "biweekly": 56,
+                         "monthly": 120}.get(
+                dict(zip(web.seeds["host"], web.seeds["frequency"]))[host], 28
+            )
+            for a, b in zip(ws, ws[1:]):
+                assert b - a >= cad_waves, (s, ws)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def test_counters_in_snapshot_summaries(spark, crawl_outputs):
     out_dir, stats, _ = crawl_outputs
     t = open_tables(spark, out_dir)

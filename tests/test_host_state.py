@@ -122,6 +122,94 @@ def test_feed_retry_window_blocks_feed_urls_only(spark):
     assert state2.collect()[0]["feed_retry_until"] is None
 
 
+def test_no_event_wave_preserves_backoff_and_pause(spark):
+    """ADVICE r2 (high): a host with ZERO events this wave (it sat the wave
+    out in backoff — full-outer row with _succ=0/_fail=0) must keep its
+    backoff_until / paused_reason untouched, not have the pause re-fired
+    from the current wave_ts every wave (permanent starvation)."""
+    dim = _dim(spark, [("slow.test", 5, 30.0), ("other.test", 5, 0.25)])
+    state = None
+    for w in range(3):
+        state = _hs(
+            spark, state, [("slow.test", False, False, False)], w * 60.0, w, dim
+        )
+    row = {r["host"]: r for r in state.collect()}["slow.test"]
+    assert row["paused_reason"] == "persistent_failures"
+    paused_until = row["backoff_until"]
+    assert paused_until == 2 * 60.0 + 86400.0
+    # waves 3..5: slow.test has no events (only other.test does)
+    for w in range(3, 6):
+        state = _hs(
+            spark, state, [("other.test", True, False, False)], w * 60.0, w, dim
+        )
+        row = {r["host"]: r for r in state.collect()}["slow.test"]
+        assert row["backoff_until"] == paused_until, w  # NOT re-fired
+        assert row["paused_reason"] == "persistent_failures", w
+        assert row["consecutive_failures"] == 3, w
+
+
+def test_source_next_due_rearm_and_recrawl_gate(spark):
+    """P1: a wave touching a host's source URLs re-arms source_next_due =
+    wave_ts + cadence_days*86400; build_wave(recrawl_sources=True) gates the
+    host's source URLs until due (articles keep crawling); drain mode
+    (default) ignores the clock."""
+    from mizzounewscrawler_spark.functions.urls import surt, url_hash
+    from mizzounewscrawler_spark.operators.scheduler import HOST_STATE_SCHEMA
+
+    dim = _dim(spark, [("h.test", 1, 0.25)])  # daily: due after 21600 s
+    results = spark.createDataFrame(
+        [("h.test", True, False, True, True)],
+        "host string, ok boolean, challenge boolean, is_feed boolean, "
+        "is_source boolean",
+    )
+    state = update_host_state(None, results, 0.0, 0, host_dim=dim)
+    row = state.collect()[0]
+    assert row["source_next_due"] == 0.25 * 86400.0
+    # a later wave with no events for the host preserves the clock
+    other = spark.createDataFrame(
+        [("x.test", True, False, False, False)],
+        "host string, ok boolean, challenge boolean, is_feed boolean, "
+        "is_source boolean",
+    )
+    state2 = update_host_state(state, other, 60.0, 1, host_dim=dim)
+    rows2 = {r["host"]: r for r in state2.collect()}
+    assert rows2["h.test"]["source_next_due"] == 0.25 * 86400.0
+
+    rows = []
+    for url, prio in [
+        ("https://www.h.test/feed", 2),
+        ("https://www.h.test/", 1),
+        ("https://www.h.test/a1", 1),
+    ]:
+        s = surt(url)
+        rows.append((url, s, url_hash(s), "h.test", "discovered", prio, 0))
+    fr = spark.createDataFrame(
+        rows, "url string, url_surt string, url_hash long, host string, "
+        "status string, priority int, depth int"
+    )
+    seeds = spark.createDataFrame(
+        [("h.test", 1, ["https://www.h.test/feed"])],
+        "host string, bot_sensitivity int, feed_urls array<string>",
+    )
+    robots = spark.createDataFrame(
+        [("h.test", "*", [], 0.5)],
+        "host string, user_agent string, disallow array<string>, crawl_delay double",
+    )
+    # not yet due (wave_ts 60 < 21600): sources sit out, article crawls
+    wave = build_wave(fr, seeds, robots, state, wave_ts=60.0, recrawl_sources=True)
+    assert {r["url"] for r in wave.collect()} == {"https://www.h.test/a1"}
+    # due (wave_ts = 21600): sources are back
+    wave2 = build_wave(
+        fr, seeds, robots, state, wave_ts=21600.0, recrawl_sources=True
+    )
+    assert {r["url"] for r in wave2.collect()} == {
+        "https://www.h.test/feed", "https://www.h.test/", "https://www.h.test/a1"
+    }
+    # drain mode (default): the clock is ignored even when not due
+    wave3 = build_wave(fr, seeds, robots, state, wave_ts=60.0)
+    assert len(wave3.collect()) == 3
+
+
 def test_rot47_roundtrip_and_jvm_parity(spark):
     samples = ["Hello, World!", "spark{}[]", "123 abc XYZ ~!", ""]
     for s in samples:

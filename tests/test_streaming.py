@@ -79,6 +79,29 @@ def test_stream_into_laketable_snapshots(spark, tmpdirs):
     assert "batch_id" in snaps[-1].summary
 
 
+def test_stream_into_laketable_exactly_once_on_retry(spark, tmpdirs):
+    """A re-delivered micro-batch (crash between table commit and stream
+    checkpoint → foreachBatch re-runs with the same batch_id) must not
+    double-append: the sink skips batch_ids the table already committed."""
+    in_dir = f"{tmpdirs}/in"
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(in_dir)
+    q = stream_into_laketable(
+        spark, in_dir, f"{tmpdirs}/table", f"{tmpdirs}/ckpt", "id long, v long"
+    )
+    q.awaitTermination(120)
+    t = LakeTable(spark, f"{tmpdirs}/table")
+    assert t.read().count() == 10
+    v_before = t.current_snapshot().version
+    # simulate the retry: a FRESH checkpoint re-delivers batch 0 over the
+    # same input to the same table
+    q2 = stream_into_laketable(
+        spark, in_dir, f"{tmpdirs}/table", f"{tmpdirs}/ckpt2", "id long, v long"
+    )
+    q2.awaitTermination(120)
+    assert t.read().count() == 10  # unchanged — no double-append
+    assert t.current_snapshot().version == v_before  # no new snapshot either
+
+
 def test_stream_host_politeness_state(spark, tmpdirs):
     """applyInPandasWithState: per-host failure/backoff state over two
     micro-batch runs — state persists across restarts via the checkpoint."""
