@@ -36,6 +36,7 @@ from mizzounewscrawler_spark.functions.html import (
     fresh_feed_links,
     is_challenge_page,
 )
+from mizzounewscrawler_spark.functions.titles import merge_title
 
 # wire byline panel (reference wire_services table seeds, pattern_type='byline')
 WIRE_AUTHOR_RE = r"(?i)^(the\s+)?(associated press|ap|reuters|afp|cnn newsource)\b"
@@ -43,6 +44,7 @@ WIRE_AUTHOR_RE = r"(?i)^(the\s+)?(associated press|ap|reuters|afp|cnn newsource)
 _COLS = (
     "url", "found", "text", "title", "author", "method", "is_challenge",
     "links", "is_feed", "publish_date", "sd_provider", "sd_is_wire",
+    "field_methods",
 )
 
 EXTRACT_SCHEMA = T.StructType(
@@ -61,6 +63,11 @@ EXTRACT_SCHEMA = T.StructType(
         # C11/C17 stage 1: structured-data wire signals
         T.StructField("sd_provider", T.StringType()),
         T.StructField("sd_is_wire", T.BooleanType()),
+        # U3: which extraction method supplied each merged field (the
+        # reference's extraction_methods tracking dict, __init__.py:2036)
+        T.StructField(
+            "field_methods", T.MapType(T.StringType(), T.StringType())
+        ),
     ]
 )
 
@@ -78,6 +85,7 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             out["is_feed"].append(False)
             out["sd_provider"].append("")
             out["sd_is_wire"].append(False)
+            out["field_methods"].append({})
             continue
         doc = bytes(html).decode("utf-8", errors="replace")
         is_feed = doc.lstrip().startswith("<?xml") or "<rss" in doc[:200]
@@ -86,16 +94,34 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             # candidates (reference discovery.py:1951-1956)
             links = fresh_feed_links(doc)
             text, method, title, author, challenge = "", "feed", "", "", False
-            pub, sd = None, {"provider": "", "is_wire": False}
+            pub, sd, fmeth = None, {"provider": "", "is_wire": False}, {}
         else:
             text, method = extract_text(doc)
-            title = extract_title(doc)
             sd = extract_structured(doc)
-            # U3 per-field merge: meta author first, JSON-LD fallback
-            author = extract_author(doc) or sd["author"]
+            # U3 per-field ordered coalesce across extraction methods, with
+            # per-field method tracking (reference _merge_extraction_results,
+            # __init__.py:2012-2060); C7 strips site suffixes from the title
+            title, title_method = merge_title(sd.get("title"), extract_title(doc))
+            meta_author = extract_author(doc)
+            author = meta_author or sd["author"]
+            author_method = (
+                "meta_tag" if meta_author
+                else ("structured_data" if sd["author"] else "none")
+            )
             pub = extract_publish_date(doc, sd)
+            date_method = (
+                "structured_data" if sd.get("date")
+                else ("time_tag" if pub is not None else "none")
+            )
+            fmeth = {
+                "text": method,
+                "title": title_method,
+                "author": author_method,
+                "publish_date": date_method,
+            }
             challenge = is_challenge_page(doc)
             links = extract_links(doc, url)
+        out["field_methods"].append(fmeth)
         out["found"].append(True)
         out["text"].append(text)
         out["title"].append(title)

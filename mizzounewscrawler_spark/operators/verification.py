@@ -53,6 +53,16 @@ NON_NEWS_SUFFIXES = (
 
 SNIFFER_ARTICLE_CHARS = "02468ace"  # even hex nibbles → "looks like a story"
 
+# F2: the crawler-side default substring skip list — plain lowercase
+# substring containment, NOT regex (reference _is_likely_article,
+# /root/reference/src/crawler/__init__.py:468-516, full 25-entry list)
+CRAWLER_SKIP_SUBSTRINGS = (
+    "/show", "/podcast", "/category", "/tag", "/author", "/page/", "/search",
+    "/login", "/register", "/contact", "/about", "/privacy", "/terms",
+    "/sitemap", "/posterboard-ads/", "/classifieds/", "/marketplace/",
+    "/deals/", "/coupons/", "/promotions/", "/sponsored/",
+)
+
 
 def sniffer_guess_expr(url: Column) -> Column:
     """U4 StorySniffer stub: a deterministic predict-UDF stand-in.
@@ -119,6 +129,73 @@ def collapse_dynamic_filters(patterns: DataFrame) -> tuple[str | None, str | Non
     inc = [r["pattern"] for r in rows if r["filter_type"] == "include"]
     join = lambda ps: ("(?i)(" + "|".join(ps) + ")") if ps else None  # noqa: E731
     return join(exc), join(inc)
+
+
+def likely_article_expr(
+    url: Column,
+    include_tokens: Column | None = None,
+    exclude_tokens: Column | None = None,
+) -> Column:
+    """F2 ``_is_likely_article`` (reference __init__.py:468-516) as one
+    boolean column expression:
+
+    1. default substring blocklist (CRAWLER_SKIP_SUBSTRINGS, lowercase
+       containment) rejects known non-article paths;
+    2. per-site include tokens: when the (broadcast-joined) array is
+       non-empty the URL must contain at least one;
+    3. per-site exclude tokens: the URL must contain none.
+
+    ``include_tokens``/``exclude_tokens`` are array<string> columns from the
+    site-rules dimension (null ⇒ no rule ⇒ pass)."""
+    u = F.lower(F.coalesce(url, F.lit("")))
+    block: Column | None = None
+    for s in CRAWLER_SKIP_SUBSTRINGS:
+        c = u.contains(s)
+        block = c if block is None else (block | c)
+    keep = ~block
+    if include_tokens is not None:
+        keep = keep & (
+            include_tokens.isNull()
+            | (F.size(include_tokens) == 0)
+            | F.exists(include_tokens, lambda t: u.contains(F.lower(t)))
+        )
+    if exclude_tokens is not None:
+        keep = keep & (
+            exclude_tokens.isNull()
+            | ~F.exists(exclude_tokens, lambda t: u.contains(F.lower(t)))
+        )
+    return keep
+
+
+def filter_likely_articles(
+    candidates: DataFrame,
+    site_rules: DataFrame | None = None,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """F2 applied to a candidate table: keep rows ``likely_article_expr``
+    accepts.  ``site_rules`` is the per-host rule dimension
+    (host, include_patterns array<string>, exclude_patterns array<string>)
+    — #hosts-sized, broadcast (the reference loads it per site from its
+    site-rules store, __init__.py:501-515)."""
+    if site_rules is None:
+        return candidates.where(likely_article_expr(F.col(url_col)))
+    rules = site_rules.select(
+        F.col("host").alias("_f2_host"),
+        F.col("include_patterns").alias("_f2_inc"),
+        F.col("exclude_patterns").alias("_f2_exc"),
+    )
+    return (
+        candidates.join(
+            F.broadcast(rules), candidates[host_col] == rules["_f2_host"], "left"
+        )
+        .where(
+            likely_article_expr(
+                F.col(url_col), F.col("_f2_inc"), F.col("_f2_exc")
+            )
+        )
+        .drop("_f2_host", "_f2_inc", "_f2_exc")
+    )
 
 
 def site_spec_skip_expr(url: Column, tokens: Column) -> Column:

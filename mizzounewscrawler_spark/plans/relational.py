@@ -338,6 +338,57 @@ GROUP BY source
 """
 
 
+# O5: wire/content-type priority pattern table — first match in ORDER BY
+# (priority, id), reference src/crawler/__init__.py:4516 +
+# src/utils/content_type_detector.py:333.  The bands overlap on purpose:
+# a "budget hearing" doc also matches the lower-priority bare "budget"
+# row, so the (priority, id) order is observable in the output counts.
+# Row 5 is inactive and must be skipped (it would otherwise match all).
+CT_PRIORITY_ROWS: list[tuple] = [
+    (1, "content", "windowed_agg", r"window \w+ agg|agg \w+ window", 10, 0.9, True),
+    (2, "content", "fast_scan", r"fast scan|scan fast", 10, 0.9, True),
+    (3, "content", "scan_doc", r"scan", 20, 0.6, True),
+    (4, "content", "join_doc", r"join", 20, 0.6, True),
+    (5, "content", "everything", r".", 5, 0.1, False),
+]
+
+
+def q_content_type_priority(spark, sf):
+    """O5: classify documents by a broadcast priority-pattern table —
+    first match by (priority, id) — and count per assigned type."""
+    from mizzounewscrawler_spark.operators.content_type import (
+        PATTERN_TABLE_SCHEMA,
+        pattern_ladder_from_table,
+    )
+
+    d = t(spark, sf, "documents")
+    pats = spark.createDataFrame(CT_PRIORITY_ROWS, PATTERN_TABLE_SCHEMA)
+    ctype, _conf = pattern_ladder_from_table(
+        pats, {"content": F.lower(F.col("text"))}
+    )
+    return (
+        d.withColumn("content_type", ctype)
+        .groupBy("content_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _sql_content_type() -> str:
+    """DuckDB mirror generated from the SAME pattern rows: first-match =
+    CASE arm order when arms are sorted by (priority, id)."""
+    rows = sorted(
+        (r for r in CT_PRIORITY_ROWS if r[6]), key=lambda r: (r[4], r[0])
+    )
+    whens = " ".join(
+        f"WHEN regexp_matches(lower(text), '{pat}') THEN '{ct}'"
+        for (_id, _st, ct, pat, _pr, _c, _a) in rows
+    )
+    return (
+        f"SELECT CASE {whens} ELSE 'news' END AS content_type, "
+        "count(*) AS n FROM documents GROUP BY 1"
+    )
+
+
 def q_json_extract(spark, sf):
     """C12 JSON access: get_json_object over the events props column."""
     e = t(spark, sf, "events")
@@ -657,6 +708,73 @@ def q_url_verification(spark, sf):
         d.select("doc_id", _verify_url_expr().alias("url"))
         .withColumn("verify_status", verify_status_expr(F.col("url")))
     )
+
+
+def q_likely_article_filter(spark, sf):
+    """F2: crawler-side article-likeness — default substring blocklist +
+    per-host include/exclude site-rule tokens (broadcast dimension)."""
+    from mizzounewscrawler_spark.operators.verification import (
+        filter_likely_articles,
+    )
+
+    d = t(spark, sf, "documents")
+    i = F.col("doc_id")
+    url = (
+        F.when(i % 8 == 0, F.concat(F.lit("https://www.a.test/show/x"), i))
+        .when(i % 8 == 1, F.concat(F.lit("https://www.a.test/classifieds/"), i))
+        .when(i % 8 == 2, F.concat(F.lit("https://www.a.test/news/story-"), i))
+        .when(i % 8 == 3, F.concat(F.lit("https://www.b.test/news/story-"), i))
+        .when(i % 8 == 4, F.concat(F.lit("https://www.b.test/sports/game-"), i))
+        .when(i % 8 == 5, F.concat(F.lit("https://www.b.test/sports/gallery-"), i))
+        .when(i % 8 == 6, F.concat(F.lit("https://www.c.test/story/"), i))
+        .otherwise(F.concat(F.lit("https://www.a.test/page/"), i))
+    )
+    cand = d.select("doc_id", url.alias("url")).withColumn(
+        "host", F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+    )
+    rules = spark.createDataFrame(
+        [("www.b.test", ["/sports/"], ["gallery-"])],
+        "host string, include_patterns array<string>, exclude_patterns array<string>",
+    )
+    return filter_likely_articles(cand, rules).select("doc_id", "url")
+
+
+def _sql_likely_article() -> str:
+    from mizzounewscrawler_spark.operators.verification import (
+        CRAWLER_SKIP_SUBSTRINGS,
+    )
+
+    block = " OR ".join(f"url LIKE '%{s}%'" for s in CRAWLER_SKIP_SUBSTRINGS)
+    return f"""
+WITH urls AS (
+  SELECT doc_id,
+         CASE doc_id % 8
+           WHEN 0 THEN 'https://www.a.test/show/x' || doc_id
+           WHEN 1 THEN 'https://www.a.test/classifieds/' || doc_id
+           WHEN 2 THEN 'https://www.a.test/news/story-' || doc_id
+           WHEN 3 THEN 'https://www.b.test/news/story-' || doc_id
+           WHEN 4 THEN 'https://www.b.test/sports/game-' || doc_id
+           WHEN 5 THEN 'https://www.b.test/sports/gallery-' || doc_id
+           WHEN 6 THEN 'https://www.c.test/story/' || doc_id
+           ELSE 'https://www.a.test/page/' || doc_id
+         END AS url,
+         regexp_extract(CASE doc_id % 8
+           WHEN 0 THEN 'https://www.a.test/show/x' || doc_id
+           WHEN 1 THEN 'https://www.a.test/classifieds/' || doc_id
+           WHEN 2 THEN 'https://www.a.test/news/story-' || doc_id
+           WHEN 3 THEN 'https://www.b.test/news/story-' || doc_id
+           WHEN 4 THEN 'https://www.b.test/sports/game-' || doc_id
+           WHEN 5 THEN 'https://www.b.test/sports/gallery-' || doc_id
+           WHEN 6 THEN 'https://www.c.test/story/' || doc_id
+           ELSE 'https://www.a.test/page/' || doc_id
+         END, '^https?://([^/]+)', 1) AS host
+  FROM documents
+)
+SELECT doc_id, url FROM urls
+WHERE NOT ({block})
+  AND NOT (host = 'www.b.test' AND url NOT LIKE '%/sports/%')
+  AND NOT (host = 'www.b.test' AND url LIKE '%gallery-%')
+"""
 
 
 def _sql_verify() -> str:
@@ -1035,10 +1153,12 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("sessionize_events", q_sessionize, SQL_SESSIONIZE, "§2.9 streaming analog"),
     QuerySpec("recency_filter", q_recency_filter, SQL_RECENCY, "F6/P12"),
     QuerySpec("regex_panel_filter", q_rlike_panel, SQL_RLIKE, "F2/F3/F9"),
+    QuerySpec("content_type_priority", q_content_type_priority, _sql_content_type(), "O5/C16/C17"),
     QuerySpec("json_extract", q_json_extract, SQL_JSON, "C12"),
     QuerySpec("content_hash_keys", q_hash_keys, SQL_HASH, "C3/C6"),
     QuerySpec("feed_date_parse", q_feed_date_parse, SQL_FEED_DATE, "C18/C9/F6"),
     QuerySpec("url_verification_chain", q_url_verification, _sql_verify(), "F3/F5/F9/U4"),
+    QuerySpec("likely_article_filter", q_likely_article_filter, _sql_likely_article(), "F2/F10"),
     QuerySpec("ner_gazetteer_match", q_ner_gazetteer, _sql_ner_gazetteer(), "U6/J6"),
     QuerySpec("hourly_rollup", q_hourly_rollup, SQL_HOURLY, "P13"),
     QuerySpec("due_cadence", q_due_cadence, SQL_DUE, "P1"),

@@ -87,3 +87,67 @@ def test_overwrite_clears_delete_state(spark, tmp_path):
     t.overwrite(spark.createDataFrame([(1, "z")], "k long, v string"))
     assert _rows(t.read()) == [(1, "z")]
     assert t.current_snapshot().delete_versions == []
+
+
+def test_bq_export_shapes_and_checksums(spark, tmp_path):
+    """S10: the BigQuery-shaped export job produces the exact column
+    names/types/order of bigquery/*_schema.json, with an S11 checksum
+    manifest per table."""
+    from pyspark.sql import functions as F
+
+    from mizzounewscrawler_spark.plans.export import (
+        ARTICLES_BQ_COLUMNS,
+        ENTITIES_BQ_COLUMNS,
+        LABELS_BQ_COLUMNS,
+        bq_schema,
+        run_bq_export,
+    )
+
+    articles = spark.createDataFrame(
+        [
+            ("https://www.a.test/1", 11, "a.test", "T one", "Jane",
+             "extracted", "body text here", "article_block", 0),
+            ("https://www.a.test/2", 12, "a.test", "T two", None,
+             "paywall", "", "tag_strip", 1),
+        ],
+        "url string, url_hash long, host string, title string, author string,"
+        " status string, text string, method string, wave int",
+    ).withColumn("publish_date", F.to_timestamp(F.lit("2024-01-15 12:00:00")))
+    sources = spark.createDataFrame(
+        [("a.test", "The A Test", "Springfield", "Greene")],
+        "host string, name string, city string, county string",
+    )
+    labels = spark.createDataFrame(
+        [(11, 1, "m1", "civic", 0.9, "other", 0.1)],
+        "article_id long, label_version int, model_version string,"
+        " primary_label string, primary_confidence double,"
+        " alternate_label string, alternate_confidence double",
+    ).withColumn("applied_at", F.to_timestamp(F.lit("2024-01-16 00:00:00")))
+    entities = spark.createDataFrame(
+        [(11, "Springfield", "springfield", "GPE")],
+        "article_id long, entity_text string, entity_norm string,"
+        " entity_label string",
+    )
+    out = str(tmp_path / "bq")
+    manifests = run_bq_export(
+        spark, out, articles, sources, labels=labels, entities=entities,
+        export_ts=1700000000.0,
+    )
+    assert set(manifests) == {"articles", "entities", "cin_labels"}
+    for name, cols in (
+        ("articles", ARTICLES_BQ_COLUMNS),
+        ("entities", ENTITIES_BQ_COLUMNS),
+        ("cin_labels", LABELS_BQ_COLUMNS),
+    ):
+        df = spark.read.parquet(f"{out}/{name}/*.parquet")
+        assert df.schema == bq_schema(cols), name  # exact names+types+order
+        assert LakeTable.verify_export(f"{out}/{name}"), name
+    arts = {
+        r["id"]: r
+        for r in spark.read.parquet(f"{out}/articles/*.parquet").collect()
+    }
+    assert arts["11"]["county"] == "Greene"
+    assert arts["11"]["word_count"] == 3
+    assert arts["12"]["word_count"] == 0
+    labs = spark.read.parquet(f"{out}/cin_labels/*.parquet").collect()
+    assert labs[0]["label"] == "civic" and labs[0]["article_url"].endswith("/1")

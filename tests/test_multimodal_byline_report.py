@@ -110,6 +110,53 @@ def test_content_type_cascade_order(spark):
     assert all(0.0 < r[0] <= 1.0 for r in conf)
 
 
+def test_content_type_pattern_table_parity_and_priority(spark):
+    """O5: the table-driven cascade (first match by (priority, id)) matches
+    the static ladder on the fixture, and re-prioritizing the TABLE — no
+    code change — re-orders the cascade."""
+    from mizzounewscrawler_spark.operators.content_type import (
+        PATTERN_TABLE_SCHEMA,
+        default_pattern_table,
+        detect_content_type_tabular,
+    )
+
+    rows = [
+        ("https://x.test/opinion/piece", "Opinion: whatever", "Reuters", "passed away"),
+        ("https://x.test/news/a", "Opinion: hm", "The Associated Press", "text"),
+        ("https://x.test/news/b", "Editorial: our view", "Jane Doe", "text"),
+        ("https://x.test/news/c", "Life story", "Jane Doe", "He is survived by family"),
+        ("https://x.test/news/d", "Council votes", "Jane Doe", "The council voted."),
+        ("https://x.test/sports/game", "Big game", "J", "t"),
+        ("https://x.test/obituaries/jane", "Jane", "J", "t"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "title", "author", "text"])
+    static = [r["content_type"] for r in detect_content_type(df).collect()]
+    tabular = [
+        r["content_type"] for r in detect_content_type_tabular(df).collect()
+    ]
+    assert tabular == static
+    # flip priorities: content patterns (band 40 → 1) now beat url patterns
+    flipped = [
+        (i, st, ct, pat, 1 if pr == 40 else pr, c, a)
+        for (i, st, ct, pat, pr, c, a) in default_pattern_table(spark).collect()
+    ]
+    pats = spark.createDataFrame(flipped, PATTERN_TABLE_SCHEMA)
+    got = [
+        r["content_type"]
+        for r in detect_content_type_tabular(df, patterns=pats).collect()
+    ]
+    # row 0: content "passed away" (obituary) now outranks /opinion/ url
+    assert got[0] == "obituary" and static[0] == "opinion"
+    # inactive rows are skipped entirely
+    off = [
+        (i, st, ct, pat, pr, c, False)
+        for (i, st, ct, pat, pr, c, a) in default_pattern_table(spark).collect()
+    ]
+    none_active = spark.createDataFrame(off, PATTERN_TABLE_SCHEMA)
+    got_off = detect_content_type_tabular(df, patterns=none_active).collect()
+    assert {r["content_type"] for r in got_off} == {"news"}
+
+
 # -- county report -----------------------------------------------------------
 
 

@@ -91,3 +91,103 @@ def test_simhash_and_fingerprint_deterministic(spark):
                   X.fingerprint_expr(F.col("text")).alias("f")).collect()[0]
     assert a["s"] == b["s"] and a["f"] == b["f"]
     assert a["s"] is not None and a["f"] is not None
+
+
+# -- C7/U3: title suffix strip + per-field merge ------------------------------
+
+
+def test_title_site_suffix_strip():
+    from mizzounewscrawler_spark.functions.titles import strip_site_suffix
+
+    cases = {
+        # classic media-name suffix: long content part, one short suffix
+        "Council approves the downtown budget | The Example Gazette":
+            "Council approves the downtown budget",
+        # two short parts: treated as suffixed, keep first
+        "Big game tonight | Gazette": "Big game tonight",
+        # short prefix, long content: prefix stripped
+        "Opinion - County needs a better flood plan this year":
+            "County needs a better flood plan this year",
+        # multiple suffixes: trailing short parts stripped
+        "Mayor outlines five-year infrastructure plan | News | Example Gazette":
+            "Mayor outlines five-year infrastructure plan",
+        # no separator: unchanged (modulo normalization)
+        "A plain headline with no separator":
+            "A plain headline with no separator",
+        # separators INSIDE a long title with no short parts are kept
+        "The long first clause of a headline - and the long second clause of it":
+            "The long first clause of a headline",
+    }
+    for raw, want in cases.items():
+        assert strip_site_suffix(raw) == want, raw
+    assert strip_site_suffix(None) == ""
+    assert strip_site_suffix("") == ""
+
+
+def test_title_merge_order_and_methods():
+    from mizzounewscrawler_spark.functions.titles import merge_title
+
+    # meaningful structured-data title outranks the <title> tag
+    t, m = merge_title("A sufficiently long structured headline", "Tag title | Site")
+    assert t == "A sufficiently long structured headline" and m == "structured_data"
+    # short sd title falls back to the tag (suffix-stripped)
+    t, m = merge_title("Short", "A real tag headline of decent length | The Daily")
+    assert t == "A real tag headline of decent length" and m == "title_tag"
+    # tag empty: even a short sd title is used rather than nothing
+    t, m = merge_title("Short", "")
+    assert t == "Short" and m == "structured_data"
+    t, m = merge_title("", ""); assert t == "" and m == "none"
+
+
+def test_extraction_backfills_title_from_jsonld(spark):
+    """U3: a page whose <title> is missing backfills from JSON-LD headline,
+    and field_methods records the winning method per field."""
+    from mizzounewscrawler_spark.operators.extraction import fetch_and_extract
+
+    html = (
+        '<html><head><script type="application/ld+json">'
+        '{"headline": "The Structured Data Headline Wins Here",'
+        ' "author": {"name": "Jane Q"}}</script></head>'
+        "<body><article><p>Body text of the story goes here, long enough to"
+        " clear the minimum extraction length gate for the article-block"
+        " cascade stage, which requires one hundred and fifty characters of"
+        " cleaned paragraph text before it accepts the block.</p></article>"
+        "</body></html>"
+    )
+    pages = spark.createDataFrame(
+        [("https://www.h.test/a", bytearray(html, "utf-8"))], ["url", "html"]
+    )
+    from mizzounewscrawler_spark.functions.urls import surt, url_hash
+    s = surt("https://www.h.test/a")
+    wave = spark.createDataFrame(
+        [("https://www.h.test/a", s, url_hash(s), "h.test", 0)],
+        "url string, url_surt string, url_hash long, host string, depth int",
+    )
+    row = fetch_and_extract(wave, pages).collect()[0]
+    assert row["title"] == "The Structured Data Headline Wins Here"
+    assert row["field_methods"]["title"] == "structured_data"
+    assert row["author"] == "Jane Q"
+    assert row["field_methods"]["author"] == "structured_data"
+    assert row["field_methods"]["text"] == "article_block"
+
+
+def test_extraction_strips_title_suffix(spark):
+    """C7: ' | The Example Gazette' does not survive into extracted titles."""
+    from mizzounewscrawler_spark.operators.extraction import fetch_and_extract
+
+    html = (
+        "<html><head><title>Mayor outlines the budget plan | The Example Gazette"
+        "</title></head><body><article><p>Story body.</p></article></body></html>"
+    )
+    pages = spark.createDataFrame(
+        [("https://www.h.test/b", bytearray(html, "utf-8"))], ["url", "html"]
+    )
+    from mizzounewscrawler_spark.functions.urls import surt, url_hash
+    s = surt("https://www.h.test/b")
+    wave = spark.createDataFrame(
+        [("https://www.h.test/b", s, url_hash(s), "h.test", 0)],
+        "url string, url_surt string, url_hash long, host string, depth int",
+    )
+    row = fetch_and_extract(wave, pages).collect()[0]
+    assert row["title"] == "Mayor outlines the budget plan"
+    assert row["field_methods"]["title"] == "title_tag"
