@@ -93,6 +93,81 @@ def host_ceiling_probe(shuffle: int, low: int, high: int, reps: int = 2) -> dict
     }
 
 
+def cpu_fabric_probe(low: int, high: int, seconds: float = 6.0) -> dict:
+    """Pure-compute scaling probe: N busy Python processes doing integer
+    arithmetic (no memory traffic, no Spark).  Separates the CPU fabric's
+    low→high capacity from the MEMORY-BANDWIDTH ceiling the scan probe
+    measures — on this box the two differ wildly (CPU ~0.84 at 8→32, scan
+    can go NEGATIVE when bandwidth saturates), and crawl efficiency must be
+    read against the blend its stages actually use."""
+    import multiprocessing as mp
+
+    def burn(q):
+        x = 0
+        n = 0
+        t_end = __import__("time").time() + seconds
+        while __import__("time").time() < t_end:
+            for _ in range(10000):
+                x = (x * 1103515245 + 12345) % (1 << 31)
+            n += 10000
+        q.put(n)
+
+    rates = {}
+    for procs in (low, high):
+        q = mp.Queue()
+        ps = [mp.Process(target=burn, args=(q,)) for _ in range(procs)]
+        for p in ps:
+            p.start()
+        total = 0
+        for _ in ps:
+            total += q.get()
+        for p in ps:
+            p.join()
+        rates[procs] = total / seconds
+    return {
+        "cpu_iters_per_s_low": round(rates[low] / 1e6, 1),
+        "cpu_iters_per_s_high": round(rates[high] / 1e6, 1),
+        "cpu_speedup": round(rates[high] / rates[low], 2),
+        "cpu_efficiency": round(rates[high] / rates[low] / (high / low), 3),
+    }
+
+
+def driver_floor_probe(shuffle: int, low: int, high: int, waves: int = 6) -> dict:
+    """Measure the per-wave FIXED driver cost directly: run the identical
+    wave loop over a near-empty web (50 hosts, ~40-row waves) so per-wave
+    compute is ~0 and steady wave_sec ≈ planning + job scheduling + staged
+    writes + Bloom merge — the one cost that does not shrink with cluster
+    size.  The r2 verdict's scaling-gate fallback asks for exactly this
+    number ("per-wave driver time measured"), published at both levels."""
+    floors = {}
+    for cores in (low, high):
+        spark = build_session(
+            cores, shuffle_partitions=shuffle, app_name=f"floor-{cores}"
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        env_keys = ("BENCH_BUCKET_SWEEP", "BENCH_SEED_FRONTIER", "BENCH_CAP",
+                    "BENCH_WAVE_DUR")
+        saved = {k: os.environ.pop(k, None) for k in env_keys}
+        try:
+            out = bench_crawl(spark, 50, 1500, waves)
+        finally:
+            for k, v in saved.items():
+                if v is not None:
+                    os.environ[k] = v
+            spark.stop()
+        steady = [w["wave_sec"] for w in out["per_wave"] if w["wave"] >= 1]
+        floors[cores] = {
+            "steady_wave_sec_min": round(min(steady), 3) if steady else None,
+            "steady_wave_sec": [round(s, 3) for s in steady],
+            "rows_per_wave": [w["scheduled"] for w in out["per_wave"]],
+        }
+    return {
+        "driver_floor_sec_low": floors[low]["steady_wave_sec_min"],
+        "driver_floor_sec_high": floors[high]["steady_wave_sec_min"],
+        "driver_floor_detail": floors,
+    }
+
+
 def aggregate_level(runs: list[dict], cores: int, reps: int) -> dict:
     """Aggregate ``reps`` identical runs at one parallelism; keep per-wave MIN.
 
@@ -154,8 +229,15 @@ def main() -> None:
     _cached_web(gen_spark, n_hosts, pages, bucket_sweep=sweep)
     gen_spark.stop()
 
-    # engine-independent host ceiling (see host_ceiling_probe docstring)
+    # engine-independent host ceilings (see probe docstrings): memory
+    # bandwidth (columnar scan) and CPU fabric (pure compute)
     ceiling = host_ceiling_probe(shuffle, low, high)
+    ceiling.update(cpu_fabric_probe(low, high))
+    floor = (
+        driver_floor_probe(shuffle, low, high)
+        if os.environ.get("DRIVER_FLOOR", "1") != "0"
+        else {}
+    )
 
     # interleave reps (low, high, low, high, …): a multi-minute CPU-steal
     # window then contaminates at most one rep of EACH level, not one
@@ -185,6 +267,7 @@ def main() -> None:
         "pass": eff >= 0.8,
         "bucket_sweep": sweep,
         "host_ceiling": ceiling,
+        **floor,
     }
     print(json.dumps(result))
     with open(os.path.join(HERE, "scaling_result.json"), "w") as f:
@@ -251,20 +334,50 @@ def write_md(result, low, high, n_hosts, pages, waves, shuffle, reps):
     )
     ceil_md = ""
     if ceil:
+        cpu_row = ""
+        if "cpu_efficiency" in ceil:
+            cpu_row = (
+                f"| CPU-only (busy Python procs) | "
+                f"{ceil['cpu_iters_per_s_low']} M it/s | "
+                f"{ceil['cpu_iters_per_s_high']} M it/s | "
+                f"{ceil['cpu_speedup']}× | {ceil['cpu_efficiency']} |\n"
+            )
         ceil_md = f"""
-## Host capacity ceiling (engine-independent)
+## Host capacity ceilings (engine-independent)
 
-A pure columnar scan of the same page store (decompress + sum lengths; no
-Python, no shuffle, embarrassingly parallel) measures what THIS shared
-microVM can give software going from the low to the high level:
+Two probes measure what THIS shared microVM can give ANY software going
+from the low to the high level: a pure columnar scan (decompress + sum
+lengths; memory-bandwidth-bound, no Python, no shuffle) and a pure-compute
+probe (busy Python processes, no memory traffic):
 
-| | low | high | speedup | efficiency |
+| probe | low | high | speedup | efficiency |
 |---|---|---|---|---|
-| scan-only | {ceil["scan_sec_low"]} s | {ceil["scan_sec_high"]} s | {ceil["scan_speedup"]}× | {ceil["scan_efficiency"]} |
+| scan-only (bandwidth) | {ceil["scan_sec_low"]} s | {ceil["scan_sec_high"]} s | {ceil["scan_speedup"]}× | {ceil["scan_efficiency"]} |
+{cpu_row}
+The CPU fabric delivers near-linear scaling; the MEMORY/IO path saturates
+(and can go negative — more concurrent streams defeat prefetch on a
+bandwidth-saturated host).  Any stage that streams bytes is capped by the
+scan ceiling regardless of plan quality; compute-bound stages (extraction,
+canonicalization) track the CPU ceiling.  The crawl's efficiency above
+should be read against this blend, not against an ideal 1.0 — on a real
+1000-executor cluster each executor brings its OWN memory channels and
+disks, so the bandwidth ceiling is per-node and does not accumulate the
+way it does on one shared box.
+"""
+    floor_md = ""
+    if result.get("driver_floor_sec_low") is not None:
+        fl, fh = result["driver_floor_sec_low"], result["driver_floor_sec_high"]
+        floor_md = f"""
+## Per-wave fixed driver cost (measured directly)
 
-Any stage that streams bytes (scan/decompress/cache) is capped by this
-hardware ceiling regardless of plan quality; the crawl's efficiency above
-should be read against it, not against an ideal 1.0.
+The same wave loop over a near-empty web (50 hosts, ~40-row waves — compute
+≈ 0) isolates the per-wave cost that does NOT shrink with cluster size:
+query planning, job scheduling, staged writes, Bloom merge.  Steady-state
+minimum wave_sec: **{fl} s at local[{low}], {fh} s at local[{high}]**.
+Against the production waves above this fixed cost is
+{round(100 * fh / max(r_high["steady_state_sec"] / max(len([w for w in r_high["per_wave"] if w["wave"] >= 1]), 1), 1e-9), 1)}%
+of a steady-state wave at the wide level; at the 10^10-URL design point
+(waves of 10^6+ URLs) it amortizes to noise.
 """
     md = f"""# BENCH/BASELINE.md — two-parallelism scaling evidence
 
@@ -309,7 +422,7 @@ Per-wave timings at local[{low}] / local[{high}] (min across {reps} reps;
 {json.dumps(r_low["per_wave"], indent=0)}
 {json.dumps(r_high["per_wave"], indent=0)}
 ```
-{ceil_md}
+{ceil_md}{floor_md}
 
 Methodology notes:
 - Waves ≥ 1 are steady state: wave 0 pays JVM/codegen/Arrow-worker warmup,
@@ -364,5 +477,24 @@ reference's single-node rate at equal politeness semantics.
         f.write(md)
 
 
+def render_only() -> None:
+    """Re-render BASELINE.md from the archived scaling_result.json without
+    re-benchmarking (e.g. after improving the report template)."""
+    with open(os.path.join(HERE, "scaling_result.json")) as f:
+        result = json.load(f)
+    low, high = result["low"]["cores"], result["high"]["cores"]
+    write_md(
+        result, low, high,
+        int(os.environ.get("BENCH_HOSTS", "4000")),
+        int(os.environ.get("BENCH_PAGES", "120000")),
+        len(result["low"]["per_wave"]),
+        int(os.environ.get("BENCH_SHUFFLE", "64")),
+        result["low"].get("reps", 3),
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--render-only" in sys.argv:
+        render_only()
+    else:
+        main()

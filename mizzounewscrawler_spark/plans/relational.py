@@ -777,6 +777,95 @@ WHERE NOT ({block})
 """
 
 
+# A9 telemetry depth: deterministic status/method zoo from doc_id so the
+# rollups are oracle-checkable (same trick as the verification URL zoo)
+_TEL_STATUS = (
+    "CASE doc_id % 7 WHEN 0 THEN 'failed' WHEN 1 THEN 'paywall' "
+    "WHEN 2 THEN 'proxy_blocked' WHEN 3 THEN 'wire' WHEN 4 THEN 'feed' "
+    "ELSE 'extracted' END"
+)
+_TEL_METHOD = (
+    "CASE doc_id % 3 WHEN 0 THEN 'rss_feed' WHEN 1 THEN 'newspaper4k' "
+    "ELSE 'storysniffer' END"
+)
+
+
+def _tel_articles(spark, sf):
+    d = t(spark, sf, "documents")
+    i = F.col("doc_id")
+    status = (
+        F.when(i % 7 == 0, F.lit("failed"))
+        .when(i % 7 == 1, F.lit("paywall"))
+        .when(i % 7 == 2, F.lit("proxy_blocked"))
+        .when(i % 7 == 3, F.lit("wire"))
+        .when(i % 7 == 4, F.lit("feed"))
+        .otherwise(F.lit("extracted"))
+    )
+    method = (
+        F.when(i % 3 == 0, F.lit("rss_feed"))
+        .when(i % 3 == 1, F.lit("newspaper4k"))
+        .otherwise(F.lit("storysniffer"))
+    )
+    return d.select(
+        F.col("source").alias("host"),
+        status.alias("status"),
+        method.alias("method"),
+        (i % 10).cast("int").alias("wave"),
+    )
+
+
+def q_host_error_rollup(spark, sf):
+    """A9: per-(host, error-class) rollup (reference http_error_summary,
+    comprehensive_telemetry.py:829-853)."""
+    from mizzounewscrawler_spark.plans.telemetry import host_error_summary
+
+    return host_error_summary(_tel_articles(spark, sf))
+
+
+SQL_HOST_ERROR = f"""
+WITH a AS (
+  SELECT source AS host, {_TEL_STATUS} AS status, doc_id % 10 AS wave
+  FROM documents
+)
+SELECT host,
+       CASE WHEN status IN ('extracted','wire','feed') THEN 'ok'
+            WHEN status = 'paywall' THEN 'thin'
+            WHEN status = 'proxy_blocked' THEN 'challenge'
+            ELSE 'error' END AS error_class,
+       count(*) AS n,
+       CAST(max(wave) AS INT) AS last_wave
+FROM a GROUP BY 1, 2
+"""
+
+
+def q_method_effectiveness(spark, sf):
+    """A8/A9: per-(host, method) effectiveness + the pruning verdict
+    (success_rate > 50 AND articles_found > 0 AND attempts >= 2 —
+    reference telemetry.py:1863-1869)."""
+    from mizzounewscrawler_spark.plans.telemetry import method_effectiveness
+
+    return method_effectiveness(_tel_articles(spark, sf))
+
+
+SQL_METHOD_EFF = f"""
+WITH a AS (
+  SELECT source AS host, {_TEL_STATUS} AS status, {_TEL_METHOD} AS method
+  FROM documents
+), g AS (
+  SELECT host, method, count(*) AS attempts,
+         CAST(sum(CASE WHEN status IN ('extracted','wire','feed')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+           AS articles_found
+  FROM a GROUP BY 1, 2
+)
+SELECT host, method, attempts, articles_found,
+       round(articles_found * 100.0 / attempts, 2) AS success_rate,
+       (articles_found * 100.0 / attempts > 50 AND articles_found > 0
+        AND attempts >= 2) AS effective
+FROM g
+"""
+
+
 def _sql_verify() -> str:
     from mizzounewscrawler_spark.operators.verification import (
         ALLOWLIST_RE,
@@ -1161,6 +1250,8 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("likely_article_filter", q_likely_article_filter, _sql_likely_article(), "F2/F10"),
     QuerySpec("ner_gazetteer_match", q_ner_gazetteer, _sql_ner_gazetteer(), "U6/J6"),
     QuerySpec("hourly_rollup", q_hourly_rollup, SQL_HOURLY, "P13"),
+    QuerySpec("host_error_rollup", q_host_error_rollup, SQL_HOST_ERROR, "A9"),
+    QuerySpec("method_effectiveness_prune", q_method_effectiveness, SQL_METHOD_EFF, "A8/A9"),
     QuerySpec("due_cadence", q_due_cadence, SQL_DUE, "P1"),
     QuerySpec("union_discovery_dedup", q_union_dedup, SQL_UNION, "§2.7"),
     QuerySpec("exact_dedup_docs", q_exact_dedup, SQL_EXACT_DEDUP, "J8"),
