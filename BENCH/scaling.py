@@ -180,11 +180,15 @@ def aggregate_level(runs: list[dict], cores: int, reps: int) -> dict:
     whole sample.
     """
     base = runs[0]
-    # per-wave min across reps (waves are index-aligned: same job each rep)
+    # per-wave min across reps (waves are index-aligned: same job each rep).
+    # Take the WHOLE record from the fastest rep so the sec_* phase lineage
+    # stays internally consistent with wave_sec (not min-wave_sec from one
+    # rep next to sec_extract from another).
     min_waves = []
-    for i, w in enumerate(base["per_wave"]):
+    for i in range(len(base["per_wave"])):
         secs = [r["per_wave"][i]["wave_sec"] for r in runs]
-        min_waves.append({**w, "wave_sec": min(secs), "wave_sec_all_reps": secs})
+        best = min(runs, key=lambda r: r["per_wave"][i]["wave_sec"])
+        min_waves.append({**best["per_wave"][i], "wave_sec_all_reps": secs})
     ss = [w for w in min_waves if w["wave"] >= 1]
     # distinct work units: scheduled (fetch attempts; fetched_ok ⊂ scheduled)
     # + deduped (new-URL admissions) — ADVICE r1: no double counting

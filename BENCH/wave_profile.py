@@ -53,6 +53,7 @@ def main() -> None:
             continue
         sub_ms = sub.get().getTime()
         comp_ms = comp.get().getTime()
+        name = j.name()
         rows.append(
             {
                 "job": j.jobId(),
@@ -60,6 +61,7 @@ def main() -> None:
                 "submitted_off_s": round(sub_ms / 1000.0, 3),
                 "stages": j.stageIds().size(),
                 "tasks": j.numTasks(),
+                "name": name[:80],
             }
         )
     rows.sort(key=lambda r: r["submitted_off_s"])

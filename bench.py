@@ -216,7 +216,8 @@ def bench_crawl(spark, n_hosts: int, pages: int, waves: int) -> dict:
         "per_wave": [
             {k: s.get(k) for k in
              ("wave", "scheduled", "fetched", "deduped", "wave_sec",
-              "sec_extract", "sec_commit", "sec_finalize")}
+              "sec_extract", "sec_plan", "sec_commit", "sec_bloom",
+              "sec_finalize")}
             for s in snaps
         ],
         "hosts": n_hosts,

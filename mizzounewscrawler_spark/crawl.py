@@ -30,13 +30,15 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from mizzounewscrawler_spark.functions.exprcache import session_memo
 from mizzounewscrawler_spark.functions.urls import surt_expr, url_hash_expr
 from mizzounewscrawler_spark.lake import LakeTable
 from mizzounewscrawler_spark.operators.dedup import (
     _bloom_params,
+    add_hashes,
     bloom_flag,
     build_bloom,
     filter_unseen,
@@ -93,21 +95,27 @@ class CrawlConfig:
     bucket_sweep: int = 0
 
 
+@session_memo
+def _canon_exprs(url_col: str) -> tuple:
+    """(surt, not-null filter, url_hash, host) Column trees for
+    :func:`_canonical_cols` — built once per SparkContext: the ~10-regex
+    SURT chain is ~100 py4j round trips and the wave loop needs it every
+    wave (plan-construction latency is per-wave fixed driver cost)."""
+    surt = surt_expr(F.col(url_col)).alias("url_surt")
+    keep = F.col("url_surt").isNotNull()
+    h = url_hash_expr(F.col("url_surt")).alias("url_hash")
+    host = F.array_join(
+        F.reverse(F.split(F.substring_index(F.col("url_surt"), ")", 1), ",")), "."
+    ).alias("host")
+    return surt, keep, h, host
+
+
 def _canonical_cols(df: DataFrame, url_col: str = "url") -> DataFrame:
-    surt = surt_expr(F.col(url_col))
-    out = (
-        df.withColumn("url_surt", surt)
-        .where(F.col("url_surt").isNotNull())
-        .withColumn("url_hash", url_hash_expr(F.col("url_surt")))
-        .withColumn(
-            "host",
-            F.reverse(F.split(F.substring_index(F.col("url_surt"), ")", 1), ",")),
-        )
-        .withColumn("host", F.array_join(F.col("host"), "."))
-    )
-    return out
+    surt, keep, h, host = _canon_exprs(url_col)
+    return df.select("*", surt).where(keep).select("*", h, host)
 
 
+@session_memo
 def priority_expr() -> F.Column:
     """Feeds first (priority 2), everything else 1 — attribution-independent
     so crawl order is a pure function of the URL (parity requirement)."""
@@ -137,6 +145,28 @@ def seed_frontier(spark: SparkSession, seeds: DataFrame) -> DataFrame:
     )
 
 
+@session_memo
+def _link_exprs(max_depth: int) -> tuple:
+    has_links = F.col("found") & (F.size("links") > 0)
+    expl = F.explode("links").alias("url")
+    depth1 = (F.col("depth") + 1).alias("depth")
+    depth_ok = F.col("depth") <= max_depth
+    return has_links, expl, depth1, depth_ok
+
+
+@session_memo
+def _enqueue_robots_expr() -> F.Column:
+    """robots_allowed over (url_surt, _dis) — tree cached per context."""
+    from mizzounewscrawler_spark.operators.robots import (
+        path_from_surt,
+        robots_allowed_expr,
+    )
+
+    return robots_allowed_expr(
+        path_from_surt(F.col("url_surt")), F.col("_dis")
+    ).alias("robots_allowed")
+
+
 def discover_candidates(
     results: DataFrame,
     allowed_hosts: DataFrame,
@@ -154,12 +184,9 @@ def discover_candidates(
     semi join and the robots broadcast join into one inner join (host
     presence ⇒ in scope), halving this stage's broadcast builds per wave.
     """
-    links = (
-        results.where(F.col("found") & (F.size("links") > 0))
-        .select(F.explode("links").alias("url"), (F.col("depth") + 1).alias("depth"))
-        .where(F.col("depth") <= max_depth)
-    )
-    cand = _canonical_cols(links).withColumn("priority", priority_expr())
+    has_links, expl, depth1, depth_ok = _link_exprs(max_depth)
+    links = results.where(has_links).select(expl, depth1).where(depth_ok)
+    cand = _canonical_cols(links).select("*", priority_expr().alias("priority"))
     # in-batch dedup: one row per url_hash; deterministic winner = smallest
     # (depth, url) so tracking-param variants never shadow the canonical raw
     # URL nondeterministically
@@ -178,17 +205,10 @@ def discover_candidates(
     # URLs still enter url_seen (never reconsidered) but carry
     # robots_allowed=false so they never reach the frontier
     if host_rules is not None:
-        from mizzounewscrawler_spark.operators.robots import (
-            path_from_surt,
-            robots_allowed_expr,
-        )
-
         hr = host_rules.select("host", F.col("disallow").alias("_dis"))
         cand = cand.join(F.broadcast(hr), on="host", how="inner")
-        cand = cand.withColumn(
-            "robots_allowed",
-            robots_allowed_expr(path_from_surt(F.col("url_surt")), F.col("_dis")),
-        ).drop("_dis")
+        keep = [c for c in cand.columns if c != "_dis"]
+        cand = cand.select(*keep, _enqueue_robots_expr())
     else:
         cand = cand.join(F.broadcast(allowed_hosts), on="host", how="left_semi")
         cand = apply_robots(cand, robots)
@@ -409,48 +429,34 @@ def run_crawl(
         )
         flagged = bloom_flag(cand, bloom, "url_hash", caches=wave_caches)
 
-        # ONE action materializes the whole fetch→extract→discover→bloom-flag
-        # pipeline (both caches) and yields every pre-commit counter.  The
-        # per-wave driver fixed cost (query planning + job scheduling) is the
-        # one cost that does not shrink with cluster size — the r2 scaling
-        # gate failed on it — so the loop pays exactly one counters action,
-        # one pool of staged writes, and one Bloom-increment job per wave.
-        r_stats = results.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(ok_expr, 1).otherwise(0)).alias("ok"),
-            F.sum(F.when(is_src, 1).otherwise(0)).alias("src"),
-        ).select(F.lit("r").alias("k"), "n", "ok", "src")
-        f_stats = flagged.agg(
-            F.sum(F.col("_maybe_seen").cast("long")).alias("n")
-        ).select(
-            F.lit("f").alias("k"), "n",
-            F.lit(None).cast("long").alias("ok"),
-            F.lit(None).cast("long").alias("src"),
-        )
-        counters = {r["k"]: r for r in r_stats.unionByName(f_stats).collect()}
-        sec_extract = round(time.time() - wave_t0, 3)
-        scheduled = int(counters["r"]["n"])
-        fetched_ok = int(counters["r"]["ok"] or 0)
-        src_scheduled = int(counters["r"]["src"] or 0)
-        n_possible = int(counters["f"]["n"] or 0)
-        if scheduled == 0:
-            # every pending host is in backoff this wave — advance the
-            # virtual clock and retry (bounded by max_waves)
-            for c in wave_caches:
-                c.unpersist()
-            frontier = t.frontier.read().where(F.col("status") == "discovered")
-            continue
-
-        new_frontier_rows = filter_unseen_flagged(
-            flagged, seen, n_possible, "url_hash"
-        ).cache()
-        wave_caches.append(new_frontier_rows)
+        # NO dedicated counters action: the pre-commit counters ride as
+        # observe() metrics on writes the wave runs anyway, and staging is
+        # split into two overlapped pools (per-wave fixed driver latency —
+        # serial action chains that do not shrink with cluster size — is
+        # what failed the r2 scaling gate):
+        #   pool A: articles (carries the results metrics), order_log,
+        #           host_state, plus a flagged count (carries the Bloom-
+        #           positive metric) — extraction compute, cache fills and
+        #           write I/O all overlap;
+        #   pool B: url_seen + frontier (need n_possible from pool A to
+        #           pick the dedup join strategy).
+        # Each observe() node sits ABOVE its cache and is attached only to
+        # the one consumer guaranteed to scan every row (the articles
+        # write / the flagged count): a metrics node below the cache could
+        # report partial rows to a concurrent reader racing the cache fill.
+        obs_r = Observation()
+        obs_f = Observation()
 
         # ---- staged commits (frontier manifest last = checkpoint) ----
         # per-wave outputs are wave-sized (politeness-bounded) — coalesce to
         # a few files instead of one tiny file per shuffle partition
         small_n = max(2, spark.sparkContext.defaultParallelism // 4)
-        articles_batch = results.select(
+        articles_batch = results.observe(
+            obs_r,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(ok_expr, 1).otherwise(0)).alias("ok"),
+            F.sum(F.when(is_src, 1).otherwise(0)).alias("src"),
+        ).select(
             "url",
             F.col("url_surt"),
             F.col("url_hash"),
@@ -465,10 +471,6 @@ def run_crawl(
             "content_hash",
             F.lit(wave).alias("wave"),
         ).coalesce(small_n)
-
-        # ALL new canonical URLs enter url_seen — including robots-disallowed
-        # ones (enforced at enqueue, so they are never reconsidered)
-        new_seen = new_frontier_rows.select("url_hash", "url_surt").coalesce(small_n)
 
         host_state_next = update_host_state(
             host_state_df,
@@ -486,12 +488,6 @@ def run_crawl(
             host_dim=host_dim,
         )
 
-        admitted_rows = (
-            new_frontier_rows.where(F.col("robots_allowed"))
-            .withColumn("status", F.lit("discovered"))
-            .select(*FRONTIER_COLS)
-            .coalesce(small_n)
-        )
         # Frontier checkpoint = ONE merge-on-read commit: append this wave's
         # admitted rows + tombstone the scheduled url_hashes — O(wave) I/O.
         # The r1 shape recomputed and OVERWROTE the whole frontier every
@@ -505,6 +501,11 @@ def run_crawl(
             else wave_df.select("url_hash")
         )
 
+        flagged_obs = flagged.observe(
+            obs_f, F.sum(F.col("_maybe_seen").cast("long")).alias("n")
+        )
+        sec_plan = round(time.time() - wave_t0, 3)
+
         # All per-wave table writes are independent of each other — only the
         # MANIFEST order matters (frontier last = the checkpoint).  Staging
         # runs every write from concurrent driver threads (overlapping their
@@ -512,10 +513,11 @@ def run_crawl(
         # then microsecond driver-local JSON commits in checkpoint order.
         # Resume-safety is unchanged: a crash mid-wave replays the wave from
         # the last frontier snapshot, and staged dirs are overwrite-idempotent
-        # (tests/test_resume.py).
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        # (tests/test_resume.py) — including pool-A dirs staged on a wave
+        # that turns out empty (no commit; next wave's stage() reuses and
+        # overwrites the same version).
+        with ThreadPoolExecutor(max_workers=4) as pool:
             fut_articles = pool.submit(t.articles.stage, articles_batch)
-            fut_seen = pool.submit(t.url_seen.stage, new_seen)
             fut_order = (
                 pool.submit(
                     t.order_log.stage,
@@ -530,13 +532,44 @@ def run_crawl(
             fut_host = pool.submit(
                 t.host_state.stage, host_state_next.coalesce(small_n)
             )
+            fut_flag = pool.submit(flagged_obs.count)
+            staged_articles = fut_articles.result()
+            staged_order = fut_order.result() if fut_order is not None else None
+            staged_host = fut_host.result()
+            fut_flag.result()
+        r_metrics = obs_r.get
+        scheduled = int(r_metrics["n"] or 0)
+        fetched_ok = int(r_metrics["ok"] or 0)
+        src_scheduled = int(r_metrics["src"] or 0)
+        n_possible = int(obs_f.get["n"] or 0)
+        sec_extract = round(time.time() - wave_t0, 3)
+        if scheduled == 0:
+            # every pending host is in backoff this wave — advance the
+            # virtual clock and retry (bounded by max_waves)
+            for c in wave_caches:
+                c.unpersist()
+            frontier = t.frontier.read().where(F.col("status") == "discovered")
+            continue
+
+        new_frontier_rows = filter_unseen_flagged(
+            flagged, seen, n_possible, "url_hash"
+        ).cache()
+        wave_caches.append(new_frontier_rows)
+        # ALL new canonical URLs enter url_seen — including robots-disallowed
+        # ones (enforced at enqueue, so they are never reconsidered)
+        new_seen = new_frontier_rows.select("url_hash", "url_surt").coalesce(small_n)
+        admitted_rows = (
+            new_frontier_rows.where(F.col("robots_allowed"))
+            .withColumn("status", F.lit("discovered"))
+            .select(*FRONTIER_COLS)
+            .coalesce(small_n)
+        )
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_seen = pool.submit(t.url_seen.stage, new_seen)
             fut_frontier = pool.submit(
                 t.frontier.stage, admitted_rows, tombstones
             )
-            staged_articles = fut_articles.result()
             staged_seen = fut_seen.result()
-            staged_order = fut_order.result() if fut_order is not None else None
-            staged_host = fut_host.result()
             staged_frontier = fut_frontier.result()
         sec_commit = round(time.time() - wave_t0 - sec_extract, 3)
 
@@ -561,16 +594,28 @@ def run_crawl(
 
         seen = t.url_seen.read()
         host_state_df = t.host_state.read()
+        t_bloom = time.time()
         if bloom is not None and discovered_new > 0:
-            bloom = merge_blooms(
-                bloom,
-                build_bloom(
-                    new_seen,
-                    "url_hash",
-                    shard_bits=cfg.bloom_shard_bits,
-                    params=bloom_params,
-                ),
-            )
+            # wave-sized increment: set the new hashes' bits driver-side
+            # from the parquet the url_seen stage already wrote (pyarrow
+            # footer read, numpy bit ops — no Spark job).  The distributed
+            # build_bloom path stays for bulk increments, where shipping
+            # the hash column to the driver would not be wave-sized.
+            if discovered_new <= 2_000_000:
+                bloom = add_hashes(
+                    bloom, t.url_seen.staged_column(staged_seen, "url_hash")
+                )
+            else:
+                bloom = merge_blooms(
+                    bloom,
+                    build_bloom(
+                        new_seen,
+                        "url_hash",
+                        shard_bits=cfg.bloom_shard_bits,
+                        params=bloom_params,
+                    ),
+                )
+        sec_bloom = round(time.time() - t_bloom, 3)
 
         # source URLs scheduled in recrawl mode stay in the frontier
         removed = scheduled - (src_scheduled if cfg.recrawl_sources else 0)
@@ -588,7 +633,11 @@ def run_crawl(
             "wave_sec": round(time.time() - wave_t0, 3),
             # per-phase lineage: where this wave's time went
             "sec_extract": sec_extract,  # fetch+extract+discover+bloom flag
+            "sec_plan": sec_plan,        # ⊂ sec_extract: driver-side plan
+            #                              construction before the one
+            #                              counters action (pure fixed cost)
             "sec_commit": sec_commit,    # concurrent staged table writes
+            "sec_bloom": sec_bloom,      # bloom increment build + merge
         }
         summary["sec_finalize"] = round(
             time.time() - wave_t0 - sec_extract - sec_commit, 3

@@ -347,6 +347,29 @@ class LakeTable:
             return 0
         return _dir_rows(self._data_dir(staged["version"]))
 
+    def staged_column(self, staged: dict[str, Any], column: str):
+        """One column of a stage()-written data dir as a numpy array, read
+        driver-locally with pyarrow — no Spark job.  Used for wave-sized
+        side-structure maintenance (Bloom bit increments) where launching a
+        distributed job per wave is pure fixed driver latency (VERDICT r2).
+        Only sound for wave-sized writes; bulk rebuilds stay distributed."""
+        import glob
+
+        import numpy as np
+
+        if not staged["has_data"]:
+            return np.empty(0, dtype=np.int64)
+        import pyarrow.parquet as pq
+
+        # part files only — Spark also writes _SUCCESS / .crc markers
+        files = sorted(
+            glob.glob(os.path.join(self._data_dir(staged["version"]), "*.parquet"))
+        )
+        if not files:
+            return np.empty(0, dtype=np.int64)
+        cols = [pq.read_table(f, columns=[column]).column(column) for f in files]
+        return np.concatenate([c.to_numpy(zero_copy_only=False) for c in cols])
+
     # -- reads ----------------------------------------------------------------
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:

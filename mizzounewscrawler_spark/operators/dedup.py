@@ -103,6 +103,43 @@ class PartitionedBloom:
         return out
 
 
+def add_hashes(bloom: PartitionedBloom, hashes: np.ndarray) -> PartitionedBloom:
+    """Driver-side O(new) increment: set the bits for ``hashes`` (signed
+    int64) directly in numpy — **no Spark job**.
+
+    The wave loop's Bloom maintenance previously paid one
+    ``build_bloom`` + ``merge_blooms`` round per wave: a full Spark job
+    (schedule + applyInPandas + collect) to hash a few hundred new URLs.
+    That job is pure per-wave fixed driver latency — it does not shrink
+    with cluster size and therefore eats directly into the N→4N scaling
+    efficiency (VERDICT r2).  For wave-sized increments (≤ ~2M hashes,
+    politeness-bounded) the same bit math runs driver-side in microseconds;
+    ``build_bloom`` remains the distributed path for bulk (re)builds.
+    """
+    h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+    if len(h) == 0:
+        return bloom
+    nbytes = (bloom.m + 7) // 8
+    shards = dict(bloom.shards)
+    shard_ids = bloom.shard_of(h)
+    for sid in np.unique(shard_ids):
+        hm = h[shard_ids == sid]
+        prev = shards.get(int(sid))
+        bits = (
+            np.frombuffer(prev, dtype=np.uint8).copy()
+            if prev is not None
+            else np.zeros(nbytes, dtype=np.uint8)
+        )
+        for pos in _positions(hm, bloom.k, bloom.m):
+            byte_idx = (pos // np.uint64(8)).astype(np.int64)
+            bit_idx = (pos % np.uint64(8)).astype(np.uint8)
+            np.bitwise_or.at(bits, byte_idx, np.uint8(1) << bit_idx)
+        shards[int(sid)] = bits.tobytes()
+    return PartitionedBloom(
+        shard_bits=bloom.shard_bits, m=bloom.m, k=bloom.k, shards=shards
+    )
+
+
 def merge_blooms(a: PartitionedBloom, b: PartitionedBloom) -> PartitionedBloom:
     """OR-merge two filters with identical (shard_bits, m, k) parameters.
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mizzounewscrawler_spark.functions.exprcache import session_memo
 from mizzounewscrawler_spark.functions.html import (
     extract_author,
     extract_links,
@@ -203,13 +204,11 @@ def fetch_and_extract(wave: DataFrame, pages: DataFrame) -> DataFrame:
     return fetched.mapInPandas(run, schema)
 
 
-def with_status(extracted: DataFrame) -> DataFrame:
-    """Apply the deterministic status cascade (column exprs only).
-
-    Wire detection follows the reference's C17 stage precedence
-    (/root/reference/src/cli/commands/extraction.py:1344-1502):
-    stage 1 JSON-LD/meta provider signals → stage 2 byline patterns.
-    """
+@session_memo
+def _status_exprs() -> dict:
+    """Status-cascade + content-hash trees, cached per SparkContext: the
+    wave loop rebuilds this plan every wave, and each F.* call is a py4j
+    round trip (per-wave fixed driver latency — VERDICT r2)."""
     text_len = F.length(F.trim(F.coalesce(F.col("text"), F.lit(""))))
     status = (
         F.when(~F.col("found"), F.lit("failed"))
@@ -220,10 +219,18 @@ def with_status(extracted: DataFrame) -> DataFrame:
         .when(text_len < 150, F.lit("paywall"))
         .otherwise(F.lit("extracted"))
     )
-    return extracted.withColumn("fetch_status", status).withColumn(
-        "content_hash",
-        F.when(
-            F.col("text").isNotNull() & (F.col("text") != ""),
-            F.sha2(F.col("text"), 256),
-        ),
+    content_hash = F.when(
+        F.col("text").isNotNull() & (F.col("text") != ""),
+        F.sha2(F.col("text"), 256),
     )
+    return {"fetch_status": status, "content_hash": content_hash}
+
+
+def with_status(extracted: DataFrame) -> DataFrame:
+    """Apply the deterministic status cascade (column exprs only).
+
+    Wire detection follows the reference's C17 stage precedence
+    (/root/reference/src/cli/commands/extraction.py:1344-1502):
+    stage 1 JSON-LD/meta provider signals → stage 2 byline patterns.
+    """
+    return extracted.withColumns(_status_exprs())

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mizzounewscrawler_spark.functions.exprcache import session_memo
+
 # deterministic midpoints of the reference's uniform(min,max) tier delays
 # (/root/reference/src/utils/bot_sensitivity_manager.py:21-112)
 TIER_DELAY_S = {
@@ -127,6 +129,36 @@ def host_budget_expr(
     return F.greatest(F.least(F.lit(max_per_host), by_delay), F.lit(1))
 
 
+@session_memo
+def _budget_expr_cached(wave_duration: float, max_per_host: int) -> Column:
+    """Per-wave politeness budget over the standard joined column names —
+    the ~40-node when-chain is rebuilt every wave otherwise (py4j plan
+    latency = per-wave fixed driver cost, VERDICT r2)."""
+    return host_budget_expr(
+        F.coalesce(F.col("_adapted_sens"), F.col("_sens"), F.lit(5)),
+        F.col("_rdelay"),
+        wave_duration,
+        max_per_host,
+    )
+
+
+@session_memo
+def _wave_gate_parts() -> tuple:
+    """(is_feed_url, is_src_url) trees for the host-state gates."""
+    return (
+        F.col("url_surt").endswith(")/feed"),
+        is_source_url_expr(F.col("url_surt")),
+    )
+
+
+@session_memo
+def _in_host_rn() -> Column:
+    in_host = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("url_hash").asc()
+    )
+    return F.row_number().over(in_host)
+
+
 def build_wave(
     frontier: DataFrame,
     seeds: DataFrame,
@@ -197,49 +229,46 @@ def build_wave(
             F.col("feed_retry_until").alias("_feed_retry"),
             F.col("source_next_due").alias("_src_due"),
         )
-        is_feed_url = F.col("url_surt").endswith(")/feed")
-        is_src_url = is_source_url_expr(F.col("url_surt"))
-        ready = (
-            ready.join(F.broadcast(hs), ready["host"] == hs["_h_host"], "left")
-            .drop("_h_host")
-            .where(
-                F.col("_backoff_until").isNull()
-                | (F.col("_backoff_until") <= F.lit(wave_ts))
-            )
-            .where(
+        is_feed_url, is_src_url = _wave_gate_parts()
+        # all three gates in ONE where (one py4j call, one analyzer pass):
+        # backoff window; P11 feed retry window (feed URLs only); P1 cadence
+        # gate (recrawl mode ONLY): a host's source URLs (feed/homepage) sit
+        # out until the cadence clock comes due.  In drain mode the cadence
+        # gate must NOT apply — fetched sources leave the frontier
+        # permanently, and gating would starve a not-yet-fetched source
+        # (e.g. the homepage when only the feed fit wave 0's politeness
+        # budget) for a whole cadence.
+        w_ts = F.lit(wave_ts)
+        gate = (
+            (F.col("_backoff_until").isNull() | (F.col("_backoff_until") <= w_ts))
+            & (
                 ~is_feed_url
                 | F.col("_feed_retry").isNull()
-                | (F.col("_feed_retry") <= F.lit(wave_ts))
+                | (F.col("_feed_retry") <= w_ts)
             )
-            # P1 cadence gate (recrawl mode ONLY): a host's source URLs
-            # (feed/homepage) sit out until the cadence clock comes due.  In
-            # drain mode the gate must NOT apply — fetched sources leave the
-            # frontier permanently, and gating would starve a not-yet-fetched
-            # source (e.g. the homepage when only the feed fit wave 0's
-            # politeness budget) for a whole cadence.
-            .where(
+            & (
                 F.lit(not recrawl_sources)
                 | ~is_src_url
                 | F.col("_src_due").isNull()
-                | (F.col("_src_due") <= F.lit(wave_ts))
+                | (F.col("_src_due") <= w_ts)
             )
+        )
+        ready = (
+            ready.join(F.broadcast(hs), ready["host"] == hs["_h_host"], "left")
+            .drop("_h_host")
+            .where(gate)
             .drop("_backoff_until", "_feed_retry", "_src_due")
         )
     else:
         ready = ready.withColumn("_adapted_sens", F.lit(None).cast("int"))
 
-    budget = host_budget_expr(
-        F.coalesce(F.col("_adapted_sens"), F.col("_sens"), F.lit(5)),
-        F.col("_rdelay"),
-        wave_duration,
-        max_per_host,
-    )
-    in_host = Window.partitionBy("host").orderBy(
-        F.col("priority").desc(), F.col("url_hash").asc()
-    )
     picked = (
-        ready.withColumn("_budget", budget)
-        .withColumn("_rn", F.row_number().over(in_host))
+        ready.withColumns(
+            {
+                "_budget": _budget_expr_cached(wave_duration, max_per_host),
+                "_rn": _in_host_rn(),
+            }
+        )
         .where(F.col("_rn") <= F.col("_budget"))
         .drop("_rn", "_budget", "_sens", "_rdelay", "_adapted_sens")
     )
