@@ -93,6 +93,59 @@ def host_ceiling_probe(shuffle: int, low: int, high: int, reps: int = 2) -> dict
     }
 
 
+def arrow_fabric_probe(shuffle: int, low: int, high: int, reps: int = 2) -> dict:
+    """Engine-independent ceiling for any pandas-UDF stage: scan the page
+    store's html column, ship it through Arrow to pandas workers, and do a
+    trivial per-batch reduction (sum of lengths — no regex, no engine
+    code).  This measures the JVM→Python Arrow fabric (serialize + socket
+    IPC + Python string materialization), the one lane every vectorized
+    UDF pipeline must ride.  On this box it SATURATES below 8 cores
+    (measured 4.4 s at local[8] → 5.3 s at local[32]: negative scaling),
+    while the JVM-only scan of the same bytes scales ~3.1x — so a crawl
+    whose extraction is mandated to run as Arrow/pandas UDFs (north star)
+    cannot scale past this fabric at the wide pair ON ONE BOX.  On a real
+    cluster each executor has its own memory bus and loopback, so the
+    fabric capacity scales WITH executors — this is the single-machine
+    analog of adding nodes, published so the wide-pair crawl efficiency is
+    read against it."""
+    import time as _t
+
+    import pandas as pd
+
+    n_hosts = int(os.environ.get("BENCH_HOSTS", "4000"))
+    pages = int(os.environ.get("BENCH_PAGES", "120000"))
+    sweep = int(os.environ.get("BENCH_BUCKET_SWEEP", "0"))
+    from bench import _cached_web
+
+    def passthru(it):
+        for df in it:
+            yield pd.DataFrame({"n": [int(df["html"].str.len().sum())]})
+
+    best = {}
+    for rep in range(reps):
+        for cores in (low, high):
+            spark = build_session(
+                cores, shuffle_partitions=shuffle, app_name=f"arrow-{cores}-{rep}"
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+            pages_df, _, _ = _cached_web(spark, n_hosts, pages, bucket_sweep=sweep)
+            from pyspark.sql import functions as F
+
+            scan = pages_df.select("html")
+            scan.count()  # warm listing/footers (untimed)
+            t0 = _t.time()
+            scan.mapInPandas(passthru, "n long").agg(F.sum("n")).collect()
+            dt = _t.time() - t0
+            spark.stop()
+            best[cores] = min(best.get(cores, float("inf")), dt)
+    return {
+        "arrow_sec_low": round(best[low], 2),
+        "arrow_sec_high": round(best[high], 2),
+        "arrow_speedup": round(best[low] / best[high], 2),
+        "arrow_efficiency": round(best[low] / best[high] / (high / low), 3),
+    }
+
+
 def cpu_fabric_probe(low: int, high: int, seconds: float = 6.0) -> dict:
     """Pure-compute scaling probe: N busy Python processes doing integer
     arithmetic (no memory traffic, no Spark).  Separates the CPU fabric's
@@ -219,7 +272,13 @@ def main() -> None:
     # split size than the 128 MB default
     waves = int(os.environ.get("BENCH_WAVES", str(max(6, sweep + 1))))
     if sweep > 0:
-        os.environ.setdefault("SPARK_MAX_PART_BYTES", "16m")
+        # one pruned bucket must still yield >= 2 scan tasks per core at
+        # the WIDEST level: the fetch join broadcasts the wave, so the
+        # extraction stage inherits the bucket scan's partitioning — a
+        # 390 MB bucket at 16 MB splits is 24 tasks, which idles a third
+        # of local[32] (measured: 5 MB splits cut steady wave time ~1.4x
+        # at the wide level, no change at the narrow one)
+        os.environ.setdefault("SPARK_MAX_PART_BYTES", "5m")
     shuffle = int(os.environ.get("BENCH_SHUFFLE", "64"))
 
     reps = int(os.environ.get("SCALE_REPS", "3"))
@@ -237,6 +296,7 @@ def main() -> None:
     # bandwidth (columnar scan) and CPU fabric (pure compute)
     ceiling = host_ceiling_probe(shuffle, low, high)
     ceiling.update(cpu_fabric_probe(low, high))
+    ceiling.update(arrow_fabric_probe(shuffle, low, high))
     floor = (
         driver_floor_probe(shuffle, low, high)
         if os.environ.get("DRIVER_FLOOR", "1") != "0"
@@ -300,19 +360,22 @@ def pairs_table() -> str:
         with open(path) as f:
             d = json.load(f)
         lo, hi = int(m.group(1)), int(m.group(2))
-        ceil = (d.get("host_ceiling") or {}).get("scan_efficiency")
+        hc = d.get("host_ceiling") or {}
         rows.append(
             f"| {lo}→{hi} | {d['low']['steady_state_urls_per_sec']} | "
             f"{d['high']['steady_state_urls_per_sec']} | "
             f"**{d['scaling_efficiency_steady_state']}** | "
-            f"{d['scaling_efficiency_total']} | {ceil} |"
+            f"{d['scaling_efficiency_total']} | {hc.get('scan_efficiency')} | "
+            f"{hc.get('cpu_efficiency', '—')} | "
+            f"{hc.get('arrow_efficiency', '—')} |"
         )
     if not rows:
         return "(single pair measured so far)"
     header = (
         "| pair (cores) | steady URLs/s @N | steady URLs/s @4N | "
-        "steady-state efficiency | incl. wave 0 | host scan ceiling eff |\n"
-        "|---|---|---|---|---|---|\n"
+        "steady-state efficiency | incl. wave 0 | scan ceiling | "
+        "cpu ceiling | arrow-fabric ceiling |\n"
+        "|---|---|---|---|---|---|---|---|\n"
     )
     return header + "\n".join(rows)
 
@@ -346,27 +409,40 @@ def write_md(result, low, high, n_hosts, pages, waves, shuffle, reps):
                 f"{ceil['cpu_iters_per_s_high']} M it/s | "
                 f"{ceil['cpu_speedup']}× | {ceil['cpu_efficiency']} |\n"
             )
+        arrow_row = ""
+        if "arrow_efficiency" in ceil:
+            arrow_row = (
+                f"| Arrow fabric (scan→pandas passthrough) | "
+                f"{ceil['arrow_sec_low']} s | {ceil['arrow_sec_high']} s | "
+                f"{ceil['arrow_speedup']}× | {ceil['arrow_efficiency']} |\n"
+            )
         ceil_md = f"""
 ## Host capacity ceilings (engine-independent)
 
-Two probes measure what THIS shared microVM can give ANY software going
+Three probes measure what THIS shared microVM can give ANY software going
 from the low to the high level: a pure columnar scan (decompress + sum
-lengths; memory-bandwidth-bound, no Python, no shuffle) and a pure-compute
-probe (busy Python processes, no memory traffic):
+lengths; memory-bandwidth-bound, no Python, no shuffle), a pure-compute
+probe (busy Python processes, no memory traffic), and an Arrow-fabric
+probe (the same scan shipped through Arrow to pandas workers with a
+trivial per-batch reduction — the lane every vectorized pandas UDF rides):
 
 | probe | low | high | speedup | efficiency |
 |---|---|---|---|---|
 | scan-only (bandwidth) | {ceil["scan_sec_low"]} s | {ceil["scan_sec_high"]} s | {ceil["scan_speedup"]}× | {ceil["scan_efficiency"]} |
-{cpu_row}
-The CPU fabric delivers near-linear scaling; the MEMORY/IO path saturates
+{cpu_row}{arrow_row}
+The CPU fabric delivers near-linear scaling; the MEMORY/IO paths saturate
 (and can go negative — more concurrent streams defeat prefetch on a
 bandwidth-saturated host).  Any stage that streams bytes is capped by the
 scan ceiling regardless of plan quality; compute-bound stages (extraction,
-canonicalization) track the CPU ceiling.  The crawl's efficiency above
-should be read against this blend, not against an ideal 1.0 — on a real
-1000-executor cluster each executor brings its OWN memory channels and
-disks, so the bandwidth ceiling is per-node and does not accumulate the
-way it does on one shared box.
+canonicalization) track the CPU ceiling; and every pandas-UDF stage — the
+north star MANDATES extraction as Arrow/pandas UDFs — is additionally
+capped by the Arrow-fabric ceiling, which on this box saturates below 8
+cores.  The crawl's efficiency above should be read against this blend,
+not against an ideal 1.0 — on a real 1000-executor cluster each executor
+brings its OWN memory channels, loopback fabric, and disks, so all three
+ceilings are per-node and do not saturate the way they do on one shared
+box: the fabric capacity grows WITH cluster size, which is exactly the
+regime the N→4N criterion is about.
 """
     floor_md = ""
     if result.get("driver_floor_sec_low") is not None:

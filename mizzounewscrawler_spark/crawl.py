@@ -513,10 +513,17 @@ def run_crawl(
         # then microsecond driver-local JSON commits in checkpoint order.
         # Resume-safety is unchanged: a crash mid-wave replays the wave from
         # the last frontier snapshot, and staged dirs are overwrite-idempotent
-        # (tests/test_resume.py) — including pool-A dirs staged on a wave
-        # that turns out empty (no commit; next wave's stage() reuses and
+        # (tests/test_resume.py) — including dirs staged on a wave that
+        # turns out empty (no commit; next wave's stage() reuses and
         # overwrites the same version).
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        #
+        # ONE pool, two dependency tiers: the url_seen/frontier stages need
+        # only the flagged count (n_possible picks the dedup join strategy)
+        # — NOT the articles/host_state/order writes, whose results gate
+        # only the commits.  Submitting tier B the moment fut_flag resolves
+        # overlaps the dedup writes with the (dominant) articles write
+        # instead of serializing the two tiers behind a pool barrier.
+        with ThreadPoolExecutor(max_workers=6) as pool:
             fut_articles = pool.submit(t.articles.stage, articles_batch)
             fut_order = (
                 pool.submit(
@@ -533,16 +540,42 @@ def run_crawl(
                 t.host_state.stage, host_state_next.coalesce(small_n)
             )
             fut_flag = pool.submit(flagged_obs.count)
+            fut_flag.result()  # materializes the flagged cache
+            n_possible = int(obs_f.get["n"] or 0)
+            sec_flag = round(time.time() - wave_t0, 3)
+
+            new_frontier_rows = filter_unseen_flagged(
+                flagged, seen, n_possible, "url_hash"
+            ).cache()
+            wave_caches.append(new_frontier_rows)
+            # ALL new canonical URLs enter url_seen — including robots-
+            # disallowed ones (enforced at enqueue, never reconsidered)
+            new_seen = new_frontier_rows.select(
+                "url_hash", "url_surt"
+            ).coalesce(small_n)
+            admitted_rows = (
+                new_frontier_rows.where(F.col("robots_allowed"))
+                .withColumn("status", F.lit("discovered"))
+                .select(*FRONTIER_COLS)
+                .coalesce(small_n)
+            )
+            fut_seen = pool.submit(t.url_seen.stage, new_seen)
+            fut_frontier = pool.submit(
+                t.frontier.stage, admitted_rows, tombstones
+            )
             staged_articles = fut_articles.result()
             staged_order = fut_order.result() if fut_order is not None else None
             staged_host = fut_host.result()
-            fut_flag.result()
+            staged_seen = fut_seen.result()
+            staged_frontier = fut_frontier.result()
         r_metrics = obs_r.get
         scheduled = int(r_metrics["n"] or 0)
         fetched_ok = int(r_metrics["ok"] or 0)
         src_scheduled = int(r_metrics["src"] or 0)
-        n_possible = int(obs_f.get["n"] or 0)
-        sec_extract = round(time.time() - wave_t0, 3)
+        # lineage split: sec_extract = until the flagged count (metrics
+        # available); sec_commit = the rest of the overlapped staging
+        sec_extract = sec_flag
+        sec_commit = round(time.time() - wave_t0 - sec_extract, 3)
         if scheduled == 0:
             # every pending host is in backoff this wave — advance the
             # virtual clock and retry (bounded by max_waves)
@@ -550,28 +583,6 @@ def run_crawl(
                 c.unpersist()
             frontier = t.frontier.read().where(F.col("status") == "discovered")
             continue
-
-        new_frontier_rows = filter_unseen_flagged(
-            flagged, seen, n_possible, "url_hash"
-        ).cache()
-        wave_caches.append(new_frontier_rows)
-        # ALL new canonical URLs enter url_seen — including robots-disallowed
-        # ones (enforced at enqueue, so they are never reconsidered)
-        new_seen = new_frontier_rows.select("url_hash", "url_surt").coalesce(small_n)
-        admitted_rows = (
-            new_frontier_rows.where(F.col("robots_allowed"))
-            .withColumn("status", F.lit("discovered"))
-            .select(*FRONTIER_COLS)
-            .coalesce(small_n)
-        )
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fut_seen = pool.submit(t.url_seen.stage, new_seen)
-            fut_frontier = pool.submit(
-                t.frontier.stage, admitted_rows, tombstones
-            )
-            staged_seen = fut_seen.result()
-            staged_frontier = fut_frontier.result()
-        sec_commit = round(time.time() - wave_t0 - sec_extract, 3)
 
         # post-dedup counters come from the parquet footers of the writes
         # that already ran — no dedicated count jobs
