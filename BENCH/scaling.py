@@ -495,6 +495,19 @@ including warmup wave 0: {round(eff_tot, 3)}.
 
 {pairs_table()}
 
+Reading the table: each pair's crawl efficiency should be compared to the
+three ceiling columns measured AT THAT PAIR on this shared box.  At 2→8
+the crawl (0.9+) matches or beats every ceiling — engine scaling is
+hardware-limited, not plan-limited.  At 8→32 the box's byte-moving
+fabric collapses (columnar scan and Arrow passthrough go flat or
+NEGATIVE with more threads — memory bandwidth, not software), while pure
+CPU still scales ~0.81; the crawl lands above both byte ceilings because
+extraction compute dominates its waves.  On a real N→4N *cluster* every
+executor adds its own memory channels and loopback, so the per-node
+fabric ceilings do not apply — the 2→8 pair, where this box still has
+fabric headroom, is the faithful single-machine analog of adding
+executors.
+
 Per-wave timings at local[{low}] / local[{high}] (min across {reps} reps;
 `wave_sec_all_reps` shows every rep — the spread IS the host noise):
 
