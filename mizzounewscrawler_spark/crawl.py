@@ -93,6 +93,13 @@ class CrawlConfig:
     # unchanged (budgets per host per wave); a URL waits at most H−1 extra
     # waves for its bucket's turn.
     bucket_sweep: int = 0
+    # S6 proxy-scraping discovery: ((host, article_regex), …) pairs — the
+    # reference's discovery_proxy sources + per-domain pattern table
+    # (discovery.py:2328-2410).  For flagged hosts, source pages keep their
+    # raw html through extraction and are pattern-scanned JVM-side; a host
+    # whose pattern matched contributes only those matches that wave (the
+    # reference's early-return on proxy success).  None = off (default).
+    proxy_patterns: tuple | None = None
 
 
 @session_memo
@@ -173,6 +180,7 @@ def discover_candidates(
     robots: DataFrame,
     max_depth: int,
     host_rules: DataFrame | None = None,
+    proxy_rows: list | None = None,
 ) -> DataFrame:
     """Extract discovered links from this wave's fetches → canonical,
     in-batch-deduped, host-scoped, robots-marked candidate frontier rows
@@ -183,9 +191,61 @@ def discover_candidates(
     allowed hosts + their robots rules: passing it fuses the host-scope
     semi join and the robots broadcast join into one inner join (host
     presence ⇒ in scope), halving this stage's broadcast builds per wave.
+
+    ``proxy_rows`` (host, article_regex) enables S6 proxy-scraping
+    discovery (reference source_processing.py:629-650): source pages of
+    flagged hosts are pattern-scanned (JVM regex over ``html_kept`` — see
+    ``fetch_and_extract(keep_html_hosts=…)``), and when a host's pattern
+    matched, its generic anchor links are dropped for the wave — the
+    reference's early-return-on-proxy-success, per host.
     """
     has_links, expl, depth1, depth_ok = _link_exprs(max_depth)
-    links = results.where(has_links).select(expl, depth1).where(depth_ok)
+    links = (
+        results.where(has_links)
+        .select(expl, depth1, F.col("host").alias("_parent"))
+        .where(depth_ok)
+    )
+    if proxy_rows:
+        if "html_kept" not in results.columns:
+            raise ValueError(
+                "proxy_rows requires results with an html_kept column — "
+                "call fetch_and_extract(keep_html_hosts=...)"
+            )
+        from mizzounewscrawler_spark.operators.proxy_discovery import (
+            proxy_links_expr,
+        )
+
+        flagged = results.where(
+            F.col("host").isin([h for h, _ in proxy_rows])
+            & F.col("found")
+            & is_source_url_expr(F.col("url_surt"))
+        ).where(depth_ok)
+        pl = flagged.select(
+            F.explode(
+                proxy_links_expr(proxy_rows, F.col("host"), F.col("html_kept"))
+            ).alias("_path"),
+            depth1,
+            F.col("url").alias("_base"),
+            F.col("host").alias("_parent"),
+        )
+        purl = F.when(
+            F.col("_path").startswith("http"), F.col("_path")
+        ).otherwise(
+            F.concat(
+                F.regexp_extract(F.col("_base"), r"^(https?://[^/]+)", 1),
+                F.col("_path"),
+            )
+        )
+        pl = pl.select(purl.alias("url"), "depth", "_parent").where(
+            F.col("url").startswith("http")
+        )
+        # early-return semantics: hosts whose pattern produced matches
+        # contribute ONLY those matches this wave (dimension-sized anti)
+        hosts_with = pl.select("_parent").distinct()
+        links = links.join(
+            F.broadcast(hosts_with), on="_parent", how="left_anti"
+        ).unionByName(pl)
+    links = links.drop("_parent")
     cand = _canonical_cols(links).select("*", priority_expr().alias("priority"))
     # in-batch dedup: one row per url_hash; deterministic winner = smallest
     # (depth, url) so tracking-param variants never shadow the canonical raw
@@ -419,13 +479,23 @@ def run_crawl(
         ).cache()
         wave_caches.append(wave_df)
 
-        results = with_status(fetch_and_extract(wave_df, pages_wave)).cache()
+        proxy_rows = list(cfg.proxy_patterns) if cfg.proxy_patterns else None
+        results = with_status(
+            fetch_and_extract(
+                wave_df,
+                pages_wave,
+                keep_html_hosts=(
+                    frozenset(h for h, _ in proxy_rows) if proxy_rows else None
+                ),
+            )
+        ).cache()
         wave_caches.append(results)
         ok_expr = F.col("fetch_status").isin("extracted", "wire", "paywall", "feed")
         is_src = is_source_url_expr(F.col("url_surt"))
 
         cand = discover_candidates(
             results, allowed_hosts, robots, cfg.max_depth, host_rules=host_rules,
+            proxy_rows=proxy_rows,
         )
         flagged = bloom_flag(cand, bloom, "url_hash", caches=wave_caches)
 

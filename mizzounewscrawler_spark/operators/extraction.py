@@ -137,7 +137,11 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def fetch_and_extract(wave: DataFrame, pages: DataFrame) -> DataFrame:
+def fetch_and_extract(
+    wave: DataFrame,
+    pages: DataFrame,
+    keep_html_hosts: "frozenset[str] | set[str] | None" = None,
+) -> DataFrame:
     """Join the wave against ``pages`` ("fetch") and extract.
 
     The join key is the **canonical SURT**, not the raw URL: a frontier row
@@ -191,16 +195,29 @@ def fetch_and_extract(wave: DataFrame, pages: DataFrame) -> DataFrame:
         missing.select(*wave.columns, "html")
     )
 
+    keep_set = frozenset(keep_html_hosts) if keep_html_hosts else None
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             res = _extract_batch(pdf[["url", "html"]])
+            if keep_set is not None:
+                # S6 passthrough: raw html survives extraction ONLY for
+                # proxy-pattern-flagged hosts (a dimension) — the column is
+                # NULL everywhere else, so the Arrow return path stays
+                # wave-metadata-sized
+                res["html_kept"] = pdf["html"].where(
+                    pdf["host"].isin(keep_set), None
+                ).reset_index(drop=True)
             carried = pdf.drop(columns=["html", "url"])
             yield pd.concat(
                 [res.reset_index(drop=True), carried.reset_index(drop=True)], axis=1
             )
 
     carried_fields = [f for f in fetched.schema.fields if f.name not in ("url", "html")]
-    schema = T.StructType(list(EXTRACT_SCHEMA.fields) + carried_fields)
+    extract_fields = list(EXTRACT_SCHEMA.fields)
+    if keep_set is not None:
+        extract_fields.append(T.StructField("html_kept", T.BinaryType()))
+    schema = T.StructType(extract_fields + carried_fields)
     return fetched.mapInPandas(run, schema)
 
 

@@ -1228,6 +1228,70 @@ FROM (
 """
 
 
+def q_proxy_pattern_discovery(spark, sf):
+    """S6 proxy-scraping discovery (reference discovery.py:2328-2410) over
+    the documents table: each document plays a bot-walled homepage whose
+    single article path lives in a JS payload (no anchors), and two
+    sources carry DIFFERENT per-host patterns — exercising the
+    when-chained per-host regex fold and the absolutization path."""
+    from mizzounewscrawler_spark.operators.proxy_discovery import (
+        load_proxy_patterns,
+        proxy_pattern_discover,
+    )
+
+    d = t(spark, sf, "documents").where(F.col("source").isin("src0", "src1"))
+    host = F.concat(F.lit("www."), F.col("source"), F.lit(".test"))
+    slug = F.regexp_replace(F.substring(F.col("text"), 1, 12), "[^a-z]", "-")
+    html = F.concat(
+        F.lit('<script>{"articles":[{"url":"/stories/'),
+        slug,
+        F.lit(","),
+        F.col("doc_id").cast("string"),
+        F.lit('"}]}</script>'),
+    )
+    fetched = d.select(
+        F.concat(F.lit("https://"), host, F.lit("/")).alias("url"),
+        host.alias("host"),
+        html.cast("binary").alias("html_kept"),
+    )
+    pats = load_proxy_patterns(
+        spark,
+        [
+            ("www.src0.test", r'/stories/[^",]+,\d+'),
+            # src1's stricter pattern only matches slugs starting a-f (or
+            # the '-' replacement char) — per-host divergence is the point
+            ("www.src1.test", r'/stories/[a-f-][^",]*,\d+'),
+        ],
+    )
+    out = proxy_pattern_discover(fetched, pats)
+    return (
+        out.groupBy("host")
+        .agg(F.count("*").alias("n_links"), F.min("url").alias("first_link"))
+        .orderBy("host")
+    )
+
+
+SQL_PROXY_PATTERN = r"""
+WITH fetched AS (
+  SELECT 'www.' || source || '.test' AS host,
+         '<script>{"articles":[{"url":"/stories/'
+           || regexp_replace(substring(text, 1, 12), '[^a-z]', '-', 'g')
+           || ',' || doc_id || '"}]}</script>' AS html
+  FROM documents WHERE source IN ('src0', 'src1')
+), m AS (
+  SELECT host, unnest(regexp_extract_all(html, '/stories/[^",]+,\d+')) AS path
+  FROM fetched WHERE host = 'www.src0.test'
+  UNION ALL
+  SELECT host, unnest(regexp_extract_all(html, '/stories/[a-f-][^",]*,\d+')) AS path
+  FROM fetched WHERE host = 'www.src1.test'
+), links AS (
+  SELECT DISTINCT host, 'https://' || host || path AS url FROM m
+)
+SELECT host, count(*) AS n_links, min(url) AS first_link
+FROM links GROUP BY host ORDER BY host
+"""
+
+
 CATALOG: list[QuerySpec] = [
     QuerySpec("pricing_summary", q_pricing_summary, SQL_PRICING, "A2/A4"),
     QuerySpec("top_customers", q_top_customers, SQL_TOP_CUSTOMERS, "A1"),
@@ -1248,6 +1312,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("feed_date_parse", q_feed_date_parse, SQL_FEED_DATE, "C18/C9/F6"),
     QuerySpec("url_verification_chain", q_url_verification, _sql_verify(), "F3/F5/F9/U4"),
     QuerySpec("likely_article_filter", q_likely_article_filter, _sql_likely_article(), "F2/F10"),
+    QuerySpec("proxy_pattern_discovery", q_proxy_pattern_discovery, SQL_PROXY_PATTERN, "S6"),
     QuerySpec("ner_gazetteer_match", q_ner_gazetteer, _sql_ner_gazetteer(), "U6/J6"),
     QuerySpec("hourly_rollup", q_hourly_rollup, SQL_HOURLY, "P13"),
     QuerySpec("host_error_rollup", q_host_error_rollup, SQL_HOST_ERROR, "A9"),
