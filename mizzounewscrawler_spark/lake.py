@@ -56,6 +56,28 @@ def _dir_rows(d: str) -> int:
     return total
 
 
+def _dir_file_stats(d: str) -> list[dict[str, Any]]:
+    """Per-data-file (partition) lineage: name, rows, bytes — the Iceberg
+    manifest-entry analog (DataFile record row_count/file_size), read from
+    parquet footers driver-side, no Spark job.  O(files-per-version) and
+    wave outputs are coalesced to a handful of files, so this adds
+    microseconds to the (already driver-local) commit."""
+    import pyarrow.parquet as pq
+
+    stats = []
+    for name in sorted(os.listdir(d)):
+        if name.endswith(".parquet"):
+            p = os.path.join(d, name)
+            stats.append(
+                {
+                    "file": name,
+                    "rows": pq.ParquetFile(p).metadata.num_rows,
+                    "bytes": os.path.getsize(p),
+                }
+            )
+    return stats
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -67,6 +89,10 @@ class Snapshot:
     # deletes/v{N}/ dir holds delete-key files, and the equality column
     delete_versions: list[int] = field(default_factory=list)
     delete_key_col: str = ""
+    # per-partition lineage of THIS version's commit: [{file, rows, bytes}]
+    # for data files, same for delete files (Iceberg manifest-entry analog)
+    files: list[dict] = field(default_factory=list)
+    delete_files: list[dict] = field(default_factory=list)
 
     @property
     def snapshot_id(self) -> int:
@@ -112,6 +138,8 @@ class LakeTable:
                     parent=raw.get("parent"),
                     delete_versions=raw.get("delete_versions", []),
                     delete_key_col=raw.get("delete_key_col", ""),
+                    files=raw.get("files", []),
+                    delete_files=raw.get("delete_files", []),
                 )
             out.append(self._cache[version])
         return out
@@ -198,6 +226,17 @@ class LakeTable:
             "parent": prev.version if prev else None,
             "delete_versions": deletes,
             "delete_key_col": key_col,
+            # per-partition lineage (north rule): one entry per data file
+            # of THIS version with footer row count + size — the Iceberg
+            # manifest DataFile analog, auditable without reading data
+            "files": (
+                _dir_file_stats(self._data_dir(version)) if has_data else []
+            ),
+            "delete_files": (
+                _dir_file_stats(self._delete_dir(version))
+                if has_deletes
+                else []
+            ),
         }
         os.makedirs(self._snap_dir, exist_ok=True)
         tmp = os.path.join(self._snap_dir, f".v{version:06d}.json.tmp")
@@ -215,6 +254,8 @@ class LakeTable:
             parent=manifest["parent"],
             delete_versions=deletes,
             delete_key_col=key_col,
+            files=manifest["files"],
+            delete_files=manifest["delete_files"],
         )
         self._cache[version] = snap
         return snap

@@ -151,3 +151,36 @@ def test_bq_export_shapes_and_checksums(spark, tmp_path):
     assert arts["12"]["word_count"] == 0
     labs = spark.read.parquet(f"{out}/cin_labels/*.parquet").collect()
     assert labs[0]["label"] == "civic" and labs[0]["article_url"].endswith("/1")
+
+
+def test_per_file_lineage_in_manifest(spark, tmp_path):
+    """North rule: snapshot metadata carries per-partition lineage — one
+    entry per data/delete file with footer row count + size, auditable
+    without reading data (Iceberg manifest DataFile analog)."""
+    import json
+
+    t = LakeTable(spark, str(tmp_path / "lin"))
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    ).repartition(3)
+    t.overwrite(base, {"wave": -1})
+    snap = t.merge(
+        spark.createDataFrame([(10, "x")], "k long, v string"),
+        spark.createDataFrame([(0,)], "k long"),
+        "k",
+        {"wave": 0},
+    )
+    # in-memory snapshot
+    assert sum(f["rows"] for f in snap.files) == 1
+    assert sum(f["rows"] for f in snap.delete_files) == 1
+    assert all(f["bytes"] > 0 for f in snap.files + snap.delete_files)
+    # and the durable manifest JSON says the same (crash-replay auditable)
+    with open(
+        os.path.join(str(tmp_path / "lin"), "snapshots", f"v{snap.version:06d}.json")
+    ) as f:
+        raw = json.load(f)
+    assert raw["files"] == snap.files
+    assert raw["delete_files"] == snap.delete_files
+    # the overwrite snapshot saw the 3 repartitioned files
+    first = t.snapshots()[0]
+    assert len(first.files) == 3 and sum(f["rows"] for f in first.files) == 10
