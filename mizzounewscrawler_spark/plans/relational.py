@@ -808,9 +808,11 @@ def _tel_articles(spark, sf):
     )
     return d.select(
         F.col("source").alias("host"),
+        F.concat(F.lit("pub-"), F.col("source")).alias("publisher"),
         status.alias("status"),
         method.alias("method"),
         (i % 10).cast("int").alias("wave"),
+        ((i % 97) * 10 + 50).cast("double").alias("duration_ms"),
     )
 
 
@@ -863,6 +865,30 @@ SELECT host, method, attempts, articles_found,
        (articles_found * 100.0 / attempts > 50 AND articles_found > 0
         AND attempts >= 2) AS effective
 FROM g
+"""
+
+
+def q_publisher_stats(spark, sf):
+    """A9: per-(publisher, host, method) performance rollup (reference
+    get_publisher_stats, comprehensive_telemetry.py:1281-1304)."""
+    from mizzounewscrawler_spark.plans.telemetry import publisher_stats
+
+    return publisher_stats(_tel_articles(spark, sf))
+
+
+SQL_PUBLISHER_STATS = f"""
+WITH a AS (
+  SELECT 'pub-' || source AS publisher, source AS host,
+         {_TEL_STATUS} AS status, {_TEL_METHOD} AS method,
+         CAST((doc_id % 97) * 10 + 50 AS DOUBLE) AS duration_ms
+  FROM documents
+)
+SELECT publisher, host, method AS most_common_method,
+       count(*) AS total_attempts,
+       CAST(sum(CASE WHEN status IN ('extracted','wire','feed')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS successful,
+       avg(duration_ms) AS avg_duration_ms
+FROM a GROUP BY 1, 2, 3
 """
 
 
@@ -1317,6 +1343,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("hourly_rollup", q_hourly_rollup, SQL_HOURLY, "P13"),
     QuerySpec("host_error_rollup", q_host_error_rollup, SQL_HOST_ERROR, "A9"),
     QuerySpec("method_effectiveness_prune", q_method_effectiveness, SQL_METHOD_EFF, "A8/A9"),
+    QuerySpec("publisher_stats", q_publisher_stats, SQL_PUBLISHER_STATS, "A9"),
     QuerySpec("due_cadence", q_due_cadence, SQL_DUE, "P1"),
     QuerySpec("union_discovery_dedup", q_union_dedup, SQL_UNION, "§2.7"),
     QuerySpec("exact_dedup_docs", q_exact_dedup, SQL_EXACT_DEDUP, "J8"),

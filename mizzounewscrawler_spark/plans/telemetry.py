@@ -185,3 +185,40 @@ def effective_methods_per_host(
         .alias("methods"),
         "last_success",
     )
+
+
+def publisher_stats(
+    articles: DataFrame,
+    publisher_col: str = "publisher",
+    host_col: str = "host",
+    method_col: str = "method",
+    status_col: str = "status",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Per-(publisher, host, method) performance rollup — the reference's
+    ``get_publisher_stats`` (comprehensive_telemetry.py:1281-1304):
+    total attempts, successes, and average duration, attempts-descending.
+
+    Plain groupBy on a uniform composite key: map-side partial aggregation
+    (count/sum/avg all combine), no window, no skew hazard — the per-pub
+    SQLite query becomes one shuffle that scales linearly with article
+    volume."""
+    ok = F.col(status_col).isin(*OK_STATUSES)
+    return (
+        articles.groupBy(
+            F.col(publisher_col).alias("publisher"),
+            F.col(host_col).alias("host"),
+            F.col(method_col).alias("most_common_method"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total_attempts"),
+            F.sum(F.when(ok, 1).otherwise(0)).alias("successful"),
+            F.avg(F.col(duration_col)).alias("avg_duration_ms"),
+        )
+        .orderBy(
+            F.col("total_attempts").desc(),
+            "publisher",
+            "host",
+            "most_common_method",
+        )
+    )

@@ -79,3 +79,27 @@ def test_effective_methods_order_fallback_and_last_success(spark):
     # b: fallback to all methods, no last success
     assert got["b.test"]["methods"] == list(DEFAULT_METHODS)
     assert got["b.test"]["last_success"] is None
+
+
+def test_publisher_stats_rollup(spark):
+    from mizzounewscrawler_spark.plans.telemetry import publisher_stats
+
+    arts = spark.createDataFrame(
+        [
+            ("pub-a", "a.test", "rss_feed", "extracted", 100.0),
+            ("pub-a", "a.test", "rss_feed", "failed", 200.0),
+            ("pub-a", "a.test", "newspaper4k", "wire", 40.0),
+            ("pub-b", "b.test", "rss_feed", "extracted", 10.0),
+        ],
+        "publisher string, host string, method string, status string, duration_ms double",
+    )
+    rows = {
+        (r["publisher"], r["most_common_method"]): r
+        for r in publisher_stats(arts).collect()
+    }
+    top = rows[("pub-a", "rss_feed")]
+    assert top["total_attempts"] == 2 and top["successful"] == 1
+    assert top["avg_duration_ms"] == 150.0
+    # attempts-descending order (reference ORDER BY total_attempts DESC)
+    ordered = publisher_stats(arts).collect()
+    assert ordered[0]["total_attempts"] == 2
