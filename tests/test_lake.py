@@ -184,3 +184,60 @@ def test_per_file_lineage_in_manifest(spark, tmp_path):
     # the overwrite snapshot saw the 3 repartitioned files
     first = t.snapshots()[0]
     assert len(first.files) == 3 and sum(f["rows"] for f in first.files) == 10
+
+
+def test_compact_small_binpacks_and_preserves_rows(spark, tmp_path):
+    """VERDICT r3 wrong #2: bin-pack compaction bounds live_versions for
+    append-heavy tables without changing the visible rows, and leaves
+    merge-on-read deletes in force."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    expect = []
+    for i in range(10):
+        batch = [(i * 10 + j, f"v{i}") for j in range(3)]
+        expect.extend(batch)
+        df = spark.createDataFrame(batch, "k long, v string")
+        if i == 0:
+            t.overwrite(df, {"wave": i})
+        else:
+            t.append(df, {"wave": i})
+    assert len(t.current_snapshot().live_versions) == 10
+    # a merge-on-read delete that must survive the rewrite
+    t.merge(None, spark.createDataFrame([(11,)], "k long"), "k", {"wave": 10})
+    expect = [(k, v) for k, v in expect if k != 11]
+
+    snap = t.compact_small(4, {"wave": 10})
+    assert snap is not None
+    assert snap.summary["compaction"] == "binpack"
+    assert len(snap.live_versions) <= 3  # keep 2 biggest + 1 packed
+    assert snap.delete_versions, "deletes must carry through rewrite"
+    assert _rows(t.read()) == sorted(expect)
+    # under the cap → no-op
+    assert t.compact_small(4) is None
+    # appends keep working afterwards
+    t.append(spark.createDataFrame([(999, "z")], "k long, v string"), {"wave": 11})
+    assert (999, "z") in _rows(t.read())
+
+
+def test_crawl_bounded_live_versions_and_equivalence(spark, web_spark):
+    """Long-crawl contract: with the bin-pack trigger on, append-heavy
+    tables keep a bounded live-version count and the crawl's results are
+    identical to a run with compaction disabled."""
+    import tempfile
+
+    from mizzounewscrawler_spark.crawl import CrawlConfig, open_tables, run_crawl
+
+    pages, seeds, robots = web_spark
+    seen_sets, article_counts = {}, {}
+    for cap in (0, 4):
+        out = tempfile.mkdtemp(prefix=f"crawl_cap{cap}_")
+        cfg = CrawlConfig(max_waves=8, bloom_capacity=10000, compact_max_live=cap)
+        run_crawl(spark, pages, seeds, robots, out, cfg)
+        t = open_tables(spark, out)
+        seen_sets[cap] = sorted(r["url_surt"] for r in t.url_seen.read().collect())
+        article_counts[cap] = t.articles.read().count()
+        if cap:
+            for tbl in (t.url_seen, t.articles, t.order_log):
+                n_live = len(tbl.current_snapshot().live_versions)
+                assert n_live <= cap + 1, (tbl.path, n_live)
+    assert seen_sets[4] == seen_sets[0]
+    assert article_counts[4] == article_counts[0]
