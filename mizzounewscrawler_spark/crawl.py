@@ -117,6 +117,20 @@ class CrawlConfig:
     # whose pattern matched contributes only those matches that wave (the
     # reference's early-return on proxy success).  None = off (default).
     proxy_patterns: tuple | None = None
+    # Record-level per-operation telemetry (reference comprehensive
+    # telemetry, src/utils/comprehensive_telemetry.py:335): write a
+    # fetch_events lake table per wave — fetch/discovery/challenge events
+    # per scheduled URL, so failure forensics work for URLs that never
+    # become useful article rows.  Off by default: it is one extra
+    # wave-sized staged write per wave (overlapped, but not free in the
+    # throughput regime); the A9 rollups recompute exactly from the event
+    # stream when it is on (plans/telemetry.py: fetch_events_from_results).
+    with_fetch_events: bool = False
+    # S1 dataset scoping (reference dataset_label filter,
+    # src/crawler/discovery.py:2071-2326): crawl only the sources that are
+    # members of this named dataset — requires run_crawl(dataset_sources=…)
+    # carrying the (dataset_label, source_id) M:N dim.  None = all sources.
+    dataset_label: str | None = None
 
 
 @session_memo
@@ -325,6 +339,7 @@ class CrawlTables:
     articles: LakeTable
     host_state: LakeTable
     order_log: LakeTable
+    fetch_events: LakeTable
 
 
 def open_tables(spark: SparkSession, out_dir: str) -> CrawlTables:
@@ -334,6 +349,7 @@ def open_tables(spark: SparkSession, out_dir: str) -> CrawlTables:
         articles=LakeTable(spark, f"{out_dir}/articles"),
         host_state=LakeTable(spark, f"{out_dir}/host_state"),
         order_log=LakeTable(spark, f"{out_dir}/order_log"),
+        fetch_events=LakeTable(spark, f"{out_dir}/fetch_events"),
     )
 
 
@@ -354,6 +370,7 @@ def run_crawl(
     out_dir: str,
     config: CrawlConfig | None = None,
     initial_frontier: DataFrame | None = None,
+    dataset_sources: DataFrame | None = None,
 ) -> dict:
     """Run (or resume) the crawl; returns the final wave counters.
 
@@ -361,9 +378,22 @@ def run_crawl(
     raw ``url`` strings) replacing the homepage+feed seeding — the
     Common-Crawl-style regime of the north rule, where the crawl starts
     from a known 10^10-URL frontier rather than discovering from scratch.
+
+    ``dataset_sources``: (dataset_label, source_id) M:N dim enabling S1
+    dataset scoping when ``config.dataset_label`` is set — the seed set is
+    semi-joined to the dataset's members up front, which scopes every
+    downstream stage (frontier, host dims, waves, admission) for free.
     """
     cfg = config or CrawlConfig()
     t = open_tables(spark, out_dir)
+    if cfg.dataset_label is not None:
+        if dataset_sources is None:
+            raise ValueError(
+                "config.dataset_label requires run_crawl(dataset_sources=…)"
+            )
+        from mizzounewscrawler_spark.operators.datasets import scope_sources
+
+        seeds = scope_sources(seeds, dataset_sources, cfg.dataset_label)
     allowed_hosts = seeds.select("host").distinct()
 
     # Pre-fuse the loop-invariant host dimensions ONCE (cached): per-wave
@@ -627,8 +657,20 @@ def run_crawl(
         # only the commits.  Submitting tier B the moment fut_flag resolves
         # overlaps the dedup writes with the (dominant) articles write
         # instead of serializing the two tiers behind a pool barrier.
-        with ThreadPoolExecutor(max_workers=6) as pool:
+        with ThreadPoolExecutor(max_workers=7) as pool:
             fut_articles = pool.submit(t.articles.stage, articles_batch)
+            fut_events = None
+            if cfg.with_fetch_events:
+                from mizzounewscrawler_spark.plans.telemetry import (
+                    fetch_events_from_results,
+                )
+
+                fut_events = pool.submit(
+                    t.fetch_events.stage,
+                    fetch_events_from_results(results, wave, wave_ts).coalesce(
+                        small_n
+                    ),
+                )
             fut_order = (
                 pool.submit(
                     t.order_log.stage,
@@ -679,6 +721,7 @@ def run_crawl(
             staged_articles = fut_articles.result()
             staged_order = fut_order.result() if fut_order is not None else None
             staged_host = fut_host.result()
+            staged_events = fut_events.result() if fut_events is not None else None
             if idle_wave:
                 staged_seen = staged_frontier = None
             else:
@@ -717,6 +760,8 @@ def run_crawl(
         )
         if staged_order is not None:
             t.order_log.commit_staged(staged_order, "append", {"wave": wave})
+        if staged_events is not None:
+            t.fetch_events.commit_staged(staged_events, "append", {"wave": wave})
         t.host_state.commit_staged(staged_host, "overwrite", {"wave": wave})
 
         # append-heavy compaction (VERDICT r3 wrong #2): bin-pack the small
@@ -725,7 +770,7 @@ def run_crawl(
         # O(wave) I/O (see lake.compact_small); runs BEFORE the url_seen
         # re-read below so the next wave plans over the packed manifest
         if cfg.compact_max_live:
-            for tbl in (t.url_seen, t.articles, t.order_log):
+            for tbl in (t.url_seen, t.articles, t.order_log, t.fetch_events):
                 tbl.compact_small(cfg.compact_max_live, {"wave": wave})
 
         seen = t.url_seen.read()

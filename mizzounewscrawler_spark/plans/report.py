@@ -54,15 +54,35 @@ def county_report(
     labels: DataFrame | None = None,
     entities: DataFrame | None = None,
     county: str | None = None,
+    dataset_sources: DataFrame | None = None,
+    dataset_label: str | None = None,
 ) -> DataFrame:
-    """The 5-way report join (county_report.py:189-218)."""
+    """The 5-way report join (county_report.py:189-218).
+
+    ``dataset_sources``/``dataset_label`` scope the report to one named
+    dataset's sources (S1 parity — reference dataset filter in the report
+    CTEs): the source dim is semi-joined to the dataset members and the
+    articles are semi-joined to the surviving hosts, both broadcast."""
     arts = articles.where(~F.col("status").isin(*EXCLUDED_STATUSES))
+    if dataset_label is not None:
+        from mizzounewscrawler_spark.operators.datasets import scope_sources
+
+        sources = scope_sources(sources, dataset_sources, dataset_label)
+        arts = arts.join(
+            F.broadcast(sources.select("host")), on="host", how="left_semi"
+        )
     src = sources.select(
         F.col("host").alias("_src_host"), "name", "city", "county"
     )
     out = arts.join(F.broadcast(src), arts["host"] == src["_src_host"], "left").drop(
         "_src_host"
     )
+    # county filter hoisted ABOVE the labels/entities joins (VERDICT r3
+    # polish): Catalyst pushes it anyway today, but filtering here makes the
+    # selective plan robust to schema drift and shrinks the join input
+    # explicitly
+    if county:
+        out = out.where(F.col("county") == county)
     # labels/entities aggregate to one row per ARTICLE — fact-sized, not
     # dimension-sized — so no broadcast hint: url_hash is a uniform key and
     # a shuffled join scales to 100x article counts where a forced broadcast
@@ -82,8 +102,6 @@ def county_report(
             out["url_hash"] == F.col("article_id"),
             "left",
         ).drop("article_id")
-    if county:
-        out = out.where(F.col("county") == county)
     cols = ["url", "host", "title", "author", "status", "name", "city", "county"]
     has_pub = "publish_date" in articles.columns
     if has_pub:
