@@ -146,6 +146,54 @@ def arrow_fabric_probe(shuffle: int, low: int, high: int, reps: int = 2) -> dict
     }
 
 
+def extract_cpu_probe(shuffle: int, low: int, high: int, reps: int = 2) -> dict:
+    """The REAL extraction cascade (operators.extraction._extract_batch)
+    over the same page bytes the Arrow probe ships — the crawl's dominant
+    phase measured in isolation at both levels.  Compared with
+    :func:`arrow_fabric_probe` (identical scan + Arrow ship, trivial
+    reduction) this splits the extract phase into its byte lane
+    (``arrow_sec``) and compute lane (``ext_sec − arrow_sec``): the
+    byte-vs-CPU wave decomposition VERDICT r3 asked for."""
+    import time as _t
+
+    import pandas as pd
+
+    n_hosts = int(os.environ.get("BENCH_HOSTS", "4000"))
+    pages = int(os.environ.get("BENCH_PAGES", "120000"))
+    sweep = int(os.environ.get("BENCH_BUCKET_SWEEP", "0"))
+    from bench import _cached_web
+    from mizzounewscrawler_spark.operators.extraction import _extract_batch
+
+    def run_extract(it):
+        for df in it:
+            out = _extract_batch(df[["url", "html"]])
+            yield pd.DataFrame({"n": [int(out["found"].sum())]})
+
+    best = {}
+    for rep in range(reps):
+        for cores in (low, high):
+            spark = build_session(
+                cores, shuffle_partitions=shuffle, app_name=f"ext-{cores}-{rep}"
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+            pages_df, _, _ = _cached_web(spark, n_hosts, pages, bucket_sweep=sweep)
+            from pyspark.sql import functions as F
+
+            scan = pages_df.select("url", "html")
+            scan.count()  # warm listing/footers (untimed)
+            t0 = _t.time()
+            scan.mapInPandas(run_extract, "n long").agg(F.sum("n")).collect()
+            dt = _t.time() - t0
+            spark.stop()
+            best[cores] = min(best.get(cores, float("inf")), dt)
+    return {
+        "ext_sec_low": round(best[low], 2),
+        "ext_sec_high": round(best[high], 2),
+        "ext_speedup": round(best[low] / best[high], 2),
+        "ext_efficiency": round(best[low] / best[high] / (high / low), 3),
+    }
+
+
 def cpu_fabric_probe(low: int, high: int, seconds: float = 6.0) -> dict:
     """Pure-compute scaling probe: N busy Python processes doing integer
     arithmetic (no memory traffic, no Spark).  Separates the CPU fabric's
@@ -218,6 +266,105 @@ def driver_floor_probe(shuffle: int, low: int, high: int, waves: int = 6) -> dic
         "driver_floor_sec_low": floors[low]["steady_wave_sec_min"],
         "driver_floor_sec_high": floors[high]["steady_wave_sec_min"],
         "driver_floor_detail": floors,
+    }
+
+
+PHASE_KEYS = ("sec_extract", "sec_commit", "sec_bloom", "sec_finalize")
+
+
+def phase_attribution(
+    r_low: dict, r_high: dict, low: int, high: int, ceiling: dict,
+    floor: dict,
+) -> dict:
+    """Byte-vs-CPU wave decomposition (VERDICT r3 next #1): per crawl phase,
+    the steady-state seconds at both levels, its share, its MEASURED
+    scaling efficiency, and a composite efficiency PREDICTED from the
+    engine-independent lane ceilings:
+
+      extract  → the measured real-extraction probe (its own byte lane is
+                 split out via arrow_sec/ext_sec: Arrow ship vs extraction
+                 compute),
+      commit   → the byte lane (scan ceiling: parquet encode + page cache),
+      bloom/finalize/other → driver-fixed (driver-floor ratio when
+                 measured; else assumed not to shrink at all).
+
+    predicted = 1 / Σ_p (share_low_p / lane_eff_p) — the weighted-harmonic
+    composition of per-lane efficiencies (Amdahl over lanes).  The verdict's
+    acceptance bar: measured steady-state efficiency within ~0.1 of this
+    prediction, i.e. the crawl's scaling is fully attributed to host lanes,
+    not engine waste."""
+    ratio = high / low
+
+    def sums(r):
+        ss = [w for w in r["per_wave"] if w["wave"] >= 1]
+        tot = sum(w["wave_sec"] for w in ss)
+        ph = {k: sum(w.get(k, 0.0) or 0.0 for w in ss) for k in PHASE_KEYS}
+        ph["sec_other"] = max(tot - sum(ph.values()), 0.0)
+        return tot, ph
+
+    tot_l, ph_l = sums(r_low)
+    tot_h, ph_h = sums(r_high)
+    phases = {}
+    for k in (*PHASE_KEYS, "sec_other"):
+        eff = (ph_l[k] / ph_h[k] / ratio) if ph_h[k] > 1e-9 else None
+        phases[k] = {
+            "low_s": round(ph_l[k], 2),
+            "high_s": round(ph_h[k], 2),
+            "share_low": round(ph_l[k] / tot_l, 3) if tot_l else None,
+            "efficiency": round(eff, 3) if eff is not None else None,
+        }
+
+    # lane efficiencies from the engine-independent probes
+    fl, fh = floor.get("driver_floor_sec_low"), floor.get("driver_floor_sec_high")
+    drv_eff = (fl / fh / ratio) if (fl and fh) else (1.0 / ratio)
+    lane = {}
+    ext_eff = ceiling.get("ext_efficiency")
+    if ext_eff:
+        lane["sec_extract"] = ext_eff
+    scan_eff = ceiling.get("scan_efficiency")
+    if scan_eff:
+        lane["sec_commit"] = scan_eff
+    for k in ("sec_bloom", "sec_finalize", "sec_other"):
+        lane[k] = drv_eff
+    denom = 0.0
+    ok = True
+    for k, ph in phases.items():
+        if ph["share_low"] is None:
+            ok = False
+            break
+        le = lane.get(k)
+        if le is None or le <= 0:
+            ok = ph["share_low"] < 0.02  # unprobed lane must be negligible
+            if not ok:
+                break
+            continue
+        denom += ph["share_low"] / le
+    predicted = round(1.0 / denom, 3) if (ok and denom > 0) else None
+    # extract byte/cpu split from the probes (shares within the extract
+    # lane), plus the blend cross-check: does the measured real-extraction
+    # efficiency itself decompose into arrow_frac byte lane + the rest on
+    # the CPU lane?
+    a, e = ceiling.get("arrow_sec_low"), ceiling.get("ext_sec_low")
+    arrow_frac = round(a / e, 3) if (a and e and e > 0) else None
+    pred_ext = None
+    if arrow_frac is not None and ceiling.get("arrow_efficiency") and ceiling.get(
+        "cpu_efficiency"
+    ):
+        pred_ext = round(
+            1.0
+            / (
+                arrow_frac / ceiling["arrow_efficiency"]
+                + (1 - arrow_frac) / ceiling["cpu_efficiency"]
+            ),
+            3,
+        )
+    return {
+        "phases": phases,
+        "lane_efficiencies": {k: round(v, 3) for k, v in lane.items()},
+        "extract_arrow_frac_low": arrow_frac,
+        "predicted_extract_eff_from_blend": pred_ext,
+        "driver_eff": round(drv_eff, 3),
+        "predicted_composite_efficiency": predicted,
     }
 
 
@@ -297,6 +444,7 @@ def main() -> None:
     ceiling = host_ceiling_probe(shuffle, low, high)
     ceiling.update(cpu_fabric_probe(low, high))
     ceiling.update(arrow_fabric_probe(shuffle, low, high))
+    ceiling.update(extract_cpu_probe(shuffle, low, high))
     floor = (
         driver_floor_probe(shuffle, low, high)
         if os.environ.get("DRIVER_FLOOR", "1") != "0"
@@ -322,6 +470,7 @@ def main() -> None:
     tot_high = r_high["throughput_urls_per_sec"]
     eff_tot = (tot_high / tot_low) / (high / low)
 
+    attribution = phase_attribution(r_low, r_high, low, high, ceiling, floor)
     result = {
         "low": r_low,
         "high": r_high,
@@ -331,6 +480,12 @@ def main() -> None:
         "pass": eff >= 0.8,
         "bucket_sweep": sweep,
         "host_ceiling": ceiling,
+        "attribution": attribution,
+        "attribution_gap": (
+            round(abs(eff - attribution["predicted_composite_efficiency"]), 3)
+            if attribution.get("predicted_composite_efficiency") is not None
+            else None
+        ),
         **floor,
     }
     print(json.dumps(result))
@@ -361,21 +516,25 @@ def pairs_table() -> str:
             d = json.load(f)
         lo, hi = int(m.group(1)), int(m.group(2))
         hc = d.get("host_ceiling") or {}
+        at = d.get("attribution") or {}
         rows.append(
             f"| {lo}→{hi} | {d['low']['steady_state_urls_per_sec']} | "
             f"{d['high']['steady_state_urls_per_sec']} | "
             f"**{d['scaling_efficiency_steady_state']}** | "
             f"{d['scaling_efficiency_total']} | {hc.get('scan_efficiency')} | "
             f"{hc.get('cpu_efficiency', '—')} | "
-            f"{hc.get('arrow_efficiency', '—')} |"
+            f"{hc.get('arrow_efficiency', '—')} | "
+            f"{hc.get('ext_efficiency', '—')} | "
+            f"{at.get('predicted_composite_efficiency', '—')} |"
         )
     if not rows:
         return "(single pair measured so far)"
     header = (
         "| pair (cores) | steady URLs/s @N | steady URLs/s @4N | "
         "steady-state efficiency | incl. wave 0 | scan ceiling | "
-        "cpu ceiling | arrow-fabric ceiling |\n"
-        "|---|---|---|---|---|---|---|---|\n"
+        "cpu ceiling | arrow-fabric ceiling | extract-stage ceiling | "
+        "predicted composite |\n"
+        "|---|---|---|---|---|---|---|---|---|---|\n"
     )
     return header + "\n".join(rows)
 
@@ -443,6 +602,53 @@ brings its OWN memory channels, loopback fabric, and disks, so all three
 ceilings are per-node and do not saturate the way they do on one shared
 box: the fabric capacity grows WITH cluster size, which is exactly the
 regime the N→4N criterion is about.
+"""
+    attr_md = ""
+    at = result.get("attribution") or {}
+    if at.get("phases"):
+        pred = at.get("predicted_composite_efficiency")
+        gap = result.get("attribution_gap")
+        ext_row = at["phases"].get("sec_extract", {})
+        lines = "\n".join(
+            f"| {k.removeprefix('sec_')} | {v['low_s']} s | {v['high_s']} s | "
+            f"{v['share_low']} | {v['efficiency']} | "
+            f"{at['lane_efficiencies'].get(k, '—')} |"
+            for k, v in at["phases"].items()
+        )
+        ext_note = ""
+        if at.get("extract_arrow_frac_low") is not None:
+            ext_note = (
+                f"\nWithin the extract phase, the Arrow byte lane is "
+                f"**{at['extract_arrow_frac_low']}** of the probe time at the "
+                f"low level (arrow passthrough vs real extraction over the "
+                f"same bytes); blending the arrow and CPU ceilings at that "
+                f"ratio predicts an extract-stage efficiency of "
+                f"{at.get('predicted_extract_eff_from_blend')}, vs "
+                f"{ceil.get('ext_efficiency')} measured for the isolated "
+                f"extraction stage — the extract lane's own scaling is "
+                f"byte-vs-CPU attributed, not assumed.\n"
+            )
+        attr_md = f"""
+## Byte-vs-CPU wave attribution ({low}→{high})
+
+Steady-state per-phase decomposition of the crawl itself (sums over waves
+≥ 1 of the per-wave lineage the engine already records), each phase's
+measured scaling efficiency, and the engine-independent lane ceiling it is
+predicted by (extract → isolated real-extraction probe; commit → scan/byte
+lane; bloom/finalize/other → measured driver floor):
+
+| phase | low s | high s | share @low | measured eff | lane ceiling |
+|---|---|---|---|---|---|
+{lines}
+
+**Predicted composite efficiency (Amdahl over lanes, weighted harmonic):
+{pred}** vs measured **{eff}** — gap {gap}
+({"within" if (gap is not None and gap <= 0.1) else "OUTSIDE"} the ~0.1
+acceptance bar: the crawl's scaling is {"fully attributed to host lanes"
+if (gap is not None and gap <= 0.1) else "not yet fully attributed"}).
+{ext_note}
+Extract share at the low level: {ext_row.get("share_low")} — the wave is
+extraction-dominated, so composite efficiency tracks the extract lane.
 """
     floor_md = ""
     if result.get("driver_floor_sec_low") is not None:
@@ -515,7 +721,7 @@ Per-wave timings at local[{low}] / local[{high}] (min across {reps} reps;
 {json.dumps(r_low["per_wave"], indent=0)}
 {json.dumps(r_high["per_wave"], indent=0)}
 ```
-{ceil_md}{floor_md}
+{ceil_md}{attr_md}{floor_md}
 
 Methodology notes:
 - Waves ≥ 1 are steady state: wave 0 pays JVM/codegen/Arrow-worker warmup,

@@ -48,6 +48,9 @@ from mizzounewscrawler_spark.operators.dedup import (
     save_bloom_shards,
     touched_shards,
 )
+from mizzounewscrawler_spark.operators.content_type import (
+    initial_wire_check_status_expr,
+)
 from mizzounewscrawler_spark.operators.extraction import fetch_and_extract, with_status
 from mizzounewscrawler_spark.operators.robots import apply_robots
 from mizzounewscrawler_spark.operators.scheduler import (
@@ -604,6 +607,13 @@ def run_crawl(
             "method",
             "content_hash",
             F.lit(wave).alias("wave"),
+        ).withColumn(
+            # second-pass wire-verification state (reference
+            # wire_check_status, models/__init__.py:159): pending until
+            # operators.content_type.wire_recheck drains it; run_bq_export
+            # gates on 'complete'
+            "wire_check_status",
+            initial_wire_check_status_expr(F.col("status")),
         ).coalesce(small_n)
 
         host_state_next = update_host_state(

@@ -32,6 +32,49 @@ CONTENT_PANELS: list[tuple[str, str, float]] = [
     ("event", r"(?i)\b(will be held|doors open at|tickets (are )?available)\b", 0.65),
 ]
 
+# Local-broadcaster callsign exemption (reference
+# /root/reference/src/utils/content_type_detector.py:30-56,995-1057; DB
+# table src/models/__init__.py:298-354): a "City, ST (CALLSIGN) —" dateline
+# at the content start marks SYNDICATED (wire) content only when the
+# callsign belongs to a known local broadcaster AND the url is NOT that
+# broadcaster's own site — a broadcaster's dateline on its own site is
+# local content (the exemption); unknown callsigns are never flagged
+# (out-of-market broadcasters).  The callsign set is one more broadcast
+# row-set feeding the O5 pattern table.
+CALLSIGN_TABLE_SCHEMA = "callsign string, domains array<string>, dataset string"
+DEFAULT_CALLSIGN_ROWS: list[tuple] = [
+    # reference _CALLSIGN_DOMAINS, content_type_detector.py:49-56
+    ("KMIZ", ["abc17news.com"], "missouri"),
+    ("KOMU", ["komu.com"], "missouri"),
+    ("KRCG", ["krcgtv.com"], "missouri"),
+    ("KQFX", ["fox22now.com"], "missouri"),
+]
+
+DATELINE_RE = r"\(([A-Z]{3,5})\)\s*[—–-]"
+
+
+def dateline_wire_marker_expr(
+    text: Column, url: Column, callsign_rows: list[tuple] | None = None
+) -> Column:
+    """'WIRE' when the content-start broadcaster dateline credits a local
+    callsign whose site is NOT this url (syndicated); '' otherwise — the
+    callsign-exemption decision as one JVM when-chain over the broadcast
+    callsign row-set (dimension-sized, like the O5 pattern rows)."""
+    rows = DEFAULT_CALLSIGN_ROWS if callsign_rows is None else callsign_rows
+    cs = F.regexp_extract(F.substring(text, 1, 300), DATELINE_RE, 1)
+    url_l = F.lower(url)
+    expr: Column = F.lit("")  # unknown callsign → never wire
+    for callsign, domains, _dataset in rows:
+        owns = url_l.contains(F.lit(callsign.lower()))
+        for d in domains:
+            owns = owns | url_l.contains(F.lit(d))
+        expr = F.when(
+            cs == callsign,
+            F.when(owns, F.lit("")).otherwise(F.lit("WIRE")),
+        ).otherwise(expr)
+    return expr
+
+
 # O5: the data-driven priority-table form of the cascade above.  The
 # reference stores its patterns in a ``wire_services``/detector table and
 # matches in ``ORDER BY priority, id`` — lower priority value wins first
@@ -57,6 +100,11 @@ DEFAULT_PATTERN_ROWS: list[tuple] = [
         (i + 11, "title", label, pat, 30, c, True)
         for i, (label, pat, c) in enumerate(TITLE_PANELS)
     ],
+    # broadcaster dateline (content tier, before the generic content
+    # panels): the ``dateline`` stage column is the precomputed
+    # syndicated/local marker from dateline_wire_marker_expr — the callsign
+    # exemption is decided there, the table just ranks it
+    (20, "dateline", "wire", r"^WIRE$", 35, 0.85, True),
     *[
         (i + 21, "content", label, pat, 40, c, True)
         for i, (label, pat, c) in enumerate(CONTENT_PANELS)
@@ -116,24 +164,103 @@ def detect_content_type_tabular(
     title_col: str = "title",
     author_col: str = "author",
     text_col: str = "text",
+    callsign_rows: list[tuple] | None = None,
+    dataset: str | None = None,
 ) -> DataFrame:
     """O5: table-driven first-match-by-(priority, id) content-type cascade.
 
     Same output columns as :func:`detect_content_type`; pass a custom
-    ``patterns`` table to re-prioritize or extend without code changes."""
+    ``patterns`` table to re-prioritize or extend without code changes.
+    ``callsign_rows``/``dataset`` feed the broadcaster-dateline stage (the
+    callsign exemption — see :func:`dateline_wire_marker_expr`)."""
     pats = patterns if patterns is not None else default_pattern_table(df)
+    rows = DEFAULT_CALLSIGN_ROWS if callsign_rows is None else callsign_rows
+    if dataset is not None:
+        rows = [r for r in rows if r[2] == dataset]
     byline = clean_byline_expr(F.col(author_col))
     cols = {
         "url": F.coalesce(F.col(url_col), F.lit("")),
         "byline": F.coalesce(F.col(author_col), F.lit("")),
         "title": F.coalesce(F.col(title_col), F.lit("")),
         "content": F.coalesce(F.col(text_col), F.lit("")),
+        "dateline": dateline_wire_marker_expr(
+            F.coalesce(F.col(text_col), F.lit("")),
+            F.coalesce(F.col(url_col), F.lit("")),
+            rows,
+        ),
     }
     ctype, conf = pattern_ladder_from_table(pats, cols)
     return (
         df.withColumn("byline", byline)
         .withColumn("content_type", ctype)
         .withColumn("content_confidence", conf)
+    )
+
+
+# --------------------------------------------------------------------------
+# wire_check_status second pass (reference articles columns
+# /root/reference/src/models/__init__.py:128-200; initial assignment
+# src/cli/commands/extraction.py:103-121; mark-complete :328-334; export
+# gate :1513-1516 "only exports … wire_check_status='complete'")
+# --------------------------------------------------------------------------
+
+WIRE_CHECK_PENDING = "pending"
+WIRE_CHECK_COMPLETE = "complete"
+# statuses that never need the wire re-check (reference :114-115)
+WIRE_CHECK_SKIP_STATUSES = ("failed", "error", "paywall", "obituary", "opinion")
+
+
+def initial_wire_check_status_expr(status: Column) -> Column:
+    """wire_check_status for a newly written article row: 'complete' only
+    for statuses that explicitly never need re-verification; everything
+    else — including rows already marked 'wire' — defaults to 'pending' so
+    an incorrectly-set status still gets verified (reference
+    _initial_wire_check_status, extraction.py:103-121)."""
+    return F.when(
+        status.isin(*WIRE_CHECK_SKIP_STATUSES), F.lit(WIRE_CHECK_COMPLETE)
+    ).otherwise(F.lit(WIRE_CHECK_PENDING))
+
+
+def wire_recheck(
+    articles: DataFrame,
+    url_col: str = "url",
+    title_col: str = "title",
+    author_col: str = "author",
+    text_col: str = "text",
+    status_col: str = "status",
+    callsign_rows: list[tuple] | None = None,
+) -> DataFrame:
+    """Second-pass wire verification: re-run the full detection cascade
+    over PENDING rows, flip their status to/from 'wire' accordingly, and
+    mark them 'complete'; rows already complete pass through untouched.
+
+    This is the engine's seam for the reference's external MediaCloud wire
+    re-check (extraction.py:328-334): the deterministic cascade stands in
+    for the remote service (the sanctioned stub pattern, SURVEY §2.10) —
+    swap the verdict expression for a client call on a real deployment.
+    One column-expression pass, no shuffle."""
+    pending = F.col("wire_check_status") == WIRE_CHECK_PENDING
+    redet = detect_content_type_tabular(
+        articles,
+        url_col=url_col,
+        title_col=title_col,
+        author_col=author_col,
+        text_col=text_col,
+        callsign_rows=callsign_rows,
+    )
+    verdict_wire = F.col("content_type") == "wire"
+    new_status = (
+        F.when(pending & verdict_wire, F.lit("wire"))
+        .when(
+            pending & ~verdict_wire & (F.col(status_col) == "wire"),
+            F.lit("extracted"),  # first pass over-flagged — restore
+        )
+        .otherwise(F.col(status_col))
+    )
+    return (
+        redet.withColumn(status_col, new_status)
+        .withColumn("wire_check_status", F.lit(WIRE_CHECK_COMPLETE))
+        .drop("content_type", "content_confidence", "byline")
     )
 
 

@@ -51,18 +51,48 @@ def encode_fake_media(kind: str, width: int, height: int, frames: int, seed: int
 
 
 class DecodeBackend:
-    """Codec seam.  ``fake`` parses the fixture header; ``real`` is the
-    documented integration point for PIL/ffmpeg (not installed here)."""
+    """Codec seam.  ``fake`` parses the fixture header; ``real`` decodes
+    images with PIL when it is installed (import-gated — this container
+    ships no image libs, so the real path raises NotImplementedError here
+    and works unchanged on a cluster image that has Pillow; video/audio
+    stay documented ffmpeg integration points)."""
 
     def __init__(self, mode: str = "fake"):
         self.mode = mode
 
     def decode(self, payload: bytes) -> dict:
         if self.mode == "real":
-            raise NotImplementedError(
-                "real codec backend: plug PIL.Image.open(io.BytesIO(payload)) / "
-                "ffmpeg here; the Spark plumbing above is codec-agnostic"
-            )
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError as exc:  # sandbox: no image libs installed
+                raise NotImplementedError(
+                    "real codec backend needs Pillow (PIL) on the executors; "
+                    "ffmpeg integration for video/audio plugs in here too — "
+                    "the Spark plumbing above is codec-agnostic"
+                ) from exc
+            if payload is None:
+                return {
+                    "ok": False, "kind": None, "width": 0, "height": 0,
+                    "frames": 0,
+                }
+            try:
+                img = Image.open(io.BytesIO(bytes(payload)))
+                img.load()
+                return {
+                    "ok": True,
+                    "kind": (img.format or "image").lower(),
+                    "width": int(img.width),
+                    "height": int(img.height),
+                    "frames": int(getattr(img, "n_frames", 1)),
+                    "body": b"",
+                }
+            except Exception:
+                return {
+                    "ok": False, "kind": None, "width": 0, "height": 0,
+                    "frames": 0,
+                }
         if payload is None or payload[:4] != _MAGIC:
             return {"ok": False, "kind": None, "width": 0, "height": 0, "frames": 0}
         kind_b, w, h, fr = struct.unpack("<16sIII", payload[4 : 4 + 28])

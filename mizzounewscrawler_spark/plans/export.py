@@ -220,7 +220,22 @@ def run_bq_export(
     """The S10 export job: one shaped INSERT-SELECT per table → versioned
     LakeTable → checksum-manifested export directory (S11 reuse).
 
-    Returns {table_name: export manifest}."""
+    Returns {table_name: export manifest}.
+
+    Wire re-check gate (reference extraction.py:1513-1516: BigQuery only
+    exports rows whose ``wire_check_status='complete'``): when the articles
+    carry the column, rows still pending the second-pass wire verification
+    are excluded from every shaped table — run
+    ``operators.content_type.wire_recheck`` first to drain the pending set.
+    """
+    if "wire_check_status" in articles.columns:
+        from mizzounewscrawler_spark.operators.content_type import (
+            WIRE_CHECK_COMPLETE,
+        )
+
+        articles = articles.where(
+            F.col("wire_check_status") == WIRE_CHECK_COMPLETE
+        )
     shaped: dict[str, DataFrame] = {
         "articles": shape_articles_bq(
             articles, sources, export_ts=export_ts, wave_duration=wave_duration

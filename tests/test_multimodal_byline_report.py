@@ -193,3 +193,117 @@ def test_county_report_joins_windows_agg(spark):
     assert rep[0]["county"] == "Boone"
     boone = county_report(articles, sources, labels, entities, county="Boone").collect()
     assert len(boone) == 1
+
+
+def test_callsign_exemption_in_pattern_table(spark):
+    """Local-broadcaster callsign exemption (reference
+    content_type_detector.py:30-56,995-1057): a '(CALLSIGN) —' dateline is
+    wire only when the callsign is a KNOWN local broadcaster and the url is
+    NOT its own site; own-site datelines and unknown callsigns stay news."""
+    from mizzounewscrawler_spark.operators.content_type import (
+        detect_content_type_tabular,
+    )
+
+    dateline = "COLUMBIA, Mo. (KMIZ) — County officials met Tuesday."
+    rows = [
+        # KMIZ dateline on KMIZ's own site (abc17news.com) → local, NOT wire
+        ("https://abc17news.com/news/a", "Meeting", "Staff", dateline, "news"),
+        # same dateline syndicated on a different site → wire
+        ("https://other.news.test/news/b", "Meeting", "Staff", dateline, "wire"),
+        # unknown (out-of-market) callsign → never wire
+        (
+            "https://other.news.test/news/c", "Meeting", "Staff",
+            "DENVER, Colo. (KUSA) — Something happened.", "news",
+        ),
+        # callsign matched via direct url substring (komu in komu.com)
+        (
+            "https://www.komu.com/news/d", "Meeting", "Staff",
+            "COLUMBIA, Mo. (KOMU) — Local story.", "news",
+        ),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, a, x) for u, t, a, x, _ in rows], ["url", "title", "author", "text"]
+    )
+    got = [r["content_type"] for r in detect_content_type_tabular(df).collect()]
+    assert got == [r[4] for r in rows]
+    # dataset scoping: an empty callsign dataset disables the stage entirely
+    got_scoped = [
+        r["content_type"]
+        for r in detect_content_type_tabular(df, dataset="elsewhere").collect()
+    ]
+    assert got_scoped == ["news", "news", "news", "news"]
+
+
+def test_wire_recheck_and_export_gating(spark, tmp_path):
+    """wire_check_status second pass (reference models/__init__.py:159,
+    extraction.py:103-121,328-334) + the BQ export gate (:1513-1516)."""
+    from mizzounewscrawler_spark.operators.content_type import (
+        initial_wire_check_status_expr,
+        wire_recheck,
+    )
+    from mizzounewscrawler_spark.plans.export import run_bq_export
+
+    rows = [
+        # (url, title, author, text, status) — extracted row that is really
+        # wire (AP byline, missed at first pass)
+        ("https://a.test/news/1", "T1", "The Associated Press", "story", "extracted"),
+        # wire-status row whose recheck finds NO wire signal → restored
+        ("https://a.test/news/2", "T2", "Jane Doe", "plain local story", "wire"),
+        # plain local row stays extracted
+        ("https://a.test/news/3", "T3", "Jane Doe", "another story", "extracted"),
+        # paywall rows never need the check
+        ("https://a.test/news/4", "T4", "J", "x", "paywall"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["url", "title", "author", "text", "status"]
+    ).withColumn(
+        "wire_check_status", initial_wire_check_status_expr(F.col("status"))
+    )
+    init = {r["url"]: r["wire_check_status"] for r in df.collect()}
+    assert init["https://a.test/news/4"] == "complete"  # paywall skips
+    assert init["https://a.test/news/1"] == "pending"
+    assert init["https://a.test/news/2"] == "pending"  # wire still verified
+
+    # export BEFORE the recheck: pending rows are excluded
+    arts = df.withColumn("url_hash", F.xxhash64("url")).withColumn(
+        "host", F.lit("a.test")
+    ).withColumn("wave", F.lit(0)).withColumn(
+        "publish_date", F.lit(None).cast("timestamp")
+    ).withColumn("method", F.lit("m")).withColumn(
+        "content_hash", F.sha2(F.col("text"), 256)
+    )
+    m1 = run_bq_export(spark, str(tmp_path / "e1"), arts)
+    assert m1["articles"]["row_count"] == 1  # only the complete paywall row
+
+    rechecked = wire_recheck(arts)
+    by_url = {r["url"]: r for r in rechecked.collect()}
+    assert all(r["wire_check_status"] == "complete" for r in by_url.values())
+    assert by_url["https://a.test/news/1"]["status"] == "wire"  # caught
+    assert by_url["https://a.test/news/2"]["status"] == "extracted"  # restored
+    assert by_url["https://a.test/news/3"]["status"] == "extracted"
+
+    m2 = run_bq_export(spark, str(tmp_path / "e2"), rechecked)
+    assert m2["articles"]["row_count"] == 4
+
+
+def test_real_codec_backend_gated_or_working():
+    """The 'real' codec seam: decodes with PIL when installed, otherwise
+    raises a clear NotImplementedError (sandbox has no image libs)."""
+    import pytest
+
+    from mizzounewscrawler_spark.operators.multimodal import DecodeBackend
+
+    be = DecodeBackend(mode="real")
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            be.decode(b"\x89PNG....")
+        return
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 5)).save(buf, format="PNG")
+    out = be.decode(buf.getvalue())
+    assert out["ok"] and (out["width"], out["height"]) == (8, 5)
+    assert be.decode(b"not an image")["ok"] is False
