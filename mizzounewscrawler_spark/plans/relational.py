@@ -240,6 +240,55 @@ WHERE s_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 3 = 0)
 """
 
 
+def q_geo_radius_join(spark, sf):
+    """U7 publisher-gazetteer radius join: the GRID-BUCKETED spatial join
+    (operators.geo.build_publisher_gazetteer — cell equi-join + exact
+    haversine, no cross join) vs DuckDB's brute-force cross-join mirror:
+    the oracle checks the optimization preserves exact semantics.
+    Deterministic synthetic coordinates derived from customer/nation keys."""
+    from mizzounewscrawler_spark.operators.geo import build_publisher_gazetteer
+
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    places = c.select(
+        F.col("c_name").alias("place"),
+        F.lit("poi").alias("category"),
+        (F.lit(38.0) + (F.col("c_custkey") % 100) * 0.05).alias("lat"),
+        (F.lit(-95.0) + (F.col("c_custkey") % 73) * 0.05).alias("lon"),
+    )
+    pubs = n.select(
+        F.col("n_name").alias("publisher"),
+        (F.lit(38.0) + (F.col("n_nationkey") % 10) * 0.5).alias("lat"),
+        (F.lit(-95.0) + (F.col("n_nationkey") % 7) * 0.5).alias("lon"),
+        F.lit(30.0).alias("radius_miles"),
+    )
+    gz = build_publisher_gazetteer(pubs, places)
+    return gz.groupBy("publisher").agg(F.count(F.lit(1)).alias("n_places"))
+
+
+SQL_GEO_RADIUS = """
+WITH places AS (
+  SELECT c_name AS place,
+         38.0 + (c_custkey % 100) * 0.05 AS lat,
+         -95.0 + (c_custkey % 73) * 0.05 AS lon
+  FROM customer
+), pubs AS (
+  SELECT n_name AS publisher,
+         38.0 + (n_nationkey % 10) * 0.5 AS lat,
+         -95.0 + (n_nationkey % 7) * 0.5 AS lon
+  FROM nation
+)
+SELECT publisher, count(*) AS n_places
+FROM pubs p JOIN places q
+  ON 2 * 3958.8 * asin(sqrt(
+       sin(radians(q.lat - p.lat) / 2) * sin(radians(q.lat - p.lat) / 2)
+       + cos(radians(p.lat)) * cos(radians(q.lat))
+         * sin(radians(q.lon - p.lon) / 2) * sin(radians(q.lon - p.lon) / 2)
+     )) <= 30.0
+GROUP BY publisher
+"""
+
+
 # --------------------------------------------------------------------------
 # windows / ranking (SURVEY §2.5, §2.6)
 # --------------------------------------------------------------------------
@@ -1527,6 +1576,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("report_multi_join", q_report_join, SQL_REPORT_JOIN, "J1/J5"),
     QuerySpec("semi_join_membership", q_semi_join, SQL_SEMI_JOIN, "J3"),
     QuerySpec("dataset_scope", q_dataset_scope, SQL_DATASET_SCOPE, "S1 (datasets M:N)"),
+    QuerySpec("geo_radius_join", q_geo_radius_join, SQL_GEO_RADIUS, "U7 (gazetteer radius join)"),
     QuerySpec("latest_per_key_window", q_latest_per_key, SQL_LATEST_PER_KEY, "J4"),
     QuerySpec("per_host_cap_window", q_per_host_cap, SQL_PER_HOST_CAP, "P9/A7"),
     QuerySpec("sessionize_events", q_sessionize, SQL_SESSIONIZE, "§2.9 streaming analog"),
