@@ -169,6 +169,11 @@ def extract_cpu_probe(shuffle: int, low: int, high: int, reps: int = 2) -> dict:
             out = _extract_batch(df[["url", "html"]])
             yield pd.DataFrame({"n": [int(out["found"].sum())]})
 
+    # EXT_PROBE_FRAC < 1 probes a deterministic hash-sample of the store —
+    # the arrow/extract RATIO and the probe's own scaling efficiency are
+    # what the attribution consumes, and both are preserved under uniform
+    # sampling (extraction cost is per-page; default 1.0 = whole store)
+    frac = float(os.environ.get("EXT_PROBE_FRAC", "1.0"))
     best = {}
     for rep in range(reps):
         for cores in (low, high):
@@ -180,6 +185,11 @@ def extract_cpu_probe(shuffle: int, low: int, high: int, reps: int = 2) -> dict:
             from pyspark.sql import functions as F
 
             scan = pages_df.select("url", "html")
+            if frac < 1.0:
+                scan = scan.where(
+                    F.pmod(F.xxhash64("url"), F.lit(1000))
+                    < F.lit(int(frac * 1000))
+                )
             scan.count()  # warm listing/footers (untimed)
             t0 = _t.time()
             scan.mapInPandas(run_extract, "n long").agg(F.sum("n")).collect()

@@ -321,6 +321,13 @@ def bloom_flag_sharded(
     Output contract matches :func:`bloom_flag`: candidates + cached boolean
     ``_maybe_seen`` (missing shard file ⇒ False = definitely new, sound
     because shards are persisted before the probe runs).
+
+    Driver note: the wave loop remains the single WRITER and holds the
+    filter in RAM for its O(new)-per-wave increments — ~12 GB at the design
+    geometry, inside a 64 GB driver; only the read path (every executor)
+    needed the broadcast fix.  If driver RAM ever binds, increments are
+    per-shard too (``touched_shards``) and the writer can mmap shards from
+    ``shard_dir`` instead — same file layout, no reader change.
     """
     with open(os.path.join(shard_dir, "params.json")) as f:
         params = json.load(f)
