@@ -266,11 +266,30 @@ def driver_floor_probe(shuffle: int, low: int, high: int, waves: int = 6) -> dic
                 if v is not None:
                     os.environ[k] = v
             spark.stop()
-        steady = [w["wave_sec"] for w in out["per_wave"] if w["wave"] >= 1]
+        steady_w = [w for w in out["per_wave"] if w["wave"] >= 1]
+        steady = [w["wave_sec"] for w in steady_w]
+        # per-phase floor: the MEAN steady near-empty-wave seconds spent in
+        # each lineage phase — the fixed skeleton (planning, job scheduling,
+        # staged-write latency, manifest commits) that production waves pay
+        # in the SAME phase positions regardless of data volume
+        phase_floor = {
+            k: round(
+                sum(w.get(k, 0.0) or 0.0 for w in steady_w) / max(len(steady_w), 1),
+                3,
+            )
+            for k in PHASE_KEYS
+        }
+        phase_floor["sec_other"] = round(
+            max(
+                sum(steady) / max(len(steady), 1) - sum(phase_floor.values()), 0.0
+            ),
+            3,
+        )
         floors[cores] = {
             "steady_wave_sec_min": round(min(steady), 3) if steady else None,
             "steady_wave_sec": [round(s, 3) for s in steady],
             "rows_per_wave": [w["scheduled"] for w in out["per_wave"]],
+            "phase_floor_mean": phase_floor,
         }
     return {
         "driver_floor_sec_low": floors[low]["steady_wave_sec_min"],
@@ -284,25 +303,36 @@ PHASE_KEYS = ("sec_extract", "sec_commit", "sec_bloom", "sec_finalize")
 
 def phase_attribution(
     r_low: dict, r_high: dict, low: int, high: int, ceiling: dict,
-    floor: dict,
+    floor: dict, bucket_sweep: int = 0,
 ) -> dict:
     """Byte-vs-CPU wave decomposition (VERDICT r3 next #1): per crawl phase,
     the steady-state seconds at both levels, its share, its MEASURED
     scaling efficiency, and a composite efficiency PREDICTED from the
-    engine-independent lane ceilings:
+    engine-independent lane ceilings.
 
-      extract  → the measured real-extraction probe (its own byte lane is
-                 split out via arrow_sec/ext_sec: Arrow ship vs extraction
-                 compute),
-      commit   → the byte lane (scan ceiling: parquet encode + page cache),
-      bloom/finalize/other → driver-fixed (driver-floor ratio when
-                 measured; else assumed not to shrink at all).
+    Prediction model (additive, Amdahl with a fixed skeleton): per steady
+    wave and per phase p,
 
-    predicted = 1 / Σ_p (share_low_p / lane_eff_p) — the weighted-harmonic
-    composition of per-lane efficiencies (Amdahl over lanes).  The verdict's
-    acceptance bar: measured steady-state efficiency within ~0.1 of this
-    prediction, i.e. the crawl's scaling is fully attributed to host lanes,
-    not engine waste."""
+      pred_high_p = floor_high_p + scan_high_p
+                    + (low_p − floor_low_p − scan_low_p) / speedup_lane_p
+
+      floor_*_p  — the phase's measured near-empty-wave seconds (the
+                   driver/scheduling skeleton, paid regardless of data),
+      scan_*_p   — the pruned-bucket page-store scan, charged to the
+                   extract phase: scan_probe_sec / bucket_sweep at each
+                   level (byte lane, ~flat on one box),
+      speedup    — extract → the isolated real-extraction probe's
+                   measured low→high speedup; commit/bloom/finalize/other
+                   → the scan probe's speedup (wave-sized parquet encode
+                   rides the same byte lane).
+
+    predicted efficiency = t_low / (ratio × Σ_p pred_high_p).  The r3
+    verdict's acceptance bar: measured steady-state efficiency within
+    ~0.1 of this prediction, i.e. the crawl's scaling is fully attributed
+    to host lanes (skeleton latency + byte fabric + compute fabric), not
+    engine waste.  The weighted-harmonic share model is kept as
+    ``predicted_composite_harmonic`` for round-over-round continuity —
+    it under-predicts because it scales the skeleton multiplicatively."""
     ratio = high / low
 
     def sums(r):
@@ -349,7 +379,53 @@ def phase_attribution(
                 break
             continue
         denom += ph["share_low"] / le
-    predicted = round(1.0 / denom, 3) if (ok and denom > 0) else None
+    harmonic = round(1.0 / denom, 3) if (ok and denom > 0) else None
+
+    # --- additive skeleton model (see docstring) ---------------------------
+    n_w = max(len([w for w in r_low["per_wave"] if w["wave"] >= 1]), 1)
+    pf_l = (
+        (floor.get("driver_floor_detail") or {})
+        .get(str(low), (floor.get("driver_floor_detail") or {}).get(low, {}))
+        .get("phase_floor_mean")
+    )
+    pf_h = (
+        (floor.get("driver_floor_detail") or {})
+        .get(str(high), (floor.get("driver_floor_detail") or {}).get(high, {}))
+        .get("phase_floor_mean")
+    )
+    predicted = None
+    pred_detail = None
+    ext_speedup = ceiling.get("ext_speedup")
+    scan_speedup = ceiling.get("scan_speedup")
+    if pf_l and pf_h and ext_speedup and scan_speedup:
+        scan_l = (ceiling["scan_sec_low"] / bucket_sweep) if bucket_sweep else 0.0
+        scan_h = (ceiling["scan_sec_high"] / bucket_sweep) if bucket_sweep else 0.0
+        pred_detail = {}
+        pred_high_total = 0.0
+        for k in (*PHASE_KEYS, "sec_other"):
+            wave_low = ph_l[k] / n_w
+            fl_l = pf_l.get(k, 0.0) or 0.0
+            fl_h = pf_h.get(k, 0.0) or 0.0
+            if k == "sec_extract":
+                work = max(wave_low - fl_l - scan_l, 0.0)
+                pred = fl_h + scan_h + work / ext_speedup
+            else:
+                work = max(wave_low - fl_l, 0.0)
+                pred = fl_h + work / scan_speedup
+            pred_detail[k] = {
+                "wave_low_s": round(wave_low, 3),
+                "floor_low_s": round(fl_l, 3),
+                "floor_high_s": round(fl_h, 3),
+                "scalable_work_low_s": round(work, 3),
+                "pred_wave_high_s": round(pred, 3),
+            }
+            pred_high_total += pred
+        predicted = round((tot_l / n_w) / (ratio * pred_high_total), 3)
+        pred_detail["pred_wave_high_total_s"] = round(pred_high_total, 3)
+        pred_detail["measured_wave_high_s"] = round(tot_h / n_w, 3)
+        pred_detail["bucket_scan_wave_s"] = [round(scan_l, 3), round(scan_h, 3)]
+    if predicted is None:
+        predicted = harmonic
     # extract byte/cpu split from the probes (shares within the extract
     # lane), plus the blend cross-check: does the measured real-extraction
     # efficiency itself decompose into arrow_frac byte lane + the rest on
@@ -375,6 +451,8 @@ def phase_attribution(
         "predicted_extract_eff_from_blend": pred_ext,
         "driver_eff": round(drv_eff, 3),
         "predicted_composite_efficiency": predicted,
+        "predicted_composite_harmonic": harmonic,
+        "prediction_detail": pred_detail,
     }
 
 
@@ -480,7 +558,9 @@ def main() -> None:
     tot_high = r_high["throughput_urls_per_sec"]
     eff_tot = (tot_high / tot_low) / (high / low)
 
-    attribution = phase_attribution(r_low, r_high, low, high, ceiling, floor)
+    attribution = phase_attribution(
+        r_low, r_high, low, high, ceiling, floor, bucket_sweep=sweep
+    )
     result = {
         "low": r_low,
         "high": r_high,
@@ -638,6 +718,32 @@ regime the N→4N criterion is about.
                 f"extraction stage — the extract lane's own scaling is "
                 f"byte-vs-CPU attributed, not assumed.\n"
             )
+        pd_md = ""
+        pd = at.get("prediction_detail")
+        if pd:
+            pd_rows = "\n".join(
+                f"| {k.removeprefix('sec_')} | {v['wave_low_s']} | "
+                f"{v['floor_low_s']} | {v['scalable_work_low_s']} | "
+                f"{v['floor_high_s']} | {v['pred_wave_high_s']} |"
+                for k, v in pd.items()
+                if isinstance(v, dict)
+            )
+            pd_md = f"""
+Per-phase prediction detail (seconds per steady wave; model:
+`pred_high = floor_high + bucket_scan_high + scalable_work / probe_speedup`
+— extract work rides the isolated-extraction probe's speedup, every other
+phase's above-floor work rides the scan/byte lane; the floor is the
+MEASURED near-empty-wave skeleton at each level, paid regardless of data):
+
+| phase | wave @low | floor @low | scalable work | floor @high | predicted @high |
+|---|---|---|---|---|---|
+{pd_rows}
+
+Predicted steady wave at the high level:
+**{pd["pred_wave_high_total_s"]} s** vs measured
+**{pd["measured_wave_high_s"]} s** (pruned-bucket scan charged to extract:
+{pd["bucket_scan_wave_s"][0]} s / {pd["bucket_scan_wave_s"][1]} s).
+"""
         attr_md = f"""
 ## Byte-vs-CPU wave attribution ({low}→{high})
 
@@ -651,12 +757,15 @@ lane; bloom/finalize/other → measured driver floor):
 |---|---|---|---|---|---|
 {lines}
 
-**Predicted composite efficiency (Amdahl over lanes, weighted harmonic):
-{pred}** vs measured **{eff}** — gap {gap}
+**Predicted composite efficiency (fixed skeleton + byte lane + compute
+lane, all measured): {pred}** vs measured **{eff}** — gap {gap}
 ({"within" if (gap is not None and gap <= 0.1) else "OUTSIDE"} the ~0.1
 acceptance bar: the crawl's scaling is {"fully attributed to host lanes"
 if (gap is not None and gap <= 0.1) else "not yet fully attributed"}).
-{ext_note}
+Weighted-harmonic share model (r3's form, kept for continuity — it scales
+the skeleton multiplicatively and therefore under-predicts):
+{at.get("predicted_composite_harmonic")}.
+{pd_md}{ext_note}
 Extract share at the low level: {ext_row.get("share_low")} — the wave is
 extraction-dominated, so composite efficiency tracks the extract lane.
 """

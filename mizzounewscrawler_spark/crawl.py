@@ -356,6 +356,24 @@ def open_tables(spark: SparkSession, out_dir: str) -> CrawlTables:
     )
 
 
+def _stage_dedup(pool, t, new_frontier_rows, tombstones, small_n):
+    """Stage the tier-B dedup outputs (url_seen + frontier) from the
+    filtered new-URL rows; returns the two stage futures.  ALL new
+    canonical URLs enter url_seen — including robots-disallowed ones
+    (enforced at enqueue, never reconsidered); only robots-allowed rows
+    are admitted to the frontier."""
+    new_seen = new_frontier_rows.select("url_hash", "url_surt").coalesce(small_n)
+    admitted_rows = (
+        new_frontier_rows.where(F.col("robots_allowed"))
+        .withColumn("status", F.lit("discovered"))
+        .select(*FRONTIER_COLS)
+        .coalesce(small_n)
+    )
+    fut_seen = pool.submit(t.url_seen.stage, new_seen)
+    fut_frontier = pool.submit(t.frontier.stage, admitted_rows, tombstones)
+    return fut_seen, fut_frontier
+
+
 def _read_at_wave(table: LakeTable, wave: int) -> DataFrame | None:
     """Latest snapshot committed at wave ≤ ``wave`` (resume rollback)."""
     best = None
@@ -667,6 +685,14 @@ def run_crawl(
         # only the commits.  Submitting tier B the moment fut_flag resolves
         # overlaps the dedup writes with the (dominant) articles write
         # instead of serializing the two tiers behind a pool barrier.
+        #
+        # MEASURED DEAD END (r4, do not re-attempt): submitting tier B
+        # CONCURRENTLY with tier A (using the previous wave's n_possible as
+        # the join-strategy hint) made overlapped waves 2–3× SLOWER at
+        # local[32] — seven jobs racing the still-uncached heavy pipeline
+        # leave many task slots blocked on cache-fill block locks, starving
+        # real compute.  Tier B after the flagged count (caches hot) costs
+        # only ~2 s serial at the wide level; the race costs ~20 s.
         with ThreadPoolExecutor(max_workers=7) as pool:
             fut_articles = pool.submit(t.articles.stage, articles_batch)
             fut_events = None
@@ -708,25 +734,14 @@ def run_crawl(
             # is cheap here: the flagged count above already materialized
             # the wave cache, and it only runs when n_cand == 0.
             idle_wave = n_cand == 0 and wave_df.isEmpty()
+            fut_seen = fut_frontier = None
             if not idle_wave:
                 new_frontier_rows = filter_unseen_flagged(
                     flagged, seen, n_possible, "url_hash"
                 ).cache()
                 wave_caches.append(new_frontier_rows)
-                # ALL new canonical URLs enter url_seen — including robots-
-                # disallowed ones (enforced at enqueue, never reconsidered)
-                new_seen = new_frontier_rows.select(
-                    "url_hash", "url_surt"
-                ).coalesce(small_n)
-                admitted_rows = (
-                    new_frontier_rows.where(F.col("robots_allowed"))
-                    .withColumn("status", F.lit("discovered"))
-                    .select(*FRONTIER_COLS)
-                    .coalesce(small_n)
-                )
-                fut_seen = pool.submit(t.url_seen.stage, new_seen)
-                fut_frontier = pool.submit(
-                    t.frontier.stage, admitted_rows, tombstones
+                fut_seen, fut_frontier = _stage_dedup(
+                    pool, t, new_frontier_rows, tombstones, small_n
                 )
             staged_articles = fut_articles.result()
             staged_order = fut_order.result() if fut_order is not None else None
