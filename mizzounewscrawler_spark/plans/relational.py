@@ -617,6 +617,61 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def q_llm_enrich(spark, sf):
+    """U8 LLM enrichment (deterministic extractive backend): the rendered
+    newsroom prompt (reference article_pipeline.py:22-32,108-127 — body
+    truncated at 4000 chars, fields defaulted) and the 3-sentence
+    extractive summary the fake provider produces, both as pure JVM
+    expressions (see operators/enrichment.py)."""
+    from mizzounewscrawler_spark.operators.enrichment import (
+        FAKE_PROVIDER_NAME,
+        render_prompt_expr,
+        summarize_expr,
+    )
+
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        summarize_expr(F.col("text")).alias("llm_summary"),
+        F.lit(FAKE_PROVIDER_NAME).alias("llm_provider"),
+        render_prompt_expr(
+            F.lit(None).cast("string"),
+            F.lit(None).cast("string"),
+            F.lit(None).cast("timestamp"),
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")),
+            F.col("text"),
+        ).alias("prompt"),
+    )
+
+
+_LLM_TMPL_HEAD = (
+    "You are assisting a newsroom by producing a concise summary of "
+    "the following article. Provide a three sentence summary focusing on "
+    "the who, what, where, and why. Include any key impacts on the "
+    "community and note if the story highlights civic issues."
+)
+
+SQL_LLM_ENRICH = f"""
+WITH body AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(coalesce(text, ''))) > 4000
+              THEN substr(trim(coalesce(text, '')), 1, 4000) || chr(10) || '...'
+              ELSE trim(coalesce(text, '')) END AS b
+  FROM documents)
+SELECT doc_id,
+       array_to_string(list_slice(string_split(coalesce(text, ''), '. '), 1, 3), '. ')
+           AS llm_summary,
+       'extractive-fake' AS llm_provider,
+       '{_LLM_TMPL_HEAD}' || chr(10) || chr(10) ||
+       'Title: (untitled)' || chr(10) ||
+       'Author: unknown' || chr(10) ||
+       'Published: unknown' || chr(10) ||
+       'URL: doc://' || doc_id || chr(10) || chr(10) ||
+       'Article Body:' || chr(10) || b || chr(10) AS prompt
+FROM body
+"""
+
+
 def q_token_stats(spark, sf):
     """Token counting (whitespace + BPE-ish regex) per language."""
     d = t(spark, sf, "documents")
@@ -1597,6 +1652,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("due_cadence", q_due_cadence, SQL_DUE, "P1"),
     QuerySpec("union_discovery_dedup", q_union_dedup, SQL_UNION, "§2.7"),
     QuerySpec("exact_dedup_docs", q_exact_dedup, SQL_EXACT_DEDUP, "J8"),
+    QuerySpec("llm_enrich_summaries", q_llm_enrich, SQL_LLM_ENRICH, "U8"),
     QuerySpec("token_stats", q_token_stats, SQL_TOKEN_STATS, "text ops"),
     QuerySpec("quality_scores", q_quality_scores, SQL_QUALITY, "text ops"),
     QuerySpec("ann_cosine_topk", q_ann_topk, SQL_ANN_TOPK, "similarity"),
