@@ -204,7 +204,7 @@ def extract_cpu_probe(shuffle: int, low: int, high: int, reps: int = 2) -> dict:
     }
 
 
-def cpu_fabric_probe(low: int, high: int, seconds: float = 6.0) -> dict:
+def cpu_fabric_probe(low: int, high: int, seconds: float = 6.0, reps: int = 2) -> dict:
     """Pure-compute scaling probe: N busy Python processes doing integer
     arithmetic (no memory traffic, no Spark).  Separates the CPU fabric's
     low→high capacity from the MEMORY-BANDWIDTH ceiling the scan probe
@@ -224,17 +224,20 @@ def cpu_fabric_probe(low: int, high: int, seconds: float = 6.0) -> dict:
         q.put(n)
 
     rates = {}
-    for procs in (low, high):
-        q = mp.Queue()
-        ps = [mp.Process(target=burn, args=(q,)) for _ in range(procs)]
-        for p in ps:
-            p.start()
-        total = 0
-        for _ in ps:
-            total += q.get()
-        for p in ps:
-            p.join()
-        rates[procs] = total / seconds
+    # MAX over reps = the contention-free figure (same rationale as the
+    # per-wave MIN elsewhere: steal windows only ever subtract throughput)
+    for _rep in range(reps):
+        for procs in (low, high):
+            q = mp.Queue()
+            ps = [mp.Process(target=burn, args=(q,)) for _ in range(procs)]
+            for p in ps:
+                p.start()
+            total = 0
+            for _ in ps:
+                total += q.get()
+            for p in ps:
+                p.join()
+            rates[procs] = max(rates.get(procs, 0.0), total / seconds)
     return {
         "cpu_iters_per_s_low": round(rates[low] / 1e6, 1),
         "cpu_iters_per_s_high": round(rates[high] / 1e6, 1),
@@ -245,22 +248,29 @@ def cpu_fabric_probe(low: int, high: int, seconds: float = 6.0) -> dict:
 
 def driver_floor_probe(shuffle: int, low: int, high: int, waves: int = 6) -> dict:
     """Measure the per-wave FIXED driver cost directly: run the identical
-    wave loop over a near-empty web (50 hosts, ~40-row waves) so per-wave
-    compute is ~0 and steady wave_sec ≈ planning + job scheduling + staged
-    writes + Bloom merge — the one cost that does not shrink with cluster
-    size.  The r2 verdict's scaling-gate fallback asks for exactly this
-    number ("per-wave driver time measured"), published at both levels."""
+    wave loop at PRODUCTION dimension scale (same host count → same
+    broadcast-dim sizes, plan widths, and small-job scatter as the measured
+    crawl) but with ~one tiny page per host, so per-wave page compute is ~0
+    and steady wave_sec ≈ planning + job scheduling + broadcast builds +
+    staged-write latency + manifest commits — the data-independent skeleton
+    that does not shrink with wave size.  The r2 verdict's scaling-gate
+    fallback asks for exactly this number ("per-wave driver time
+    measured"), published at both levels.  At the 10^10-URL design point
+    (waves of 10^6+ URLs) this skeleton amortizes to noise; at the
+    benchmark's politeness-bounded ~22k-URL waves it is a large fixed share
+    — which is why the attribution model treats it additively."""
     floors = {}
+    n_hosts = int(os.environ.get("BENCH_HOSTS", "4000"))
     for cores in (low, high):
         spark = build_session(
             cores, shuffle_partitions=shuffle, app_name=f"floor-{cores}"
         )
         spark.sparkContext.setLogLevel("ERROR")
         env_keys = ("BENCH_BUCKET_SWEEP", "BENCH_SEED_FRONTIER", "BENCH_CAP",
-                    "BENCH_WAVE_DUR")
+                    "BENCH_WAVE_DUR", "GEN_FILLER_KB")
         saved = {k: os.environ.pop(k, None) for k in env_keys}
         try:
-            out = bench_crawl(spark, 50, 1500, waves)
+            out = bench_crawl(spark, n_hosts, n_hosts, waves)
         finally:
             for k, v in saved.items():
                 if v is not None:
@@ -775,9 +785,11 @@ extraction-dominated, so composite efficiency tracks the extract lane.
         floor_md = f"""
 ## Per-wave fixed driver cost (measured directly)
 
-The same wave loop over a near-empty web (50 hosts, ~40-row waves — compute
-≈ 0) isolates the per-wave cost that does NOT shrink with cluster size:
-query planning, job scheduling, staged writes, Bloom merge.  Steady-state
+The same wave loop at production dimension scale but ~one tiny page per
+host (page compute ≈ 0; same broadcast-dim sizes and plan widths as the
+crawl above) isolates the per-wave cost that does NOT shrink with wave
+size: query planning, job scheduling, broadcast builds, staged writes,
+Bloom merge.  Steady-state
 minimum wave_sec: **{fl} s at local[{low}], {fh} s at local[{high}]**.
 Against the production waves above this fixed cost is
 {round(100 * fh / max(r_high["steady_state_sec"] / max(len([w for w in r_high["per_wave"] if w["wave"] >= 1]), 1), 1e-9), 1)}%
