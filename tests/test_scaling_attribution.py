@@ -1,0 +1,139 @@
+"""Unit tests for the BENCH/scaling.py attribution model (no Spark).
+
+The additive-skeleton model is the round-4 answer to VERDICT r3 next #1:
+predicted_high_phase = floor_high + bucket_scan_high
+                       + (low_phase − floor_low − bucket_scan_low) / speedup.
+These tests pin the arithmetic on synthetic inputs so harness edits can't
+silently change what the published composite means.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+spec = importlib.util.spec_from_file_location(
+    "scaling", os.path.join(HERE, "..", "BENCH", "scaling.py")
+)
+scaling = importlib.util.module_from_spec(spec)
+sys.modules["scaling"] = scaling
+spec.loader.exec_module(scaling)
+
+
+def _run(per_wave):
+    return {"per_wave": per_wave}
+
+
+def _wave(i, extract, commit, bloom=0.0, fin=0.1):
+    return {
+        "wave": i,
+        "wave_sec": extract + commit + bloom + fin,
+        "sec_extract": extract,
+        "sec_commit": commit,
+        "sec_bloom": bloom,
+        "sec_finalize": fin,
+    }
+
+
+CEILING = {
+    "scan_sec_low": 8.0,
+    "scan_sec_high": 8.0,  # byte lane flat: speedup 1.0
+    "scan_speedup": 1.0,
+    "scan_efficiency": 0.25,
+    "ext_sec_low": 120.0,
+    "ext_sec_high": 40.0,  # extraction probe: 3x at 4x cores
+    "ext_speedup": 3.0,
+    "ext_efficiency": 0.75,
+    "arrow_sec_low": 30.0,
+    "arrow_efficiency": 0.5,
+    "cpu_efficiency": 0.8,
+}
+
+FLOOR = {
+    "driver_floor_sec_low": 6.0,
+    "driver_floor_sec_high": 3.0,
+    "driver_floor_detail": {
+        8: {
+            "phase_floor_mean": {
+                "sec_extract": 4.0,
+                "sec_commit": 1.5,
+                "sec_bloom": 0.0,
+                "sec_finalize": 0.1,
+                "sec_other": 0.0,
+            }
+        },
+        32: {
+            "phase_floor_mean": {
+                "sec_extract": 2.0,
+                "sec_commit": 1.0,
+                "sec_bloom": 0.0,
+                "sec_finalize": 0.1,
+                "sec_other": 0.0,
+            }
+        },
+    },
+}
+
+
+def test_additive_model_arithmetic():
+    # two identical steady waves (+ wave 0 excluded), bucket_sweep=8
+    low = _run([_wave(0, 30, 3), _wave(1, 20.0, 2.0), _wave(2, 20.0, 2.0)])
+    high = _run([_wave(0, 9, 2), _wave(1, 8.0, 1.5), _wave(2, 8.0, 1.5)])
+    at = scaling.phase_attribution(low, high, 8, 32, CEILING, FLOOR, bucket_sweep=8)
+    pd_ = at["prediction_detail"]
+    # extract: floor 4.0, bucket scan 8/8 = 1.0 -> work 20-4-1 = 15
+    assert pd_["sec_extract"]["scalable_work_low_s"] == 15.0
+    # pred = floor_high 2.0 + scan_high 1.0 + 15/3 = 8.0
+    assert pd_["sec_extract"]["pred_wave_high_s"] == 8.0
+    # commit: floor 1.5, work 0.5, scan lane speedup 1.0 -> pred 1.0+0.5
+    assert pd_["sec_commit"]["pred_wave_high_s"] == 1.5
+    # finalize: floor 0.1, work 0.0 -> 0.1 ; bloom 0 -> 0
+    total = pd_["pred_wave_high_total_s"]
+    assert abs(total - (8.0 + 1.5 + 0.0 + 0.1 + 0.0)) < 1e-6
+    # predicted eff = wave_low_total / (ratio * pred_high_total)
+    assert abs(at["predicted_composite_efficiency"] - 22.1 / (4 * total)) < 1e-3
+    # harmonic variant still published for continuity
+    assert at["predicted_composite_harmonic"] is not None
+
+
+def test_work_clamped_at_zero_when_floor_exceeds_phase():
+    low = _run([_wave(0, 5, 1), _wave(1, 4.5, 1.0)])
+    high = _run([_wave(0, 3, 1), _wave(1, 2.5, 0.9)])
+    at = scaling.phase_attribution(low, high, 8, 32, CEILING, FLOOR, bucket_sweep=0)
+    pd_ = at["prediction_detail"]
+    # extract 4.5 < floor 4.0 + nothing? work = 0.5 (no bucket scan at sweep=0)
+    assert pd_["sec_extract"]["scalable_work_low_s"] == 0.5
+    # commit 1.0 < floor 1.5 -> clamped to zero work, pred = floor_high
+    assert pd_["sec_commit"]["scalable_work_low_s"] == 0.0
+    assert pd_["sec_commit"]["pred_wave_high_s"] == 1.0
+
+
+def test_fallback_to_harmonic_without_floor_phases():
+    low = _run([_wave(0, 30, 3), _wave(1, 20.0, 2.0)])
+    high = _run([_wave(0, 9, 2), _wave(1, 8.0, 1.5)])
+    bare_floor = {"driver_floor_sec_low": 6.0, "driver_floor_sec_high": 3.0,
+                  "driver_floor_detail": {}}
+    at = scaling.phase_attribution(
+        low, high, 8, 32, CEILING, bare_floor, bucket_sweep=8
+    )
+    assert at["prediction_detail"] is None
+    assert (
+        at["predicted_composite_efficiency"] == at["predicted_composite_harmonic"]
+    )
+
+
+def test_string_keyed_floor_detail_round_trips_like_json():
+    # json.load turns the int core keys into strings — the lookup must cope
+    low = _run([_wave(0, 30, 3), _wave(1, 20.0, 2.0)])
+    high = _run([_wave(0, 9, 2), _wave(1, 8.0, 1.5)])
+    floor = {
+        **FLOOR,
+        "driver_floor_detail": {
+            str(k): v for k, v in FLOOR["driver_floor_detail"].items()
+        },
+    }
+    at = scaling.phase_attribution(low, high, 8, 32, CEILING, floor, bucket_sweep=8)
+    assert at["prediction_detail"] is not None
+    assert at["prediction_detail"]["sec_extract"]["pred_wave_high_s"] == 8.0
