@@ -87,7 +87,9 @@ def normalize_place_expr(name: Column) -> Column:
     as column expressions: unicode quotes/dashes → ascii, strip non-word
     punctuation, collapse whitespace, lowercase."""
     s = F.translate(name, "’‘–—", "''--")
-    s = F.regexp_replace(s, r"[^\w\s'-]", " ")
+    # (?U) = Java UNICODE_CHARACTER_CLASS so \w matches accented letters,
+    # mirroring Python's unicode-default \w in the reference
+    s = F.regexp_replace(s, r"(?U)[^\w\s'-]", " ")
     s = F.regexp_replace(s, r"\s+", " ")
     return F.lower(F.trim(s))
 
@@ -107,21 +109,20 @@ def build_publisher_gazetteer(
     distance_miles).
 
     ``cell_deg`` defaults to the largest publisher radius in degrees of
-    latitude, so a publisher's box overlaps at most ~3×3 cells (longitude
-    cells shrink toward the poles, which only ADDS cells — correctness is
-    box-cover, never box-miss, and the haversine filter is exact).
+    latitude. Each publisher explodes to the FULL inclusive cell range of
+    its bounding box (floor((p−r)/cell) … floor((p+r)/cell) per axis) — a
+    box-cover that holds for any radius/cell ratio (longitude half-widths
+    grow by 1/cos(lat) and can exceed the cell size at mid latitudes, so
+    sampling a fixed −1/0/+1 neighborhood would skip interior cells). The
+    haversine filter on the joined pairs is exact.
     """
     max_radius = (
         publishers.agg(F.max("radius_miles")).collect()[0][0] or DEFAULT_RADIUS_MILES
     )
     cell = cell_deg or max(max_radius / MILES_PER_DEG_LAT, 1e-6)
 
-    def cell_of(lat: Column, lon: Column, dlat: Column, dlon: Column) -> Column:
-        return F.concat_ws(
-            ":",
-            F.floor((lat + dlat) / F.lit(cell)).cast("long"),
-            F.floor((lon + dlon) / F.lit(cell)).cast("long"),
-        )
+    def cell_idx(v: Column) -> Column:
+        return F.floor(v / F.lit(cell)).cast("long")
 
     # longitude degrees per mile grow with latitude; pad the box by 1/cos(lat)
     pub = publishers.select(
@@ -135,26 +136,28 @@ def build_publisher_gazetteer(
             / (MILES_PER_DEG_LAT * F.greatest(F.cos(F.radians("lat")), F.lit(0.1)))
         ).alias("_rdeg_lon"),
     )
-    offsets = F.sequence(F.lit(-1), F.lit(1))
-    pub_cells = pub.select(
-        "*",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    offsets,
-                    lambda i: F.transform(
-                        offsets,
-                        lambda j: cell_of(
-                            F.col("_plat"),
-                            F.col("_plon"),
-                            i * F.greatest(F.col("_rdeg_lat"), F.lit(cell)),
-                            j * F.greatest(F.col("_rdeg_lon"), F.lit(cell)),
-                        ),
-                    ),
+    pub_cells = (
+        pub.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    cell_idx(F.col("_plat") - F.col("_rdeg_lat")),
+                    cell_idx(F.col("_plat") + F.col("_rdeg_lat")),
                 )
-            )
-        ).alias("cell"),
-    ).dropDuplicates(["publisher", "cell"])
+            ).alias("_ci"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.sequence(
+                    cell_idx(F.col("_plon") - F.col("_rdeg_lon")),
+                    cell_idx(F.col("_plon") + F.col("_rdeg_lon")),
+                )
+            ).alias("_cj"),
+        )
+        .withColumn("cell", F.concat_ws(":", F.col("_ci"), F.col("_cj")))
+        .drop("_ci", "_cj")
+    )
 
     pl = places.select(
         "place",
@@ -162,15 +165,19 @@ def build_publisher_gazetteer(
         "category",
         "lat",
         "lon",
-        cell_of(F.col("lat"), F.col("lon"), F.lit(0.0), F.lit(0.0)).alias("cell"),
+        F.concat_ws(
+            ":", cell_idx(F.col("lat")), cell_idx(F.col("lon"))
+        ).alias("cell"),
     )
     dist = haversine_miles(
         F.col("_plat"), F.col("_plon"), F.col("lat"), F.col("lon")
     )
+    # filter on the exact distance (rounding first would flip boundary
+    # rows relative to an exact-predicate mirror); round only for output
     return (
         pl.join(F.broadcast(pub_cells), "cell")
+        .where(dist <= F.col("radius_miles"))
         .withColumn("distance_miles", F.round(dist, 3))
-        .where(F.col("distance_miles") <= F.col("radius_miles"))
         .select(
             "publisher", "place", "place_norm", "category", "lat", "lon",
             "distance_miles",

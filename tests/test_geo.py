@@ -94,6 +94,34 @@ def test_grid_join_equals_brute_force(spark):
     assert gz.where(F.col("distance_miles") > radius).count() == 0
 
 
+def test_grid_join_covers_wide_lon_boxes(spark):
+    """Regression: at mid latitudes the lon half-width (r/cos(lat)) exceeds
+    the cell size (r in lat degrees), so the publisher box spans 4+ lon
+    cells — a fixed −1/0/+1 cell sampling skips interior cells and loses
+    in-radius places. Dense lon lattice makes any skipped cell visible."""
+    radius = 30.0
+    plat, plon = 42.0, -93.0  # cos(42°)≈0.743 → rdeg_lon/cell ≈ 1.35
+    pubs = [("p0", plat, plon)]
+    cell = radius / 69.0
+    # places every cell/4 along the lon axis out to ±2 boxes, same lat
+    places = [
+        (f"pl{i}", plat, plon + (i - 40) * cell / 4) for i in range(81)
+    ]
+    pubs_df = spark.createDataFrame(
+        [(n, la, lo, radius) for n, la, lo in pubs],
+        "publisher string, lat double, lon double, radius_miles double",
+    )
+    places_df = spark.createDataFrame(
+        [(n, "poi", la, lo) for n, la, lo in places],
+        "place string, category string, lat double, lon double",
+    )
+    got = {
+        (r["publisher"], r["place"])
+        for r in build_publisher_gazetteer(pubs_df, places_df).collect()
+    }
+    assert got == _brute_force(pubs, places, radius)
+
+
 def test_detect_geographic_signals(spark):
     pubs_df = spark.createDataFrame(
         [("gazette", 38.95, -92.33, 20.0)],
