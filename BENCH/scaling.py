@@ -204,6 +204,89 @@ def extract_cpu_probe(shuffle: int, low: int, high: int, reps: int = 2) -> dict:
     }
 
 
+def extract_contended_probe(shuffle: int, low: int, high: int, reps: int = 2) -> dict:
+    """The extraction cascade measured UNDER the crawl's actual tier-A
+    concurrency, engine-independently: the extraction pipeline is
+    ``.cache()``d and two consumers race it from concurrent driver threads —
+    a parquet write of the extracted output (the articles stage) and a
+    count (the flagged count) — exactly the cache-fill race the crawl's
+    ``sec_extract`` window pays (crawl.py tier-A pool).  The isolated probe
+    (:func:`extract_cpu_probe`) is the box's upper bound for extraction
+    alone — no cache, no racing consumer, no output write; THIS probe is
+    the lane the in-crawl extract actually rides: racing tasks hold task
+    slots while blocked on cache-fill locks, and the extracted text is
+    encoded + written once.  Its low→high speedup feeds the additive
+    attribution model's extract lane; both probes are published so the
+    isolated-vs-contended spread is itself a measured number."""
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _t
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    import pandas as pd
+
+    n_hosts = int(os.environ.get("BENCH_HOSTS", "4000"))
+    pages = int(os.environ.get("BENCH_PAGES", "120000"))
+    sweep = int(os.environ.get("BENCH_BUCKET_SWEEP", "0"))
+    frac = float(os.environ.get("EXT_PROBE_FRAC", "1.0"))
+    from bench import _cached_web
+    from mizzounewscrawler_spark.operators.extraction import _extract_batch
+
+    def run_extract(it):
+        for df in it:
+            out = _extract_batch(df[["url", "html"]])
+            yield pd.DataFrame(
+                {
+                    "url": out["url"],
+                    "text": out["text"],
+                    "found": out["found"].astype(bool),
+                }
+            )
+
+    best = {}
+    for rep in range(reps):
+        for cores in (low, high):
+            spark = build_session(
+                cores, shuffle_partitions=shuffle, app_name=f"extc-{cores}-{rep}"
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+            pages_df, _, _ = _cached_web(spark, n_hosts, pages, bucket_sweep=sweep)
+            from pyspark.sql import functions as F
+
+            scan = pages_df.select("url", "html")
+            if frac < 1.0:
+                scan = scan.where(
+                    F.pmod(F.xxhash64("url"), F.lit(1000))
+                    < F.lit(int(frac * 1000))
+                )
+            scan.count()  # warm listing/footers (untimed)
+            ext = scan.mapInPandas(
+                run_extract, "url string, text string, found boolean"
+            ).cache()
+            out_dir = _tf.mkdtemp(prefix="extc_")
+            t0 = _t.time()
+            try:
+                with _TPE(max_workers=2) as tpe:
+                    fut_w = tpe.submit(
+                        lambda: ext.write.mode("overwrite").parquet(out_dir)
+                    )
+                    fut_c = tpe.submit(ext.count)
+                    fut_c.result()
+                    fut_w.result()
+                dt = _t.time() - t0
+            finally:
+                ext.unpersist()
+                _sh.rmtree(out_dir, ignore_errors=True)
+            spark.stop()
+            best[cores] = min(best.get(cores, float("inf")), dt)
+    return {
+        "extc_sec_low": round(best[low], 2),
+        "extc_sec_high": round(best[high], 2),
+        "extc_speedup": round(best[low] / best[high], 2),
+        "extc_efficiency": round(best[low] / best[high] / (high / low), 3),
+    }
+
+
 def cpu_fabric_probe(low: int, high: int, seconds: float = 6.0, reps: int = 2) -> dict:
     """Pure-compute scaling probe: N busy Python processes doing integer
     arithmetic (no memory traffic, no Spark).  Separates the CPU fabric's
@@ -331,10 +414,12 @@ def phase_attribution(
       scan_*_p   — the pruned-bucket page-store scan, charged to the
                    extract phase: scan_probe_sec / bucket_sweep at each
                    level (byte lane, ~flat on one box),
-      speedup    — extract → the isolated real-extraction probe's
-                   measured low→high speedup; commit/bloom/finalize/other
-                   → the scan probe's speedup (wave-sized parquet encode
-                   rides the same byte lane).
+      speedup    — extract → the CONTENDED extraction probe's measured
+                   low→high speedup (cache-fill race + output write, the
+                   crawl's actual tier-A shape; falls back to the isolated
+                   probe); commit/bloom/finalize/other → the scan probe's
+                   speedup (wave-sized parquet encode rides the same byte
+                   lane).
 
     predicted efficiency = t_low / (ratio × Σ_p pred_high_p).  The r3
     verdict's acceptance bar: measured steady-state efficiency within
@@ -368,7 +453,10 @@ def phase_attribution(
     fl, fh = floor.get("driver_floor_sec_low"), floor.get("driver_floor_sec_high")
     drv_eff = (fl / fh / ratio) if (fl and fh) else (1.0 / ratio)
     lane = {}
-    ext_eff = ceiling.get("ext_efficiency")
+    # extract lane: the CONTENDED probe when measured (the crawl's
+    # sec_extract pays the same cache-fill race + output write), else the
+    # isolated extraction probe
+    ext_eff = ceiling.get("extc_efficiency") or ceiling.get("ext_efficiency")
     if ext_eff:
         lane["sec_extract"] = ext_eff
     scan_eff = ceiling.get("scan_efficiency")
@@ -405,7 +493,7 @@ def phase_attribution(
     )
     predicted = None
     pred_detail = None
-    ext_speedup = ceiling.get("ext_speedup")
+    ext_speedup = ceiling.get("extc_speedup") or ceiling.get("ext_speedup")
     scan_speedup = ceiling.get("scan_speedup")
     if pf_l and pf_h and ext_speedup and scan_speedup:
         scan_l = (ceiling["scan_sec_low"] / bucket_sweep) if bucket_sweep else 0.0
@@ -543,6 +631,7 @@ def main() -> None:
     ceiling.update(cpu_fabric_probe(low, high))
     ceiling.update(arrow_fabric_probe(shuffle, low, high))
     ceiling.update(extract_cpu_probe(shuffle, low, high))
+    ceiling.update(extract_contended_probe(shuffle, low, high))
     floor = (
         driver_floor_probe(shuffle, low, high)
         if os.environ.get("DRIVER_FLOOR", "1") != "0"
@@ -625,6 +714,7 @@ def pairs_table() -> str:
             f"{hc.get('cpu_efficiency', '—')} | "
             f"{hc.get('arrow_efficiency', '—')} | "
             f"{hc.get('ext_efficiency', '—')} | "
+            f"{hc.get('extc_efficiency', '—')} | "
             f"{at.get('predicted_composite_efficiency', '—')} |"
         )
     if not rows:
@@ -633,8 +723,8 @@ def pairs_table() -> str:
         "| pair (cores) | steady URLs/s @N | steady URLs/s @4N | "
         "steady-state efficiency | incl. wave 0 | scan ceiling | "
         "cpu ceiling | arrow-fabric ceiling | extract-stage ceiling | "
-        "predicted composite |\n"
-        "|---|---|---|---|---|---|---|---|---|---|\n"
+        "contended-extract ceiling | predicted composite |\n"
+        "|---|---|---|---|---|---|---|---|---|---|---|\n"
     )
     return header + "\n".join(rows)
 
@@ -716,6 +806,18 @@ regime the N→4N criterion is about.
             for k, v in at["phases"].items()
         )
         ext_note = ""
+        if ceil.get("extc_efficiency") is not None:
+            ext_note += (
+                f"\nContended-vs-isolated extract spread (measured): the "
+                f"isolated extraction probe scales at "
+                f"{ceil.get('ext_efficiency')} while the CONTENDED probe — "
+                f"the same extraction cached with a parquet write and a "
+                f"count racing the cache fill from concurrent driver "
+                f"threads, the crawl's actual tier-A shape — scales at "
+                f"**{ceil.get('extc_efficiency')}** "
+                f"({ceil.get('extc_sec_low')} s → {ceil.get('extc_sec_high')} s). "
+                f"The attribution's extract lane uses the contended figure.\n"
+            )
         if at.get("extract_arrow_frac_low") is not None:
             ext_note = (
                 f"\nWithin the extract phase, the Arrow byte lane is "
@@ -741,9 +843,10 @@ regime the N→4N criterion is about.
             pd_md = f"""
 Per-phase prediction detail (seconds per steady wave; model:
 `pred_high = floor_high + bucket_scan_high + scalable_work / probe_speedup`
-— extract work rides the isolated-extraction probe's speedup, every other
-phase's above-floor work rides the scan/byte lane; the floor is the
-MEASURED near-empty-wave skeleton at each level, paid regardless of data):
+— extract work rides the contended-extraction probe's speedup (isolated
+probe when the contended one is not measured), every other phase's
+above-floor work rides the scan/byte lane; the floor is the MEASURED
+near-empty-wave skeleton at each level, paid regardless of data):
 
 | phase | wave @low | floor @low | scalable work | floor @high | predicted @high |
 |---|---|---|---|---|---|
@@ -760,8 +863,10 @@ Predicted steady wave at the high level:
 Steady-state per-phase decomposition of the crawl itself (sums over waves
 ≥ 1 of the per-wave lineage the engine already records), each phase's
 measured scaling efficiency, and the engine-independent lane ceiling it is
-predicted by (extract → isolated real-extraction probe; commit → scan/byte
-lane; bloom/finalize/other → measured driver floor):
+predicted by (extract → CONTENDED extraction probe when measured — the
+same cache-fill race + output write the crawl's sec_extract pays — else
+the isolated probe; commit → scan/byte lane; bloom/finalize/other →
+measured driver floor):
 
 | phase | low s | high s | share @low | measured eff | lane ceiling |
 |---|---|---|---|---|---|

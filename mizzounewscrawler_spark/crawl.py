@@ -134,6 +134,16 @@ class CrawlConfig:
     # members of this named dataset — requires run_crawl(dataset_sources=…)
     # carrying the (dataset_label, source_id) M:N dim.  None = all sources.
     dataset_label: str | None = None
+    # Cache-fill discipline for the tier-A staging pool: when True, the
+    # articles write (the one consumer guaranteed to scan every `results`
+    # row) runs ALONE first, filling the extraction cache, and the small
+    # consumers (host_state / order_log / fetch_events / flagged count) are
+    # submitted afterwards against the hot cache.  When False (default) all
+    # tier-A jobs race the uncached pipeline — maximum driver-latency
+    # overlap, but on a task-slot-saturated executor set the racing tasks
+    # block on cache-fill locks while holding slots.  Measured A/B lives in
+    # BENCH/BASELINE.md; the default follows the measurement.
+    stage_heavy_first: bool = False
 
 
 @session_memo
@@ -695,6 +705,12 @@ def run_crawl(
         # only ~2 s serial at the wide level; the race costs ~20 s.
         with ThreadPoolExecutor(max_workers=7) as pool:
             fut_articles = pool.submit(t.articles.stage, articles_batch)
+            staged_articles_early = None
+            if cfg.stage_heavy_first:
+                # fill the results cache with the one full-scan consumer
+                # before the small consumers race it (see CrawlConfig)
+                staged_articles_early = fut_articles.result()
+                fut_articles = None
             fut_events = None
             if cfg.with_fetch_events:
                 from mizzounewscrawler_spark.plans.telemetry import (
@@ -743,7 +759,11 @@ def run_crawl(
                 fut_seen, fut_frontier = _stage_dedup(
                     pool, t, new_frontier_rows, tombstones, small_n
                 )
-            staged_articles = fut_articles.result()
+            staged_articles = (
+                staged_articles_early
+                if staged_articles_early is not None
+                else fut_articles.result()
+            )
             staged_order = fut_order.result() if fut_order is not None else None
             staged_host = fut_host.result()
             staged_events = fut_events.result() if fut_events is not None else None
