@@ -938,7 +938,7 @@ including warmup wave 0: {round(eff_tot, 3)}.
 {pairs_table()}
 
 Reading the table: each pair's crawl efficiency should be compared to the
-three ceiling columns measured AT THAT PAIR on this shared box.  At 2→8
+ceiling columns measured AT THAT PAIR on this shared box.  At 2→8
 the crawl (0.9+) matches or beats every ceiling — engine scaling is
 hardware-limited, not plan-limited.  At 8→32 the box's byte-moving
 fabric collapses (columnar scan and Arrow passthrough go flat or
@@ -1012,6 +1012,63 @@ reference's single-node rate at equal politeness semantics.
         f.write(md)
 
 
+def reprobe() -> None:
+    """Re-run the host-lane probes against an ARCHIVED pair result (crawl
+    measurements unchanged — same engine, same input, same config) and
+    recompute the attribution with the refreshed lanes.  Used when the
+    attribution model gains a new probe (e.g. the contended-extract lane):
+    the expensive crawl reps are reused, only the probes run.
+
+    Usage: SCALE_LOW=8 SCALE_HIGH=32 python BENCH/scaling.py --reprobe
+    (plus the SAME BENCH_* env the archived pair was measured with)."""
+    low = int(os.environ.get("SCALE_LOW", "8"))
+    high = int(os.environ.get("SCALE_HIGH", "32"))
+    shuffle = int(os.environ.get("BENCH_SHUFFLE", "64"))
+    sweep = int(os.environ.get("BENCH_BUCKET_SWEEP", "0"))
+    path = os.path.join(HERE, f"scaling_result_{low}to{high}.json")
+    with open(path) as f:
+        result = json.load(f)
+    ceiling = dict(result.get("host_ceiling") or {})
+    ceiling.update(extract_contended_probe(shuffle, low, high))
+    floor = {
+        k: result[k]
+        for k in ("driver_floor_sec_low", "driver_floor_sec_high",
+                  "driver_floor_detail")
+        if k in result
+    }
+    attribution = phase_attribution(
+        result["low"], result["high"], low, high, ceiling, floor,
+        bucket_sweep=result.get("bucket_sweep", sweep),
+    )
+    eff = result["scaling_efficiency_steady_state"]
+    result["host_ceiling"] = ceiling
+    result["attribution"] = attribution
+    result["attribution_gap"] = (
+        round(abs(eff - attribution["predicted_composite_efficiency"]), 3)
+        if attribution.get("predicted_composite_efficiency") is not None
+        else None
+    )
+    print(json.dumps({
+        "pair": f"{low}to{high}",
+        "measured": eff,
+        "predicted": attribution.get("predicted_composite_efficiency"),
+        "gap": result["attribution_gap"],
+        "extc": {k: v for k, v in ceiling.items() if k.startswith("extc")},
+    }))
+    with open(path, "w") as f:
+        json.dump(result, f)
+    # keep the headline archive in sync when it holds the same pair
+    head = os.path.join(HERE, "scaling_result.json")
+    try:
+        with open(head) as f:
+            h = json.load(f)
+        if h["low"]["cores"] == low and h["high"]["cores"] == high:
+            with open(head, "w") as f:
+                json.dump(result, f)
+    except (OSError, KeyError):
+        pass
+
+
 def render_only() -> None:
     """Re-render BASELINE.md from the archived scaling_result.json without
     re-benchmarking (e.g. after improving the report template)."""
@@ -1031,5 +1088,7 @@ def render_only() -> None:
 if __name__ == "__main__":
     if "--render-only" in sys.argv:
         render_only()
+    elif "--reprobe" in sys.argv:
+        reprobe()
     else:
         main()

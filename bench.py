@@ -292,7 +292,23 @@ def main() -> None:
         "harness_wall_sec": total,
         "reps": reps,
     }
-    print(json.dumps(result))
+    # full detail (incl. per_wave lineage) → file; stdout stays ONE SHORT
+    # JSON line — the driver tails stdout and parses the last line, and the
+    # embedded per-wave arrays blew past its window in r3 (parsed: None)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_detail.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(result, f)
+    except OSError:
+        pass
+    slim = dict(result)
+    slim["frontier"] = {
+        k: v for k, v in frontier.items() if k != "per_wave"
+    }
+    slim["per_wave_detail"] = "BENCH/bench_detail.json"
+    print(json.dumps(slim))
     spark.stop()
 
 

@@ -137,3 +137,22 @@ def test_string_keyed_floor_detail_round_trips_like_json():
     at = scaling.phase_attribution(low, high, 8, 32, CEILING, floor, bucket_sweep=8)
     assert at["prediction_detail"] is not None
     assert at["prediction_detail"]["sec_extract"]["pred_wave_high_s"] == 8.0
+
+
+def test_contended_extract_lane_takes_precedence():
+    # when the contended probe is measured, BOTH the lane efficiency and the
+    # additive model's extract speedup ride it instead of the isolated probe
+    low = _run([_wave(0, 30, 3), _wave(1, 20.0, 2.0), _wave(2, 20.0, 2.0)])
+    high = _run([_wave(0, 9, 2), _wave(1, 8.0, 1.5), _wave(2, 8.0, 1.5)])
+    ceiling = {
+        **CEILING,
+        "extc_sec_low": 150.0,
+        "extc_sec_high": 60.0,  # contended: 2.5x at 4x cores
+        "extc_speedup": 2.5,
+        "extc_efficiency": 0.625,
+    }
+    at = scaling.phase_attribution(low, high, 8, 32, ceiling, FLOOR, bucket_sweep=8)
+    assert at["lane_efficiencies"]["sec_extract"] == 0.625
+    pd_ = at["prediction_detail"]
+    # extract work 15 rides the CONTENDED speedup: 2.0 + 1.0 + 15/2.5 = 9.0
+    assert pd_["sec_extract"]["pred_wave_high_s"] == 9.0
