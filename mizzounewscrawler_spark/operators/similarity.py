@@ -132,6 +132,30 @@ def lsh_ann_topk(
     — each extra unit of radius trades more candidates for higher recall
     without touching the data again.
     """
+    cand = embeddings.where(
+        lsh_match_expr(
+            query_vec,
+            dim=dim,
+            num_tables=num_tables,
+            planes=planes,
+            probe_radius=probe_radius,
+            vec_col=vec_col,
+        )
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def lsh_match_expr(
+    query_vec: list[float],
+    dim: int | None = None,
+    num_tables: int = 4,
+    planes: int = 8,
+    probe_radius: int = 0,
+    vec_col: str = "embedding",
+) -> Column:
+    """The single-scan LSH candidate predicate used by :func:`lsh_ann_topk`,
+    exposed so callers (e.g. the oracle catalog's fixture mirror) can
+    materialize the candidate set itself."""
     dim = dim or len(query_vec)
     v = F.col(vec_col)
     match_any = None
@@ -143,8 +167,7 @@ def lsh_ann_topk(
         else:
             hit = F.bit_count(sig.bitwiseXOR(F.lit(qsig))) <= probe_radius
         match_any = hit if match_any is None else (match_any | hit)
-    cand = embeddings.where(match_any)
-    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+    return match_any
 
 
 def exact_neardup_pairs(
@@ -172,16 +195,15 @@ def exact_neardup_pairs(
     )
 
 
-def ivf_topk(
+def ivf_candidates(
     embeddings: DataFrame,
     query_vec: list[float],
-    k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style approximate top-k: the scale path for ANN.
+    """IVF-style candidate set: the scale path for ANN.
 
     Deterministic "training-free" coarse quantizer: centroid c is the plain
     element-wise mean of the rows whose ``xxhash64(id) % n_centroids == c``
@@ -255,8 +277,24 @@ def ivf_topk(
         return d / (nu * nw)
 
     probe = sorted(cells, key=lambda c: -_cos(query_vec, centroids[c]))[:nprobe]
-    cand = assigned.where(F.col("cell").isin(probe)).select(
+    return assigned.where(F.col("cell").isin(probe)).select(
         F.col("id").alias(id_col), F.col("v").alias(vec_col)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k — :func:`ivf_candidates` (probe the
+    nprobe nearest cells) followed by the exact codegen'd cosine top-k."""
+    cand = ivf_candidates(
+        embeddings, query_vec, n_centroids, nprobe, id_col, vec_col
     )
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
@@ -275,6 +313,27 @@ def embedding_neardup_pairs(
     Bucket on (table, signature), join within buckets, exact-verify the
     cosine — the embedding analog of MinHash-LSH for text.
     """
+    cand = embedding_neardup_candidates(
+        embeddings, dim, num_tables, planes, id_col, vec_col
+    )
+    cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
+    return cand.select("id_a", "id_b", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )
+
+
+def embedding_neardup_candidates(
+    embeddings: DataFrame,
+    dim: int = 16,
+    num_tables: int = 6,
+    planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The LSH bucket-join candidate pairs (id_a, id_b, va, vb) BEFORE the
+    exact-cosine verification — exposed so the oracle catalog can
+    materialize the candidate set and run the verification in both
+    engines."""
     sigs = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -306,7 +365,4 @@ def embedding_neardup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
-    return cand.select("id_a", "id_b", cos.alias("cosine")).where(
-        F.col("cosine") >= threshold
-    )
+    return cand

@@ -1286,22 +1286,90 @@ GROUP BY doc_id
 
 
 def q_ivf_ann(spark, sf):
-    """IVF-style ANN top-10 (deterministic coarse quantizer, nprobe cells)."""
-    from mizzounewscrawler_spark.operators.similarity import ivf_topk
+    """IVF-style ANN top-10 (deterministic coarse quantizer, nprobe cells).
+    SQL mirror via the fixture pattern: Spark computes the IVF candidate
+    set (centroid means + argmax assignment + nprobe probing — xxhash64
+    seeding, not in DuckDB) and persists the candidate ids; BOTH engines
+    then score the identical candidate set against the embeddings table
+    with exact rounded cosine and take the top 10."""
+    from mizzounewscrawler_spark.operators.similarity import (
+        cosine_topk,
+        ivf_candidates,
+    )
 
     emb = t(spark, sf, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return ivf_topk(
-        emb.where(F.col("vec_id") > 0), [float(x) for x in qvec], k=10
+    qvec = [float(x) for x in qvec]
+    cand = ivf_candidates(emb.where(F.col("vec_id") > 0), qvec).select("vec_id")
+    path = _write_fixture(
+        cand.toPandas().sort_values("vec_id"), "ivf_candidates"
     )
+    cand_ids = spark.read.parquet(path)
+    return cosine_topk(emb.join(cand_ids, "vec_id"), qvec, k=10)
+
+
+SQL_IVF_ANN = f"""
+WITH q AS (SELECT embedding::double[] AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id FROM '{_FIX_DIR}/ivf_candidates.parquet')
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding::double[], qv) /
+             (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+              sqrt(list_dot_product(qv, qv))), 6) AS cosine
+FROM embeddings e JOIN c USING (vec_id), q
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
 
 
 def q_embedding_neardup_lsh(spark, sf):
-    """LSH-bucketed embedding near-dup (the 100 TB path for q_embedding_neardup_exact)."""
-    from mizzounewscrawler_spark.operators.similarity import embedding_neardup_pairs
+    """LSH-bucketed embedding near-dup (the 100 TB path for
+    q_embedding_neardup_exact).  SQL mirror via the fixture pattern: Spark
+    computes the LSH bucket-join candidate PAIRS (sign-hyperplane
+    signatures — xxhash64, not in DuckDB) and persists (id_a, id_b); BOTH
+    engines then exact-verify cosine ≥ threshold over the embeddings
+    table for the identical pair set."""
+    from mizzounewscrawler_spark.operators.similarity import (
+        cosine_expr,
+        embedding_neardup_candidates,
+    )
 
     emb = t(spark, sf, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.45, dim=64)
+    cand = embedding_neardup_candidates(emb, dim=64).select("id_a", "id_b")
+    path = _write_fixture(
+        cand.toPandas().sort_values(["id_a", "id_b"]), "emb_lsh_pairs"
+    )
+    pairs = spark.read.parquet(path)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    j = (
+        pairs.join(base.withColumnRenamed("v", "va"), pairs.id_a == base.vec_id)
+        .drop("vec_id")
+        .join(
+            base.withColumnRenamed("v", "vb").withColumnRenamed(
+                "vec_id", "vec_id_b"
+            ),
+            F.col("id_b") == F.col("vec_id_b"),
+        )
+    )
+    cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
+    return (
+        j.select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.45)
+    )
+
+
+SQL_EMB_NEARDUP_LSH = f"""
+SELECT * FROM (
+  SELECT p.id_a, p.id_b,
+         round(list_dot_product(ea.embedding::double[], eb.embedding::double[]) /
+               (sqrt(list_dot_product(ea.embedding::double[], ea.embedding::double[])) *
+                sqrt(list_dot_product(eb.embedding::double[], eb.embedding::double[]))), 6)
+           AS cosine
+  FROM '{_FIX_DIR}/emb_lsh_pairs.parquet' p
+  JOIN embeddings ea ON ea.vec_id = p.id_a
+  JOIN embeddings eb ON eb.vec_id = p.id_b
+) WHERE cosine >= 0.45
+"""
 
 
 def q_multimodal_metadata(spark, sf):
@@ -1444,11 +1512,41 @@ WHERE bit_count(xor(a.sh, b2.sh)) <= 3
 
 
 def q_lsh_ann(spark, sf):
-    from mizzounewscrawler_spark.operators.similarity import lsh_ann_topk
+    """Single-scan LSH ANN top-10.  SQL mirror via the fixture pattern:
+    Spark evaluates the whole-stage-codegen'd LSH bucket predicate
+    (xxhash64 hyperplanes — not in DuckDB) and persists the candidate
+    ids; BOTH engines then score the identical candidate set with exact
+    rounded cosine and take the top 10."""
+    from mizzounewscrawler_spark.operators.similarity import (
+        cosine_topk,
+        lsh_match_expr,
+    )
 
     emb = t(spark, sf, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return lsh_ann_topk(emb.where(F.col("vec_id") > 0), [float(x) for x in qvec], k=10)
+    qvec = [float(x) for x in qvec]
+    cand = (
+        emb.where(F.col("vec_id") > 0)
+        .where(lsh_match_expr(qvec))
+        .select("vec_id")
+    )
+    path = _write_fixture(
+        cand.toPandas().sort_values("vec_id"), "lsh_ann_candidates"
+    )
+    cand_ids = spark.read.parquet(path)
+    return cosine_topk(emb.join(cand_ids, "vec_id"), qvec, k=10)
+
+
+SQL_LSH_ANN = f"""
+WITH q AS (SELECT embedding::double[] AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id FROM '{_FIX_DIR}/lsh_ann_candidates.parquet')
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding::double[], qv) /
+             (sqrt(list_dot_product(e.embedding::double[], e.embedding::double[])) *
+              sqrt(list_dot_product(qv, qv))), 6) AS cosine
+FROM embeddings e JOIN c USING (vec_id), q
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
 
 
 def _fixture_wave(spark):
@@ -1663,9 +1761,9 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("minhash_lsh_neardup", q_minhash_neardup, SQL_MINHASH, "dedup (LSH)"),
     QuerySpec("simhash_neardup", q_simhash_neardup, SQL_SIMHASH, "dedup (SimHash)"),
     QuerySpec("doc_fingerprints", q_doc_fingerprints, SQL_DOC_FINGERPRINTS, "text ops (fingerprint)"),
-    QuerySpec("lsh_ann_topk", q_lsh_ann, None, "similarity (ANN)"),
-    QuerySpec("ivf_ann_topk", q_ivf_ann, None, "similarity (IVF ANN)"),
-    QuerySpec("embedding_neardup_lsh", q_embedding_neardup_lsh, None, "dedup (embedding LSH)"),
+    QuerySpec("lsh_ann_topk", q_lsh_ann, SQL_LSH_ANN, "similarity (ANN)"),
+    QuerySpec("ivf_ann_topk", q_ivf_ann, SQL_IVF_ANN, "similarity (IVF ANN)"),
+    QuerySpec("embedding_neardup_lsh", q_embedding_neardup_lsh, SQL_EMB_NEARDUP_LSH, "dedup (embedding LSH)"),
     QuerySpec("multimodal_decode", q_multimodal_metadata, None, "multimodal"),
     QuerySpec("crawl_wave_demo", q_crawl_wave, None, "crawl engine"),
     QuerySpec("never_attempted_first", q_never_attempted_first, SQL_NEVER_ATTEMPTED, "O2/S1"),
