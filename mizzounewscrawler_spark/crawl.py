@@ -83,6 +83,12 @@ class CrawlConfig:
     # expected total URL-seen capacity; pins the Bloom geometry so per-wave
     # increments can be OR-merged into the long-lived filter (O(new)/wave)
     bloom_capacity: int = 1_000_000
+    # Above this many newly-discovered URLs in one wave, the Bloom increment
+    # switches from driver-side numpy bit-sets (parquet-footer read of the
+    # staged url_seen write — zero Spark jobs) to a DISTRIBUTED build_bloom
+    # over the staged files, OR-merged in.  Wave-sized is the common case;
+    # the distributed path covers seed-all openings of huge frontiers.
+    bloom_driver_increment_max: int = 2_000_000
     # global (wave, seq) crawl-order artifact: required for reference-order
     # parity, but it is a single-partition sort — turn OFF for throughput
     # runs / production where within-host order suffices
@@ -827,7 +833,7 @@ def run_crawl(
             # footer read, numpy bit ops — no Spark job).  The distributed
             # build_bloom path stays for bulk increments, where shipping
             # the hash column to the driver would not be wave-sized.
-            if discovered_new <= 2_000_000:
+            if discovered_new <= cfg.bloom_driver_increment_max:
                 new_hashes = t.url_seen.staged_column(staged_seen, "url_hash")
                 bloom = add_hashes(bloom, new_hashes)
                 if shard_dir is not None:
@@ -837,7 +843,7 @@ def run_crawl(
                     )
             else:
                 increment = build_bloom(
-                    new_seen,
+                    t.url_seen.staged_df(staged_seen),
                     "url_hash",
                     shard_bits=cfg.bloom_shard_bits,
                     params=bloom_params,

@@ -445,6 +445,17 @@ class LakeTable:
             return 0
         return _dir_rows(self._data_dir(staged["version"]))
 
+    def staged_df(self, staged: dict[str, Any]) -> DataFrame | None:
+        """The stage()-written data dir as a DataFrame (distributed read of
+        the already-materialized parquet), or None when the stage wrote no
+        data.  The bulk twin of :meth:`staged_column`: side-structure
+        rebuilds too large to ship to the driver (e.g. a >2M-row Bloom
+        increment) read the staged files back instead of re-running the
+        producing plan."""
+        if not staged["has_data"]:
+            return None
+        return self.spark.read.parquet(self._data_dir(staged["version"]))
+
     def staged_column(self, staged: dict[str, Any], column: str):
         """One column of a stage()-written data dir as a numpy array, read
         driver-locally with pyarrow — no Spark job.  Used for wave-sized

@@ -113,3 +113,31 @@ def test_session_memo_keyed_by_context_and_args(spark):
     exprcache.clear_expr_cache()
     builder("x")
     assert calls == ["x", "y", "x"]
+
+
+def test_distributed_increment_path_crawl_parity(spark, web, web_spark):
+    """End-to-end guard on the DISTRIBUTED Bloom-increment branch
+    (``discovered_new > cfg.bloom_driver_increment_max`` — build_bloom over
+    the staged url_seen files, OR-merged): forcing it on every wave must
+    reproduce the reference simulator exactly, same as the driver-side
+    default.  Regression for the r4 NameError in that branch (it referenced
+    a variable that had moved into ``_stage_dedup``)."""
+    from mizzounewscrawler_spark.crawl import CrawlConfig, open_tables, run_crawl
+    from mizzounewscrawler_spark.simulator import simulate_crawl
+
+    pages, seeds, robots = web_spark
+    out_dir = tempfile.mkdtemp(prefix="bulk_bloom_")
+    try:
+        cfg = CrawlConfig(max_waves=3, use_bloom=True, bloom_driver_increment_max=0)
+        run_crawl(spark, pages, seeds, robots, out_dir, cfg)
+        sim = simulate_crawl(web.pages, web.seeds, web.robots, max_waves=3)
+        t = open_tables(spark, out_dir)
+        engine_seen = {r["url_surt"] for r in t.url_seen.read().collect()}
+        assert engine_seen == sim.seen
+        engine_order = [
+            (r["wave"], r["seq"], r["url_surt"])
+            for r in t.order_log.read().orderBy("wave", "seq").collect()
+        ]
+        assert engine_order == sim.order
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
