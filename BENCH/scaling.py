@@ -378,11 +378,28 @@ def driver_floor_probe(shuffle: int, low: int, high: int, waves: int = 6) -> dic
             ),
             3,
         )
+        # contention-free floor: the phase split of the FASTEST steady wave
+        # (one coherent observed sample — same min-filter principle as the
+        # crawl's per-wave minimums; the MEAN balloons under CPU steal and
+        # then poisons the additive prediction by eating the scalable work)
+        best_w = min(steady_w, key=lambda w: w["wave_sec"]) if steady_w else {}
+        phase_floor_min = {
+            k: round(best_w.get(k, 0.0) or 0.0, 3) for k in PHASE_KEYS
+        }
+        phase_floor_min["sec_other"] = round(
+            max(
+                (best_w.get("wave_sec", 0.0) or 0.0)
+                - sum(phase_floor_min.values()),
+                0.0,
+            ),
+            3,
+        )
         floors[cores] = {
             "steady_wave_sec_min": round(min(steady), 3) if steady else None,
             "steady_wave_sec": [round(s, 3) for s in steady],
             "rows_per_wave": [w["scheduled"] for w in out["per_wave"]],
             "phase_floor_mean": phase_floor,
+            "phase_floor_min_wave": phase_floor_min,
         }
     return {
         "driver_floor_sec_low": floors[low]["steady_wave_sec_min"],
@@ -481,16 +498,15 @@ def phase_attribution(
 
     # --- additive skeleton model (see docstring) ---------------------------
     n_w = max(len([w for w in r_low["per_wave"] if w["wave"] >= 1]), 1)
-    pf_l = (
-        (floor.get("driver_floor_detail") or {})
-        .get(str(low), (floor.get("driver_floor_detail") or {}).get(low, {}))
-        .get("phase_floor_mean")
-    )
-    pf_h = (
-        (floor.get("driver_floor_detail") or {})
-        .get(str(high), (floor.get("driver_floor_detail") or {}).get(high, {}))
-        .get("phase_floor_mean")
-    )
+    def _floor_phases(level):
+        d = (floor.get("driver_floor_detail") or {})
+        d = d.get(str(level), d.get(level, {}))
+        # prefer the min-wave (contention-free) split; fall back to the
+        # mean for results archived before phase_floor_min_wave existed
+        return d.get("phase_floor_min_wave") or d.get("phase_floor_mean")
+
+    pf_l = _floor_phases(low)
+    pf_h = _floor_phases(high)
     predicted = None
     pred_detail = None
     ext_speedup = ceiling.get("extc_speedup") or ceiling.get("ext_speedup")
@@ -729,6 +745,56 @@ def pairs_table() -> str:
     return header + "\n".join(rows)
 
 
+def attribution_closure() -> str:
+    """Per-pair attribution verdict over every archived pair: measured
+    steady-state efficiency vs the additive-model prediction and the gap —
+    the r3 acceptance bar is |gap| within ~0.1 (scaling fully attributed to
+    host lanes, not engine waste)."""
+    import glob
+    import re as _re
+
+    lines, gaps = [], []
+    for path in sorted(glob.glob(os.path.join(HERE, "scaling_result_*to*.json"))):
+        m = _re.search(r"scaling_result_(\d+)to(\d+)\.json$", path)
+        if not m:
+            continue
+        with open(path) as f:
+            d = json.load(f)
+        pred = (d.get("attribution") or {}).get("predicted_composite_efficiency")
+        gap = d.get("attribution_gap")
+        if pred is None or gap is None:
+            continue
+        lines.append(
+            f"- **{m.group(1)}→{m.group(2)}**: measured "
+            f"{d['scaling_efficiency_steady_state']}, predicted composite "
+            f"{pred}, gap **{gap}**"
+        )
+        gaps.append(gap)
+    if not lines:
+        return ""
+    verdict = (
+        "Every pair lands within the ~0.1 acceptance bar: the crawl's "
+        "scaling at each pair is fully attributed to host lanes (fixed "
+        "driver skeleton + byte fabric + compute fabric), not engine waste."
+        if all(g <= 0.1 for g in gaps)
+        else "Pairs with gap > 0.1 remain only partially attributed."
+    )
+    return (
+        "**Attribution closure** — the additive skeleton model's prediction "
+        "vs the measured steady-state efficiency, per pair, with every lane "
+        "(scan / CPU / Arrow / isolated + contended extraction) AND the "
+        "near-empty-wave floor min-filtered and measured in one coherent "
+        "weather window per pair (2→8: alongside its crawl reps; 8→32: the "
+        "`REPROBE_ALL=1` refresh after its crawl pass caught a steal "
+        "window):\n\n"
+        + "\n".join(lines)
+        + "\n\n" + verdict + "  On a bursty shared microVM the lanes and "
+        "the crawl must be min-filtered the same way for the comparison to "
+        "mean anything — a probe pass caught in a steal window mis-prices "
+        "every lane (observed spread on the scan lane alone: 0.23–0.81)."
+    )
+
+
 def write_md(result, low, high, n_hosts, pages, waves, shuffle, reps):
     """Render BENCH/BASELINE.md from a scaling result (re-runnable from
     scaling_result.json without re-benchmarking)."""
@@ -939,16 +1005,18 @@ including warmup wave 0: {round(eff_tot, 3)}.
 
 Reading the table: each pair's crawl efficiency should be compared to the
 ceiling columns measured AT THAT PAIR on this shared box.  At 2→8
-the crawl (0.9+) matches or beats every ceiling — engine scaling is
+the crawl matches or beats every ceiling — engine scaling is
 hardware-limited, not plan-limited.  At 8→32 the box's byte-moving
 fabric collapses (columnar scan and Arrow passthrough go flat or
 NEGATIVE with more threads — memory bandwidth, not software), while pure
-CPU still scales ~0.81; the crawl lands above both byte ceilings because
+CPU still scales ~0.83; the crawl lands above both byte ceilings because
 extraction compute dominates its waves.  On a real N→4N *cluster* every
 executor adds its own memory channels and loopback, so the per-node
 fabric ceilings do not apply — the 2→8 pair, where this box still has
 fabric headroom, is the faithful single-machine analog of adding
 executors.
+
+{attribution_closure()}
 
 Per-wave timings at local[{low}] / local[{high}] (min across {reps} reps;
 `wave_sec_all_reps` shows every rep — the spread IS the host noise):
@@ -1029,13 +1097,29 @@ def reprobe() -> None:
     with open(path) as f:
         result = json.load(f)
     ceiling = dict(result.get("host_ceiling") or {})
-    ceiling.update(extract_contended_probe(shuffle, low, high))
-    floor = {
-        k: result[k]
-        for k in ("driver_floor_sec_low", "driver_floor_sec_high",
-                  "driver_floor_detail")
-        if k in result
-    }
+    reps = int(os.environ.get("PROBE_REPS", "2"))
+    if os.environ.get("REPROBE_ALL", "0") == "1":
+        # refresh EVERY lane, not just the contended one: the lanes are
+        # engine-independent host properties, but on this bursty shared box
+        # a probe pass and a crawl pass can land in different steal
+        # weather — re-measuring all lanes with more min-filtered reps
+        # under calm load recovers the contention-free lane the archived
+        # crawl minimums should be read against.
+        ceiling.update(host_ceiling_probe(shuffle, low, high, reps=reps))
+        ceiling.update(cpu_fabric_probe(low, high, reps=reps))
+        ceiling.update(arrow_fabric_probe(shuffle, low, high, reps=reps))
+        ceiling.update(extract_cpu_probe(shuffle, low, high, reps=reps))
+    ceiling.update(extract_contended_probe(shuffle, low, high, reps=reps))
+    if os.environ.get("REPROBE_ALL", "0") == "1":
+        floor = driver_floor_probe(shuffle, low, high)
+        result.update(floor)
+    else:
+        floor = {
+            k: result[k]
+            for k in ("driver_floor_sec_low", "driver_floor_sec_high",
+                      "driver_floor_detail")
+            if k in result
+        }
     attribution = phase_attribution(
         result["low"], result["high"], low, high, ceiling, floor,
         bucket_sweep=result.get("bucket_sweep", sweep),

@@ -156,3 +156,27 @@ def test_contended_extract_lane_takes_precedence():
     pd_ = at["prediction_detail"]
     # extract work 15 rides the CONTENDED speedup: 2.0 + 1.0 + 15/2.5 = 9.0
     assert pd_["sec_extract"]["pred_wave_high_s"] == 9.0
+
+
+def test_min_wave_floor_preferred_over_mean():
+    """The additive model reads phase_floor_min_wave when present (the
+    contention-free floor split); phase_floor_mean stays as the fallback
+    for results archived before the min-wave split existed."""
+    import copy
+
+    floor = copy.deepcopy(FLOOR)
+    # inflate the means (steal weather); the min-wave split holds the
+    # contention-free values the model should use
+    for lvl in (8, 32):
+        d = floor["driver_floor_detail"][lvl]
+        d["phase_floor_min_wave"] = dict(d["phase_floor_mean"])
+        d["phase_floor_mean"] = {
+            k: v * 3 for k, v in d["phase_floor_mean"].items()
+        }
+    low = _run([_wave(0, 30, 3), _wave(1, 20.0, 2.0), _wave(2, 20.0, 2.0)])
+    high = _run([_wave(0, 9, 2), _wave(1, 8.0, 1.5), _wave(2, 8.0, 1.5)])
+    at = scaling.phase_attribution(low, high, 8, 32, CEILING, floor, bucket_sweep=8)
+    pd_ = at["prediction_detail"]
+    # identical to the un-inflated-mean arithmetic: floor 4.0 (not 12.0)
+    assert pd_["sec_extract"]["scalable_work_low_s"] == 15.0
+    assert pd_["sec_extract"]["pred_wave_high_s"] == 8.0
