@@ -731,3 +731,111 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# near-dup cluster resolution (pairs → connected components → canonical doc)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected graph → ``(id, cluster_id)``
+    where ``cluster_id`` is the minimum node id in the component.
+
+    Pointer-doubling min-label propagation: every round each node takes
+
+        lbl ← min(lbl, min over neighbours of their lbl, lbl of its lbl)
+
+    Neighbour-min alone converges in O(diameter) rounds; the third term
+    (pointer jumping — follow your current label's label) collapses chains
+    in O(log diameter), the hash-to-min recipe of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond" (SoCC'14).  Each round
+    costs two shuffles on uniform id keys (neighbour groupBy-min + the
+    label self-join), O(|E| + |V|) rows — no per-component state ever sits
+    on one executor, so the op survives a 10^10-node graph as long as the
+    per-round shuffle does.
+
+    ``localCheckpoint()`` after every round truncates lineage so the plan
+    does not grow with iterations (a multi-hour cluster run would point
+    this at a reliable checkpoint dir instead); it also materializes the
+    round so the convergence count below reuses it instead of recomputing.
+
+    Reference has no distributed analog — dedup clustering there is the DB
+    unique constraint (models/__init__.py:149); this is the engine's
+    100-TB generalization for the near-dup pair family.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
+    ).distinct()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["s"] == labels["id"])
+            .select(F.col("d").alias("id"), F.col("lbl").alias("nbr_lbl"))
+            .groupBy("id")
+            .agg(F.min("nbr_lbl").alias("nbr_min"))
+        )
+        jump = (
+            labels.alias("a")
+            .join(labels.alias("b"), F.col("a.lbl") == F.col("b.id"))
+            .select(F.col("a.id").alias("id"), F.col("b.lbl").alias("jmp"))
+        )
+        merged = (
+            labels.join(nbr, "id", "left")
+            .join(jump, "id", "left")
+            .select(
+                "id",
+                F.col("lbl").alias("old_lbl"),
+                F.least(
+                    F.col("lbl"),
+                    F.coalesce(F.col("nbr_min"), F.col("lbl")),
+                    F.coalesce(F.col("jmp"), F.col("lbl")),
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            merged.where(F.col("lbl") != F.col("old_lbl")).limit(1).count()
+        )
+        labels = merged.select("id", "lbl")
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+def resolve_neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve a near-dup *pairs* DataFrame (``id_a``/``id_b`` from any of
+    the pair producers above) into dedup verdicts: one row per document with
+    its ``cluster_id`` (min doc id in the duplicate cluster; singletons are
+    their own cluster) and ``is_kept`` — the deterministic keep-lowest-id
+    policy, matching :func:`exact_dedup`'s winner rule.  This is the tail of
+    the standard training-corpus dedup pipeline: pairs → components →
+    canonical doc → filtered corpus (``WHERE is_kept``)."""
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        docs.select(id_col),
+        id_col=id_col,
+        max_iter=max_iter,
+    )
+    return cc.select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("is_kept"),
+    )

@@ -1169,6 +1169,64 @@ FROM best WHERE rn = 1
 """
 
 
+def q_neardup_cluster_resolve(spark, sf):
+    """The dedup-pipeline tail: exact Jaccard pairs ≥ 0.3 → distributed
+    connected components (pointer-doubling min-label propagation) → one
+    dedup verdict per document (cluster_id = min doc id in the duplicate
+    cluster, is_kept = keep-lowest-id canonical policy).  ``WHERE is_kept``
+    is the deduplicated corpus."""
+    from mizzounewscrawler_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        resolve_neardup_clusters,
+    )
+
+    d = t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.3)
+    return resolve_neardup_clusters(d, pairs, "doc_id")
+
+
+# Same pair semantics as SQL_NGRAM_JACCARD; components via transitive
+# closure (recursive CTE), component label = min reachable doc id.
+SQL_NEARDUP_RESOLVE = r"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                x -> lower(x)) AS tk
+  FROM documents WHERE trim(text) <> ''
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                               i -> array_to_string(tk[i:i+2], ' '))) AS shingles
+  FROM toks WHERE len(tk) >= 3
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+posting AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cmn
+  FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(cmn::double / (sa.n + sb.n - cmn), 6) >= 0.3
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach (src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+                      WHERE e.dst <> r.src
+),
+labels AS (
+  SELECT d.doc_id AS doc_id,
+         least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_kept FROM labels
+"""
+
+
 def q_lang_id_hist(spark, sf):
     """Language-ID (marker-word heuristic, JVM-side) histogram."""
     d = t(spark, sf, "documents")
@@ -1756,6 +1814,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("ann_cosine_topk", q_ann_topk, SQL_ANN_TOPK, "similarity"),
     QuerySpec("embedding_centroids", q_embedding_label_centroids, SQL_CENTROIDS, "similarity"),
     QuerySpec("ngram_jaccard_neardup", q_ngram_jaccard, SQL_NGRAM_JACCARD, "dedup (exact Jaccard)"),
+    QuerySpec("neardup_cluster_resolve", q_neardup_cluster_resolve, SQL_NEARDUP_RESOLVE, "dedup (cluster resolve)"),
     QuerySpec("lang_id_hist", q_lang_id_hist, SQL_LANG_ID, "text ops (lang-ID)"),
     QuerySpec("embedding_neardup_exact", q_embedding_neardup_exact, SQL_EMB_NEARDUP, "dedup (embedding)"),
     QuerySpec("minhash_lsh_neardup", q_minhash_neardup, SQL_MINHASH, "dedup (LSH)"),

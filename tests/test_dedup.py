@@ -189,3 +189,75 @@ def test_ngram_jaccard(spark):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
     assert (1, 3) not in pairs
+
+
+# --------------------------------------------------------------------------
+# connected components / cluster resolution
+# --------------------------------------------------------------------------
+
+
+def _union_find_labels(n_nodes, edges):
+    """Driver-side twin: min-id component label per node via union-find."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in range(n_nodes)}
+
+
+def _cc(spark, n_nodes, edges, **kw):
+    from mizzounewscrawler_spark.operators.dedup import connected_components
+
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "src long, dst long"
+    )
+    nodes = spark.range(n_nodes).select(F.col("id"))
+    out = connected_components(e, nodes, **kw)
+    return {r["id"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    # A 64-node path graph has diameter 63: plain neighbour-min propagation
+    # needs 63 rounds, pointer doubling must close it within max_iter=12.
+    edges = [(i, i + 1) for i in range(63)]
+    got = _cc(spark, 64, edges, max_iter=12)
+    assert got == {v: 0 for v in range(64)}
+
+
+def test_connected_components_multi_cluster_and_singletons(spark):
+    edges = [(1, 2), (2, 3), (5, 6), (9, 9)]
+    got = _cc(spark, 10, edges)
+    want = _union_find_labels(10, edges)
+    assert got == want
+    assert got[0] == 0 and got[4] == 4 and got[9] == 9  # singletons kept
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    rng = np.random.default_rng(42)
+    n = 200
+    edges = [tuple(sorted(map(int, rng.integers(0, n, 2)))) for _ in range(150)]
+    edges = [e for e in edges if e[0] != e[1]]
+    assert _cc(spark, n, edges) == _union_find_labels(n, edges)
+
+
+def test_resolve_neardup_clusters_keep_lowest_id(spark):
+    from mizzounewscrawler_spark.operators.dedup import resolve_neardup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 5), (1, 2)], "id_a long, id_b long")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_kept"])
+        for r in resolve_neardup_clusters(docs, pairs, "doc_id").collect()
+    }
+    assert out == {
+        0: (0, True), 3: (0, False), 5: (0, False),
+        1: (1, True), 2: (1, False), 4: (4, True),
+    }
