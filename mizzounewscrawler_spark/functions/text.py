@@ -209,3 +209,39 @@ def simhash_expr(text: Column, bits: int = 64) -> Column:
         bit_val = F.shiftleft(F.lit(1).cast("long"), b)  # b=63 wraps to min-long: correct bit pattern
         acc = acc.bitwiseOR(F.when(bit_set, bit_val).otherwise(F.lit(0).cast("long")))
     return F.when(n > 0, acc)
+
+
+# --------------------------------------------------------------------------
+# PII redaction (training-corpus scrubbing)
+# --------------------------------------------------------------------------
+
+# (kind, pattern, replacement) — applied in order; patterns are written in
+# the Java/RE2 common subset so the DuckDB oracle can run them verbatim.
+# Order matters: SSN before phone (both are dashed digit groups), phone
+# before IPv4 (both can be dotted digit groups).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (
+        "phone",
+        r"\+\d{1,3}[-. ]?\(\d{3}\)[-. ]?\d{3}[-. ]?\d{4}|\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+        "<PHONE>",
+    ),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_count_expr(text: Column, kind: str) -> Column:
+    """Occurrences of one PII kind (counted on the raw text, JVM regex)."""
+    pat = next(p for k, p, _ in PII_PATTERNS if k == kind)
+    return F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+
+
+def pii_redact_expr(text: Column) -> Column:
+    """Replace every PII match with its typed placeholder — one chained
+    JVM ``regexp_replace`` per kind, whole-stage-codegen friendly (no
+    Python in the scrub path; at 100 TB this runs inside the scan stage)."""
+    out = text
+    for _, pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out

@@ -1227,6 +1227,169 @@ SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_kept FROM labels
 """
 
 
+def _pii_fixture_expr():
+    """Deterministic PII zoo appended to each document (doc_id % 5 picks the
+    kind; %5==4 stays clean) — same construction restated in SQL_PII so both
+    engines scrub identical text.  Mirrors the URL-zoo fixture pattern."""
+    i = F.col("doc_id")
+    return (
+        F.when(i % 5 == 0, F.concat(F.lit(" reach me at user"), i, F.lit("@example.com ok")))
+        .when(i % 5 == 1, F.lit(" ssn is 123-45-6789 end"))
+        .when(
+            i % 5 == 2,
+            F.concat(F.lit(" call +1 (573) 882-"), (F.lit(1000) + i % 9000).cast("string")),
+        )
+        .when(
+            i % 5 == 3,
+            F.concat(
+                F.lit(" server at 192.168."),
+                (i % 256).cast("string"),
+                F.lit("."),
+                ((i * 7) % 256).cast("string"),
+                F.lit(" up"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+
+
+def q_pii_redaction(spark, sf):
+    """Training-corpus PII scrub: count emails / SSNs / phones / IPv4s per
+    document and redact them with typed placeholders — one chained JVM
+    regexp pipeline, no Python (at 100 TB this rides the scan stage)."""
+    from mizzounewscrawler_spark.functions.text import (
+        pii_count_expr,
+        pii_redact_expr,
+    )
+
+    d = t(spark, sf, "documents")
+    aug = d.select(
+        "doc_id", F.concat(F.col("text"), _pii_fixture_expr()).alias("text")
+    )
+    txt = F.col("text")
+    return aug.select(
+        "doc_id",
+        pii_count_expr(txt, "email").alias("n_email"),
+        pii_count_expr(txt, "ssn").alias("n_ssn"),
+        pii_count_expr(txt, "phone").alias("n_phone"),
+        pii_count_expr(txt, "ipv4").alias("n_ip"),
+        F.length(pii_redact_expr(txt)).alias("redacted_len"),
+    )
+
+
+SQL_PII = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE doc_id % 5
+           WHEN 0 THEN ' reach me at user' || doc_id || '@example.com ok'
+           WHEN 1 THEN ' ssn is 123-45-6789 end'
+           WHEN 2 THEN ' call +1 (573) 882-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+           WHEN 3 THEN ' server at 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' up'
+           ELSE ''
+         END AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+  len(regexp_extract_all(text, '\+\d{1,3}[-. ]?\(\d{3}\)[-. ]?\d{3}[-. ]?\d{4}|\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+  length(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        '\+\d{1,3}[-. ]?\(\d{3}\)[-. ]?\d{3}[-. ]?\d{4}|\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+  ) AS redacted_len
+FROM aug
+"""
+
+
+def q_gopher_quality(spark, sf):
+    """Gopher-style repetition/quality gates per document (Rae et al. 2021
+    §A1.1 repetition signals, restated over the synthetic corpus): token
+    count, mean word length, most-frequent-word fraction, most-frequent-
+    bigram fraction, and a keep flag.  All relational — explode + two-level
+    groupBy, map-side combinable, no per-doc state on the driver."""
+    from mizzounewscrawler_spark.functions.text import (
+        tokens_expr,
+        word_shingles_expr,
+    )
+
+    d = t(spark, sf, "documents")
+    base = d.where(F.trim(F.col("text")) != "").select(
+        "doc_id",
+        F.transform(tokens_expr(F.col("text")), lambda x: F.lower(x)).alias("tk"),
+        word_shingles_expr(F.col("text"), 2).alias("bg"),
+    )
+    wf = (
+        base.select("doc_id", F.explode("tk").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ws = wf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_w"),
+        (F.sum(F.length("w") * F.col("c")) / F.sum("c")).alias("mean_len"),
+    )
+    bf = (
+        base.select("doc_id", F.explode("bg").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bs = bf.groupBy("doc_id").agg(
+        (F.max("c") / F.sum("c")).alias("top_bigram_frac")
+    )
+    twf = F.col("top_w") / F.col("n_tokens")
+    keep = (
+        (F.col("n_tokens") >= 25)
+        & (twf <= 0.125)
+        & (F.col("top_bigram_frac") <= 0.055)
+    )
+    return (
+        ws.join(bs, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("mean_len", 6).alias("mean_word_len"),
+            F.round(twf, 6).alias("top_word_frac"),
+            F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+            keep.alias("keep"),
+        )
+    )
+
+
+SQL_GOPHER = r"""
+WITH toks AS (
+  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                x -> lower(x)) AS tk
+  FROM documents WHERE trim(text) <> ''
+), words AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+wf AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+ws AS (
+  SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_w,
+         sum(len(w) * c)::double / sum(c) AS mean_len
+  FROM wf GROUP BY 1
+), bg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+                        i -> array_to_string(tk[i:i+1], ' '))) AS g
+  FROM toks WHERE len(tk) >= 2
+), bf AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+bs AS (SELECT doc_id, max(c)::double / sum(c) AS top_bigram_frac FROM bf GROUP BY 1)
+SELECT doc_id, n_tokens,
+       round(mean_len, 6) AS mean_word_len,
+       round(top_w::double / n_tokens, 6) AS top_word_frac,
+       round(top_bigram_frac, 6) AS top_bigram_frac,
+       (n_tokens >= 25 AND top_w::double / n_tokens <= 0.125
+        AND top_bigram_frac <= 0.055) AS keep
+FROM ws JOIN bs USING (doc_id)
+"""
+
+
 def q_lang_id_hist(spark, sf):
     """Language-ID (marker-word heuristic, JVM-side) histogram."""
     d = t(spark, sf, "documents")
@@ -1815,6 +1978,8 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("embedding_centroids", q_embedding_label_centroids, SQL_CENTROIDS, "similarity"),
     QuerySpec("ngram_jaccard_neardup", q_ngram_jaccard, SQL_NGRAM_JACCARD, "dedup (exact Jaccard)"),
     QuerySpec("neardup_cluster_resolve", q_neardup_cluster_resolve, SQL_NEARDUP_RESOLVE, "dedup (cluster resolve)"),
+    QuerySpec("pii_redaction", q_pii_redaction, SQL_PII, "text ops (PII scrub)"),
+    QuerySpec("gopher_quality", q_gopher_quality, SQL_GOPHER, "text ops (repetition gates)"),
     QuerySpec("lang_id_hist", q_lang_id_hist, SQL_LANG_ID, "text ops (lang-ID)"),
     QuerySpec("embedding_neardup_exact", q_embedding_neardup_exact, SQL_EMB_NEARDUP, "dedup (embedding)"),
     QuerySpec("minhash_lsh_neardup", q_minhash_neardup, SQL_MINHASH, "dedup (LSH)"),

@@ -191,3 +191,34 @@ def test_extraction_strips_title_suffix(spark):
     row = fetch_and_extract(wave, pages).collect()[0]
     assert row["title"] == "Mayor outlines the budget plan"
     assert row["field_methods"]["title"] == "title_tag"
+
+
+def test_pii_redaction_scrubs_every_kind(spark):
+    cases = [
+        ("mail bob.smith+x@news.example.org now", "mail <EMAIL> now"),
+        ("ssn 123-45-6789 leaked", "ssn <SSN> leaked"),
+        ("call +1 (573) 882-7070 today", "call <PHONE> today"),
+        ("or 573.882.7070 or 573-882-7070", "or <PHONE> or <PHONE>"),
+        ("host 10.0.254.3 down", "host <IP> down"),
+        ("clean text stays clean", "clean text stays clean"),
+        # order: SSN must win over the phone pattern, phone over IPv4
+        ("id 987-65-4321 then 192.168.1.2", "id <SSN> then <IP>"),
+    ]
+    df = spark.createDataFrame(cases, "raw string, want string").select(
+        "want", X.pii_redact_expr(F.col("raw")).alias("got")
+    )
+    for r in df.collect():
+        assert r["got"] == r["want"]
+
+
+def test_pii_counts_are_per_kind(spark):
+    df = spark.createDataFrame(
+        [("a@b.io c@d.io and 123-45-6789 at 8.8.8.8",)], "t string"
+    ).select(
+        X.pii_count_expr(F.col("t"), "email").alias("e"),
+        X.pii_count_expr(F.col("t"), "ssn").alias("s"),
+        X.pii_count_expr(F.col("t"), "phone").alias("p"),
+        X.pii_count_expr(F.col("t"), "ipv4").alias("i"),
+    )
+    r = df.collect()[0]
+    assert (r["e"], r["s"], r["p"], r["i"]) == (2, 1, 0, 1)
