@@ -1227,6 +1227,56 @@ SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_kept FROM labels
 """
 
 
+def q_asof_join(spark, sf):
+    """Backward as-of join: each event gets the customer's latest order at
+    or before the event time (union + one keyed running window — no
+    inequality join, no per-key collect; see operators/temporal.py).  Ties
+    on (custkey, orderdate) are pre-aggregated to max orderkey so the match
+    is deterministic in both engines."""
+    from mizzounewscrawler_spark.operators.temporal import asof_join
+
+    ev = t(spark, sf, "events").select("event_id", "user_id", "ts")
+    ded = (
+        t(spark, sf, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    j = asof_join(
+        ev, ded,
+        left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("last_order_key"),
+        F.round(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), 2).alias("last_order_price"),
+        F.coalesce(
+            F.datediff(F.to_date("ts"), F.to_date("asof_o_orderdate")), F.lit(-1)
+        ).alias("days_since_order"),
+    )
+
+
+SQL_ASOF = """
+WITH ded AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       coalesce(d.o_orderkey, -1) AS last_order_key,
+       round(coalesce(d.o_totalprice, 0.0), 2) AS last_order_price,
+       coalesce(date_diff('day', d.o_orderdate::date, e.ts::date), -1)
+           AS days_since_order
+FROM events e ASOF LEFT JOIN ded d
+  ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+"""
+
+
 def _pii_fixture_expr():
     """Deterministic PII zoo appended to each document (doc_id % 5 picks the
     kind; %5==4 stays clean) — same construction restated in SQL_PII so both
@@ -1979,6 +2029,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("ngram_jaccard_neardup", q_ngram_jaccard, SQL_NGRAM_JACCARD, "dedup (exact Jaccard)"),
     QuerySpec("neardup_cluster_resolve", q_neardup_cluster_resolve, SQL_NEARDUP_RESOLVE, "dedup (cluster resolve)"),
     QuerySpec("pii_redaction", q_pii_redaction, SQL_PII, "text ops (PII scrub)"),
+    QuerySpec("asof_join_latest_order", q_asof_join, SQL_ASOF, "temporal (as-of join)"),
     QuerySpec("gopher_quality", q_gopher_quality, SQL_GOPHER, "text ops (repetition gates)"),
     QuerySpec("lang_id_hist", q_lang_id_hist, SQL_LANG_ID, "text ops (lang-ID)"),
     QuerySpec("embedding_neardup_exact", q_embedding_neardup_exact, SQL_EMB_NEARDUP, "dedup (embedding)"),
