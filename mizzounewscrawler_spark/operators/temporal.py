@@ -102,3 +102,45 @@ def asof_join(
         *[F.col(_RPFX + c).alias(c) for c in payload_cols],
         F.col(_RPFX + right_time).alias("asof_" + right_time),
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_key: str,
+    interval_key: str,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Interval-containment join: every (point, interval) pair with matching
+    keys and ``start ≤ time < end``.  Returns the point columns plus the
+    interval columns.
+
+    A raw inequality join would plan as a per-key cross product, so the
+    intervals are exploded into the day buckets they cover and the join
+    runs as an equi-join on (key, day) followed by the exact containment
+    filter — the standard interval-bucketing recipe (cf. Spark's range-join
+    hints on Databricks / the bucketed variant in Flink SQL).  Cost: each
+    interval is replicated once per covered day, so the fan-out is
+    span/bucket — right-sized for day-scale windows; re-bucket upstream for
+    month-long spans.  Both sides shuffle on the uniform (key, day) pair,
+    never on the key alone, so one hot key with many days still spreads.
+    """
+    days = F.sequence(
+        F.to_date(F.col(start_col)), F.to_date(F.col(end_col))
+    )
+    iv = intervals.select("*", F.explode(days).alias("_day"))
+    pts = points.withColumn("_day", F.to_date(F.col(time_col)))
+    exact = (
+        (F.col(time_col) >= F.col(start_col))
+        & (F.col(time_col) < F.col(end_col))
+    )
+    return (
+        pts.join(
+            iv,
+            (pts[point_key] == iv[interval_key]) & (pts["_day"] == iv["_day"]),
+        )
+        .where(exact)
+        .drop("_day")
+    )

@@ -1277,6 +1277,61 @@ FROM events e ASOF LEFT JOIN ded d
 """
 
 
+def q_range_join(spark, sf):
+    """Interval-containment join (bucketed — no inequality cross product):
+    deterministic promo-window zoo from order keys (start/length are pure
+    o_orderkey arithmetic so both engines build identical intervals), each
+    event counts the windows of its user containing its timestamp."""
+    from mizzounewscrawler_spark.operators.temporal import range_join
+
+    ev = t(spark, sf, "events").select("event_id", "user_id", "ts")
+    ok = F.col("o_orderkey")
+    iv = (
+        t(spark, sf, "orders")
+        .where(ok % 10 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_add(F.lit("2024-01-01").cast("date"), (ok % 28).cast("int")).alias("w_start"),
+            F.date_add(
+                F.lit("2024-01-01").cast("date"),
+                (ok % 28 + 1 + ok % 7).cast("int"),
+            ).alias("w_end"),
+        )
+    )
+    m = (
+        range_join(ev, iv, "user_id", "o_custkey", "ts", "w_start", "w_end")
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.min("o_orderkey").alias("first_window_key"),
+        )
+    )
+    return ev.join(m, "event_id", "left").select(
+        "event_id",
+        F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+        F.coalesce("first_window_key", F.lit(-1)).alias("first_window_key"),
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH iv AS (
+  SELECT o_custkey, o_orderkey,
+         DATE '2024-01-01' + CAST(o_orderkey % 28 AS INT) AS w_start,
+         DATE '2024-01-01' + CAST(o_orderkey % 28 + 1 + o_orderkey % 7 AS INT) AS w_end
+  FROM orders WHERE o_orderkey % 10 = 0
+), m AS (
+  SELECT e.event_id, count(*) AS n_windows, min(iv.o_orderkey) AS first_window_key
+  FROM events e JOIN iv ON e.user_id = iv.o_custkey
+   AND e.ts >= iv.w_start AND e.ts < iv.w_end
+  GROUP BY 1
+)
+SELECT e.event_id, coalesce(m.n_windows, 0) AS n_windows,
+       coalesce(m.first_window_key, -1) AS first_window_key
+FROM events e LEFT JOIN m USING (event_id)
+"""
+
+
 def _pii_fixture_expr():
     """Deterministic PII zoo appended to each document (doc_id % 5 picks the
     kind; %5==4 stays clean) — same construction restated in SQL_PII so both
@@ -2030,6 +2085,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("neardup_cluster_resolve", q_neardup_cluster_resolve, SQL_NEARDUP_RESOLVE, "dedup (cluster resolve)"),
     QuerySpec("pii_redaction", q_pii_redaction, SQL_PII, "text ops (PII scrub)"),
     QuerySpec("asof_join_latest_order", q_asof_join, SQL_ASOF, "temporal (as-of join)"),
+    QuerySpec("range_join_windows", q_range_join, SQL_RANGE_JOIN, "temporal (range join)"),
     QuerySpec("gopher_quality", q_gopher_quality, SQL_GOPHER, "text ops (repetition gates)"),
     QuerySpec("lang_id_hist", q_lang_id_hist, SQL_LANG_ID, "text ops (lang-ID)"),
     QuerySpec("embedding_neardup_exact", q_embedding_neardup_exact, SQL_EMB_NEARDUP, "dedup (embedding)"),

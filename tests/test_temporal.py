@@ -64,3 +64,27 @@ def test_asof_rejects_payload_collision(spark, frames):
     left, right = frames
     with pytest.raises(ValueError):
         asof_join(left, right.withColumnRenamed("v", "t"), "k", "k", "t", "rt", ["t"])
+
+
+def test_range_join_containment_and_bucketing(spark):
+    from mizzounewscrawler_spark.operators.temporal import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 10, dt.datetime(2024, 1, 5, 12)),   # inside A
+         (2, 10, dt.datetime(2024, 1, 8, 0)),    # == A end (exclusive) → no
+         (3, 10, dt.datetime(2024, 1, 3, 0)),    # == A start (inclusive)
+         (4, 20, dt.datetime(2024, 1, 5, 12)),   # wrong key
+         (5, 10, dt.datetime(2024, 1, 20, 0))],  # no window
+        "pid long, k long, t timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(10, 7, dt.date(2024, 1, 3), dt.date(2024, 1, 8)),   # A: multi-day
+         (10, 8, dt.date(2024, 1, 5), dt.date(2024, 1, 6)),   # B: one day
+         (30, 9, dt.date(2024, 1, 1), dt.date(2024, 1, 31))],
+        "k2 long, wid long, s date, e date",
+    )
+    got = sorted(
+        (r["pid"], r["wid"])
+        for r in range_join(pts, iv, "k", "k2", "t", "s", "e").collect()
+    )
+    assert got == [(1, 7), (1, 8), (3, 7)]
