@@ -1495,6 +1495,62 @@ FROM ws JOIN bs USING (doc_id)
 """
 
 
+def q_tfidf_keywords(spark, sf):
+    """Top-3 keywords per document by tf/df ranking (tf-idf with a rational
+    score instead of ln(N/df) — transcendental-free so Spark and DuckDB
+    produce bit-identical scores and therefore identical rank order; the
+    ordering is the same since ln is monotone).  Plan: per-doc term counts
+    (map-side combinable groupBy) ⋈ per-term document frequency (second
+    groupBy on the term key) → per-doc top-3 window.  Term-asc tiebreak
+    makes ranks deterministic."""
+    from pyspark.sql import Window
+
+    from mizzounewscrawler_spark.functions.text import tokens_expr
+
+    d = t(spark, sf, "documents")
+    words = d.where(F.trim("text") != "").select(
+        "doc_id",
+        F.explode(
+            F.transform(tokens_expr(F.col("text")), lambda x: F.lower(x))
+        ).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "score", F.round(F.col("tf") / F.col("df"), 9)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "score")
+    )
+
+
+SQL_TFIDF = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                               x -> lower(x))) AS term
+  FROM documents WHERE trim(text) <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT doc_id, term, tf,
+         round(tf::double / df, 9) AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(tf::double / df, 9) DESC, term ASC)
+             AS rank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, rank, term, score FROM scored WHERE rank <= 3
+"""
+
+
 def q_lang_id_hist(spark, sf):
     """Language-ID (marker-word heuristic, JVM-side) histogram."""
     d = t(spark, sf, "documents")
@@ -2087,6 +2143,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("asof_join_latest_order", q_asof_join, SQL_ASOF, "temporal (as-of join)"),
     QuerySpec("range_join_windows", q_range_join, SQL_RANGE_JOIN, "temporal (range join)"),
     QuerySpec("gopher_quality", q_gopher_quality, SQL_GOPHER, "text ops (repetition gates)"),
+    QuerySpec("tfidf_keywords", q_tfidf_keywords, SQL_TFIDF, "text ops (keyword extraction)"),
     QuerySpec("lang_id_hist", q_lang_id_hist, SQL_LANG_ID, "text ops (lang-ID)"),
     QuerySpec("embedding_neardup_exact", q_embedding_neardup_exact, SQL_EMB_NEARDUP, "dedup (embedding)"),
     QuerySpec("minhash_lsh_neardup", q_minhash_neardup, SQL_MINHASH, "dedup (LSH)"),
