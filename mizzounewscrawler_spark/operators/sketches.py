@@ -1,0 +1,97 @@
+"""Frequency sketches: exact heavy hitters via candidate pruning.
+
+The scale problem: "top-k most frequent keys" over 10^12 rows with a huge
+key domain (URLs, shingles, hosts).  A plain ``groupBy(key).count()``
+shuffles one row per *distinct key* — fine for hosts, ruinous for
+shingles.  The classic two-phase answer:
+
+1. **Per-partition Misra-Gries summary** (``mapInPandas``, O(capacity)
+   memory per task, no shuffle): any key whose global frequency exceeds
+   N/(capacity+1) is guaranteed to survive in at least one partition's
+   summary (pigeonhole over the per-partition MG bound), so the union of
+   the per-partition candidate sets is a superset of every sufficiently
+   heavy key.
+2. **Exact recount of candidates only**: broadcast-semi-join the raw rows
+   on the candidate set, exact ``groupBy.count``, exact top-k with a
+   deterministic (count desc, key asc) tiebreak.  The shuffle now carries
+   only candidate keys — at most ``partitions × capacity`` of them.
+
+The result is EXACT (phase 2 recounts from the raw data; the sketch only
+prunes), which is why the catalog entry carries a plain GROUP BY / ORDER
+BY / LIMIT oracle.  Completeness holds whenever the true k-th count
+exceeds N/(capacity+1); ``heavy_hitters`` verifies that bound post-hoc
+and raises if the distribution is too flat for the chosen capacity
+(caller then either raises ``capacity`` or falls back to the full
+groupBy).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_merge(counters: dict, vc: "pd.Series", capacity: int) -> dict:
+    """Merge a batch's value_counts into a Misra-Gries summary of at most
+    ``capacity`` counters (batched decrement: subtract the overflow
+    quantile from everyone, drop the non-positive)."""
+    for key, cnt in vc.items():
+        counters[key] = counters.get(key, 0) + int(cnt)
+    if len(counters) > capacity:
+        # decrement all by the smallest value that leaves ≤ capacity keys
+        spill = sorted(counters.values())[len(counters) - capacity - 1]
+        counters = {k: v - spill for k, v in counters.items() if v > spill}
+    return counters
+
+
+def mg_candidates(df: DataFrame, key_col: str, capacity: int) -> DataFrame:
+    """Phase 1: distinct candidate keys from per-partition MG summaries."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            counters = _mg_merge(counters, pdf[key_col].value_counts(), capacity)
+        yield pd.DataFrame({key_col: list(counters.keys())})
+
+    return df.select(key_col).mapInPandas(
+        summarize, f"{key_col} {df.schema[key_col].dataType.simpleString()}"
+    ).distinct()
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, k: int, capacity: int | None = None
+) -> DataFrame:
+    """Exact top-``k`` keys by frequency, (count desc, key asc) order.
+
+    ``capacity`` defaults to 64·k — the MG guarantee then covers any key
+    with frequency > N/(64k+1); the post-hoc check below asserts the
+    returned k-th count clears that bar, i.e. the candidate set provably
+    contained the true top-k.
+    """
+    capacity = capacity or 64 * k
+    cand = mg_candidates(df, key_col, capacity)
+    counted = (
+        df.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counted.orderBy(F.col("cnt").desc(), F.col(key_col).asc()).limit(k)
+    rows = top.collect()
+    # Certification: the MG bound covers every key with freq > N/(cap+1),
+    # so the candidate set provably contains the true top-k iff the k-th
+    # candidate count clears that bar.  Fewer than k candidates means MG
+    # spilled the tail away (flat distribution) — equally uncertifiable:
+    # we cannot tell "input has < k distinct keys" from "sketch lost them".
+    n_total = df.count()
+    if len(rows) < k or rows[-1]["cnt"] * (capacity + 1) <= n_total:
+        kth = rows[-1]["cnt"] if rows else 0
+        raise ValueError(
+            f"heavy_hitters: {len(rows)} candidates, k-th count {kth} ≤ "
+            f"N/(capacity+1) = {n_total}/{capacity + 1} — the MG bound "
+            "cannot certify completeness; raise capacity or use the exact "
+            "groupBy path"
+        )
+    return df.sparkSession.createDataFrame(rows, top.schema)

@@ -1551,6 +1551,34 @@ SELECT doc_id, rank, term, score FROM scored WHERE rank <= 3
 """
 
 
+def q_heavy_hitters(spark, sf):
+    """Exact top-20 terms by frequency via Misra-Gries candidate pruning +
+    exact recount (operators/sketches.py) — the shuffle carries only
+    candidate keys, never the full term domain; the MG bound is certified
+    post-hoc so the result is provably the exact top-k."""
+    from mizzounewscrawler_spark.functions.text import tokens_expr
+    from mizzounewscrawler_spark.operators.sketches import heavy_hitters
+
+    d = t(spark, sf, "documents")
+    words = d.where(F.trim("text") != "").select(
+        F.explode(
+            F.transform(tokens_expr(F.col("text")), lambda x: F.lower(x))
+        ).alias("term")
+    )
+    return heavy_hitters(words, "term", k=20)
+
+
+SQL_HEAVY_HITTERS = r"""
+WITH words AS (
+  SELECT unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                               x -> lower(x))) AS term
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT term, count(*) AS cnt FROM words
+GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20
+"""
+
+
 def q_lang_id_hist(spark, sf):
     """Language-ID (marker-word heuristic, JVM-side) histogram."""
     d = t(spark, sf, "documents")
@@ -2144,6 +2172,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("range_join_windows", q_range_join, SQL_RANGE_JOIN, "temporal (range join)"),
     QuerySpec("gopher_quality", q_gopher_quality, SQL_GOPHER, "text ops (repetition gates)"),
     QuerySpec("tfidf_keywords", q_tfidf_keywords, SQL_TFIDF, "text ops (keyword extraction)"),
+    QuerySpec("heavy_hitter_terms", q_heavy_hitters, SQL_HEAVY_HITTERS, "sketch (MG + exact recount)"),
     QuerySpec("lang_id_hist", q_lang_id_hist, SQL_LANG_ID, "text ops (lang-ID)"),
     QuerySpec("embedding_neardup_exact", q_embedding_neardup_exact, SQL_EMB_NEARDUP, "dedup (embedding)"),
     QuerySpec("minhash_lsh_neardup", q_minhash_neardup, SQL_MINHASH, "dedup (LSH)"),

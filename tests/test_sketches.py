@@ -1,0 +1,74 @@
+"""Heavy hitters: MG candidate pruning must stay exact and certified."""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from mizzounewscrawler_spark.operators.sketches import (
+    _mg_merge,
+    heavy_hitters,
+    mg_candidates,
+)
+
+
+def _exact_topk(values, k):
+    c = collections.Counter(values)
+    return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def _zipf_values():
+    rng = np.random.default_rng(7)
+    ranks = rng.zipf(1.5, size=20000)
+    return [f"key{r}" for r in np.clip(ranks, 1, 500)]
+
+
+def test_heavy_hitters_matches_exact_topk(spark):
+    vals = _zipf_values()
+    df = spark.createDataFrame([(v,) for v in vals], "term string").repartition(8)
+    got = [(r["term"], r["cnt"]) for r in heavy_hitters(df, "term", k=10).collect()]
+    assert got == _exact_topk(vals, 10)
+
+
+def test_heavy_hitters_finds_key_spread_across_partitions(spark):
+    # 'hot' never dominates any single partition's locals but is the global
+    # top key — per-partition top-N pruning would lose it; MG must not.
+    rows = []
+    for p in range(16):
+        rows += [(f"local{p}_{i}",) for i in range(30) for _ in range(3)]
+        rows += [("hot",)] * 8
+    df = spark.createDataFrame(rows, "term string").repartition(16)
+    top = heavy_hitters(df, "term", k=1, capacity=40).collect()
+    assert top[0]["term"] == "hot" and top[0]["cnt"] == 128
+
+
+def test_heavy_hitters_refuses_uncertifiable_flat_distribution(spark):
+    vals = [f"k{i}" for i in range(2000)]  # every count == 1
+    df = spark.createDataFrame([(v,) for v in vals], "term string")
+    with pytest.raises(ValueError, match="cannot certify"):
+        heavy_hitters(df, "term", k=5, capacity=8)
+
+
+def test_mg_candidate_set_is_bounded(spark):
+    vals = _zipf_values()
+    df = spark.createDataFrame([(v,) for v in vals], "term string").repartition(8)
+    n_cand = mg_candidates(df, "term", capacity=32).count()
+    assert n_cand <= 8 * 32
+
+
+def test_mg_merge_never_undercounts_heavy_key():
+    # MG invariant: counter underestimates by at most sum-of-spills; a key
+    # with true count > n/(capacity+1) must survive with a positive count.
+    import pandas as pd
+
+    rng = np.random.default_rng(1)
+    stream = ["hh"] * 400 + [f"x{i}" for i in rng.integers(0, 3000, 2000)]
+    rng.shuffle(stream)
+    counters: dict = {}
+    for i in range(0, len(stream), 100):
+        batch = pd.Series(stream[i : i + 100]).value_counts()
+        counters = _mg_merge(counters, batch, capacity=64)
+    assert counters.get("hh", 0) > 0  # 400 > 2400/65 ≈ 37 → must survive
