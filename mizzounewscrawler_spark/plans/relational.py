@@ -1579,6 +1579,47 @@ GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20
 """
 
 
+def q_pagerank_hosts(spark, sf):
+    """Host-authority PageRank (3 iterations, fixed-point integer
+    arithmetic — bit-exact under any partitioning, see operators/graph.py)
+    over a deterministic synthetic host link graph derived from order-key
+    arithmetic (both engines build identical edges)."""
+    from mizzounewscrawler_spark.operators.graph import pagerank
+
+    o = t(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 100).alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    )
+    return pagerank(edges, iterations=3).select(
+        F.col("id").alias("host"), "rank"
+    )
+
+
+SQL_PAGERANK = """
+WITH e AS (
+  SELECT DISTINCT o_custkey % 100 AS src, o_orderkey % 100 AS dst
+  FROM orders WHERE o_custkey % 100 <> o_orderkey % 100
+),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+outdeg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+c1 AS (SELECT e.dst AS id, sum(r0.r // od) AS s
+       FROM e JOIN outdeg USING (src) JOIN r0 ON r0.id = e.src GROUP BY 1),
+r1 AS (SELECT n.id, 150000 + (85 * coalesce(c1.s, 0)) // 100 AS r
+       FROM nodes n LEFT JOIN c1 USING (id)),
+c2 AS (SELECT e.dst AS id, sum(r1.r // od) AS s
+       FROM e JOIN outdeg USING (src) JOIN r1 ON r1.id = e.src GROUP BY 1),
+r2 AS (SELECT n.id, 150000 + (85 * coalesce(c2.s, 0)) // 100 AS r
+       FROM nodes n LEFT JOIN c2 USING (id)),
+c3 AS (SELECT e.dst AS id, sum(r2.r // od) AS s
+       FROM e JOIN outdeg USING (src) JOIN r2 ON r2.id = e.src GROUP BY 1),
+r3 AS (SELECT n.id, 150000 + (85 * coalesce(c3.s, 0)) // 100 AS r
+       FROM nodes n LEFT JOIN c3 USING (id))
+SELECT id AS host, r AS rank FROM r3
+"""
+
+
 def q_lang_id_hist(spark, sf):
     """Language-ID (marker-word heuristic, JVM-side) histogram."""
     d = t(spark, sf, "documents")
@@ -2173,6 +2214,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("gopher_quality", q_gopher_quality, SQL_GOPHER, "text ops (repetition gates)"),
     QuerySpec("tfidf_keywords", q_tfidf_keywords, SQL_TFIDF, "text ops (keyword extraction)"),
     QuerySpec("heavy_hitter_terms", q_heavy_hitters, SQL_HEAVY_HITTERS, "sketch (MG + exact recount)"),
+    QuerySpec("pagerank_hosts", q_pagerank_hosts, SQL_PAGERANK, "graph (host authority)"),
     QuerySpec("lang_id_hist", q_lang_id_hist, SQL_LANG_ID, "text ops (lang-ID)"),
     QuerySpec("embedding_neardup_exact", q_embedding_neardup_exact, SQL_EMB_NEARDUP, "dedup (embedding)"),
     QuerySpec("minhash_lsh_neardup", q_minhash_neardup, SQL_MINHASH, "dedup (LSH)"),
