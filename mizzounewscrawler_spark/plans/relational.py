@@ -559,6 +559,37 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_multires_rollup(spark, sf):
+    """Hypertable rollup cascade (continuous-aggregate pattern): the DAILY
+    rollup is composed from the HOURLY rollup's partial aggregates, never
+    rescanning raw events — at 100 TB the coarser grain reads 1/24th of the
+    finer one's output instead of the raw table.  Counts and exact decimal
+    sums compose losslessly, so the oracle computes daily DIRECTLY from raw
+    events: a value-hash match proves the cascade loses nothing."""
+    e = t(spark, sf, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).alias("sv"),  # unrounded partial: composes exactly
+    )
+    return hourly.groupBy(
+        F.date_format(F.date_trunc("day", F.col("hour")), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("sv"), 2).cast("double").alias("total_value"),
+    )
+
+
+SQL_MULTIRES = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n,
+       round(sum(cast(value as decimal(18,2))), 2)::double AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_due_cadence(spark, sf):
     """P1 due-cadence: keys whose latest activity is older than the cutoff."""
     o = t(spark, sf, "orders")
@@ -2215,6 +2246,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("tfidf_keywords", q_tfidf_keywords, SQL_TFIDF, "text ops (keyword extraction)"),
     QuerySpec("heavy_hitter_terms", q_heavy_hitters, SQL_HEAVY_HITTERS, "sketch (MG + exact recount)"),
     QuerySpec("pagerank_hosts", q_pagerank_hosts, SQL_PAGERANK, "graph (host authority)"),
+    QuerySpec("multires_rollup", q_multires_rollup, SQL_MULTIRES, "A9/P13 (rollup cascade)"),
     QuerySpec("lang_id_hist", q_lang_id_hist, SQL_LANG_ID, "text ops (lang-ID)"),
     QuerySpec("embedding_neardup_exact", q_embedding_neardup_exact, SQL_EMB_NEARDUP, "dedup (embedding)"),
     QuerySpec("minhash_lsh_neardup", q_minhash_neardup, SQL_MINHASH, "dedup (LSH)"),
