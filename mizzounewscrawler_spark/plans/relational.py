@@ -1516,7 +1516,7 @@ ws AS (
   FROM toks WHERE len(tk) >= 2
 ), bf AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
 bs AS (SELECT doc_id, max(c)::double / sum(c) AS top_bigram_frac FROM bf GROUP BY 1)
-SELECT doc_id, n_tokens,
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        round(mean_len, 6) AS mean_word_len,
        round(top_w::double / n_tokens, 6) AS top_word_frac,
        round(top_bigram_frac, 6) AS top_bigram_frac,
@@ -1647,7 +1647,7 @@ c3 AS (SELECT e.dst AS id, sum(r2.r // od) AS s
        FROM e JOIN outdeg USING (src) JOIN r2 ON r2.id = e.src GROUP BY 1),
 r3 AS (SELECT n.id, 150000 + (85 * coalesce(c3.s, 0)) // 100 AS r
        FROM nodes n LEFT JOIN c3 USING (id))
-SELECT id AS host, r AS rank FROM r3
+SELECT id AS host, CAST(r AS BIGINT) AS rank FROM r3
 """
 
 
@@ -2099,7 +2099,7 @@ def q_articles_per_source(spark, sf):
 
 SQL_ARTICLES_PER_SOURCE = """
 SELECT source, count(*) AS n_fetched,
-       sum(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) AS n_articles
+       CAST(sum(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_articles
 FROM documents
 GROUP BY source
 """
