@@ -93,3 +93,17 @@ def test_recency_filter_reaches_scan(spark):
     pushed = plan.split("PushedFilters: [")[1].split("]")[0]
     assert "GreaterThanOrEqual(l_shipdate" in pushed
     assert "LessThan(l_shipdate" in pushed
+
+
+def test_temporal_joins_plan_no_cartesian(spark):
+    """asof_join must plan as window-over-union (single keyed exchange);
+    range_join as an equi-join on (key, day).  Neither may fall back to a
+    cartesian / broadcast-nested-loop plan — that is the whole point of
+    their construction."""
+    for name in ("asof_join_latest_order", "range_join_windows"):
+        q = entrymod.queries()[name]
+        plan = _plan(q(spark, SF_DIR), mode="simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    plan = _plan(entrymod.queries()["asof_join_latest_order"](spark, SF_DIR), "simple")
+    assert "Window" in plan
