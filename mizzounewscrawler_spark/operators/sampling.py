@@ -1,0 +1,107 @@
+"""Deterministic corpus sampling: hash splits and stratified per-group caps.
+
+A training-data pipeline needs two sampling primitives the reference engine
+has no analog for (its exports are all-or-nothing dataset dumps,
+/root/reference/src/cli/commands/dataset.py):
+
+* **hash_split** — assign every document to train/val/test by a hash of its
+  id.  The assignment must be (a) a pure per-row map (no shuffle, no state:
+  at 100 TB the split is a free column, not a job), (b) stable under
+  repartitioning, re-runs, and engine versions (md5 is pinned forever;
+  Spark's ``hash``/``xxhash64`` are engine-internal and ``rand(seed)`` is
+  partition-dependent), and (c) disjoint and exhaustive.  Bucket = the
+  first 4 hex chars of ``md5(id)`` parsed as an integer — uniform over
+  [0, 65536) — compared against cumulative weight thresholds.  Thresholds
+  are computed in integer arithmetic so the same literal boundaries appear
+  in the SQL mirror.
+
+* **stratified_sample** — keep at most ``k`` rows per group, chosen by
+  md5-order (a uniform "hash-min" sample: deterministic, yet unbiased
+  w.r.t. any data ordering).  The naive plan — one global window over the
+  group — sorts every row of a hot group in one task.  This runs the
+  two-phase top-k instead: phase 1 takes each *input partition's* local
+  top-k per group (window over (group, spark_partition_id): the shuffle key
+  carries the partition id, so a hot group spreads over all partitions);
+  phase 2 runs the exact window over the survivors, of which there are at
+  most partitions x k per group.  Any superset of the global top-k that is
+  closed under per-partition selection is admissible for phase 1, so the
+  result is independent of the physical partitioning (pinned by
+  tests/test_partitioning_invariance.py-style checks in test_sampling.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+BUCKETS = 65536  # first 4 hex chars of md5
+
+
+def split_bucket_expr(id_col: Column) -> Column:
+    """Uniform bucket in [0, 65536) from the md5 of the row id (JVM-side)."""
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    )
+
+
+def split_thresholds(weights: dict[str, int]) -> list[tuple[str, int]]:
+    """(name, exclusive upper bucket bound) per split, in declaration order.
+
+    ``weights`` are integer percents summing to 100; bounds use integer
+    arithmetic (``cum * BUCKETS div 100``) so the SQL mirror can embed the
+    identical literals.  The last bound is exactly BUCKETS — exhaustive.
+    """
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100: {weights}")
+    out, cum = [], 0
+    for name, w in weights.items():
+        cum += w
+        out.append((name, cum * BUCKETS // 100))
+    return out
+
+
+def hash_split(
+    df: DataFrame, id_col: str, weights: dict[str, int], out_col: str = "split"
+) -> DataFrame:
+    """Add ``out_col`` assigning each row to a named split — a pure
+    deterministic per-row map (no shuffle; survives repartitioning)."""
+    bucket = split_bucket_expr(F.col(id_col))
+    expr = None
+    for name, bound in split_thresholds(weights):
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """At most ``k`` rows per group, md5-hash order (two-phase exact top-k).
+
+    Returns the input columns plus ``rank_col`` (1-based within the group).
+    ``id_col`` must be unique — it makes the md5 sort key total, so the
+    sample is deterministic.
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    # phase 1: local top-k per (group, input partition) — hot groups spread
+    # across the (group, pid) shuffle key; any partition's local top-k is a
+    # superset of its members of the global top-k
+    w_local = Window.partitionBy(group_col, "_pid").orderBy(key)
+    pruned = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(w_local))
+        .where(F.col("_rn") <= k)
+        .drop("_pid", "_rn")
+    )
+    # phase 2: exact rank over the <= partitions*k survivors per group
+    w_global = Window.partitionBy(group_col).orderBy(key)
+    return (
+        pruned.withColumn(rank_col, F.row_number().over(w_global))
+        .where(F.col(rank_col) <= k)
+    )

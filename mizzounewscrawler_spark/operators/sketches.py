@@ -30,7 +30,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -59,6 +59,42 @@ def mg_candidates(df: DataFrame, key_col: str, capacity: int) -> DataFrame:
     return df.select(key_col).mapInPandas(
         summarize, f"{key_col} {df.schema[key_col].dataType.simpleString()}"
     ).distinct()
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tie_col: str,
+    percents: list[int],
+) -> DataFrame:
+    """Exact per-group discrete quantiles (lower variant), all-integer rank
+    math so the result is bit-identical across engines and partitionings.
+
+    The continuous (interpolated) percentile mixes values in floating
+    point, which is sum-order-stable but *engine-formula*-dependent; the
+    discrete variant instead returns the element at integer rank
+    ``(n-1)*p div 100 + 1`` in ``(value, tie)`` order — no floats anywhere
+    but the data itself.  Plan: one shuffle on the group key (window sort),
+    then a map-side-combinable ``max(when(rn == idx))`` per requested
+    percent.  Hot groups sort in one task — same caveat/salting note as
+    every keyed window; at the telemetry cardinalities this serves
+    (per-host, per-method) groups are bounded by the politeness budget.
+
+    Returns one row per group: ``n`` plus a ``p{P}`` column per percent.
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col, tie_col)
+    wn = Window.partitionBy(group_col)
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    )
+    aggs = [F.max("_n").alias("n")]
+    for p in percents:
+        idx = F.expr(f"((_n - 1) * {p}) div 100") + F.lit(1)
+        aggs.append(
+            F.max(F.when(F.col("_rn") == idx, F.col(value_col))).alias(f"p{p}")
+        )
+    return ranked.groupBy(group_col).agg(*aggs)
 
 
 def heavy_hitters(

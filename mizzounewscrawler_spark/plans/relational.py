@@ -1651,6 +1651,88 @@ SELECT id AS host, CAST(r AS BIGINT) AS rank FROM r3
 """
 
 
+def q_corpus_split(spark, sf):
+    """Deterministic train/val/test assignment by md5 bucket of doc_id
+    (operators/sampling.hash_split: pure per-row map, no shuffle, stable
+    under repartitioning), summarized per (split, lang).  80/10/10."""
+    from mizzounewscrawler_spark.operators.sampling import hash_split
+
+    d = t(spark, sf, "documents")
+    return (
+        hash_split(d, "doc_id", {"train": 80, "val": 10, "test": 10})
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars"))
+    )
+
+
+# same integer thresholds hash_split derives: cum% * 65536 div 100
+SQL_CORPUS_SPLIT = """
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   AS INTEGER) < 52428 THEN 'train'
+              WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   AS INTEGER) < 58982 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM assigned GROUP BY split, lang
+"""
+
+
+def q_stratified_sample(spark, sf):
+    """Per-source document cap (k=10) by md5-hash order — the two-phase
+    exact top-k in operators/sampling.stratified_sample: phase-1 local
+    top-k over (group, partition_id) spreads hot groups, phase 2 ranks
+    only the <= partitions*k survivors."""
+    from mizzounewscrawler_spark.operators.sampling import stratified_sample
+
+    d = t(spark, sf, "documents").select("doc_id", "source")
+    return stratified_sample(d, "source", k=10, id_col="doc_id")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 10
+"""
+
+
+def q_group_percentiles(spark, sf):
+    """Exact per-event-type value percentiles (p50/p95/p99, discrete-lower
+    variant) — all-integer rank math in operators/sketches.
+    exact_group_quantiles, so Spark and the oracle agree bit-for-bit with
+    no floating-point interpolation formula in play."""
+    from mizzounewscrawler_spark.operators.sketches import exact_group_quantiles
+
+    e = t(spark, sf, "events")
+    return exact_group_quantiles(
+        e, "event_type", "value", "event_id", [50, 95, 99]
+    )
+
+
+SQL_GROUP_PERCENTILES = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN value END) AS p50,
+       max(CASE WHEN rn = ((n - 1) * 95) // 100 + 1 THEN value END) AS p95,
+       max(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN value END) AS p99
+FROM ranked GROUP BY event_type
+"""
+
+
 def q_lang_id_hist(spark, sf):
     """Language-ID (marker-word heuristic, JVM-side) histogram."""
     d = t(spark, sf, "documents")
@@ -2247,6 +2329,9 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("heavy_hitter_terms", q_heavy_hitters, SQL_HEAVY_HITTERS, "sketch (MG + exact recount)"),
     QuerySpec("pagerank_hosts", q_pagerank_hosts, SQL_PAGERANK, "graph (host authority)"),
     QuerySpec("multires_rollup", q_multires_rollup, SQL_MULTIRES, "A9/P13 (rollup cascade)"),
+    QuerySpec("corpus_split", q_corpus_split, SQL_CORPUS_SPLIT, "sampling (hash split)"),
+    QuerySpec("stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE, "sampling (per-group cap)"),
+    QuerySpec("group_percentiles", q_group_percentiles, SQL_GROUP_PERCENTILES, "sketch (exact quantiles)"),
     QuerySpec("lang_id_hist", q_lang_id_hist, SQL_LANG_ID, "text ops (lang-ID)"),
     QuerySpec("embedding_neardup_exact", q_embedding_neardup_exact, SQL_EMB_NEARDUP, "dedup (embedding)"),
     QuerySpec("minhash_lsh_neardup", q_minhash_neardup, SQL_MINHASH, "dedup (LSH)"),
