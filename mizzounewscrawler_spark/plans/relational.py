@@ -1733,6 +1733,87 @@ FROM ranked GROUP BY event_type
 """
 
 
+def q_corpus_curation(spark, sf):
+    """End-to-end training-corpus curation as ONE declarative plan:
+    lang filter → quality gate (quality_score_expr, JVM) → exact-dedup
+    keep-first (row_number over md5(text), uniform hash key) → md5-bucket
+    train/val/test split (pure map) → per-split stats.
+
+    Plan shape at 100 TB: scan → codegen project/filter → one shuffle for
+    the dedup window → map-side split assignment → partially-aggregated
+    groupBy.  Exactly two exchanges end to end; every filter sits at the
+    scan.  Quality sum is decimal(18,4) so the aggregate is
+    order-independent and the oracle hash-stable."""
+    from mizzounewscrawler_spark.operators.sampling import hash_split
+
+    d = t(spark, sf, "documents")
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    kept = (
+        d.where((F.col("lang") == "en") & (F.trim(F.col("text")) != ""))
+        .withColumn("quality", quality_score_expr(F.col("text")))
+        .where(F.col("quality") >= 0.15)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        hash_split(kept, "doc_id", {"train": 80, "val": 10, "test": 10})
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+            F.sum(token_count_expr(F.col("text"))).alias("ws_tokens"),
+            F.round(F.sum(F.col("quality").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("sum_quality"),
+        )
+    )
+
+
+SQL_CORPUS_CURATION = f"""
+WITH toks AS (
+  SELECT doc_id, text, n_chars,
+         list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                        x -> lower(x)) AS tk
+  FROM documents WHERE lang = 'en' AND trim(text) <> ''
+), base AS (
+  SELECT doc_id, text, n_chars, tk,
+         CASE WHEN len(tk) > 0
+              THEN len(list_filter(tk, x -> list_contains({_STOPS_SQL}, x)))::double
+                   / len(tk)::double
+              ELSE 0.0 END AS sw,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^.,;:!?''"()\\-]', '', 'g'))::double
+                   / length(text)::double
+              ELSE 0.0 END AS pr
+  FROM toks
+), scored AS (
+  SELECT doc_id, text, n_chars, tk,
+         round(greatest(least(
+             least(length(text)::double / 2000.0, 1.0) * 0.5
+           + least(sw * 2.5, 1.0) * 0.5
+           - greatest(pr - 0.15, 0.0) * 2.0, 1.0), 0.0), 4) AS quality
+  FROM base
+), kept AS (
+  SELECT doc_id, n_chars, tk, quality,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM scored WHERE quality >= 0.15
+), assigned AS (
+  SELECT doc_id, n_chars, tk, quality,
+         CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   AS INTEGER) < 52428 THEN 'train'
+              WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   AS INTEGER) < 58982 THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept WHERE rn = 1
+)
+SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+       CAST(sum(len(tk)) AS BIGINT) AS ws_tokens,
+       round(sum(CAST(quality AS DECIMAL(18,4))), 4)::double AS sum_quality
+FROM assigned GROUP BY split
+"""
+
+
 def q_lang_id_hist(spark, sf):
     """Language-ID (marker-word heuristic, JVM-side) histogram."""
     d = t(spark, sf, "documents")
@@ -2330,6 +2411,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("pagerank_hosts", q_pagerank_hosts, SQL_PAGERANK, "graph (host authority)"),
     QuerySpec("multires_rollup", q_multires_rollup, SQL_MULTIRES, "A9/P13 (rollup cascade)"),
     QuerySpec("corpus_split", q_corpus_split, SQL_CORPUS_SPLIT, "sampling (hash split)"),
+    QuerySpec("corpus_curation", q_corpus_curation, SQL_CORPUS_CURATION, "pipeline (filter+dedup+split)"),
     QuerySpec("stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE, "sampling (per-group cap)"),
     QuerySpec("group_percentiles", q_group_percentiles, SQL_GROUP_PERCENTILES, "sketch (exact quantiles)"),
     QuerySpec("lang_id_hist", q_lang_id_hist, SQL_LANG_ID, "text ops (lang-ID)"),

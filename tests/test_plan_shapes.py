@@ -107,3 +107,18 @@ def test_temporal_joins_plan_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
     plan = _plan(entrymod.queries()["asof_join_latest_order"](spark, SF_DIR), "simple")
     assert "Window" in plan
+
+
+def test_corpus_curation_two_exchanges_and_scan_filter(spark):
+    """The curation composite (filter → quality gate → dedup window →
+    hash split → agg) must stay at exactly two exchanges — the dedup
+    window's and the final groupBy's.  The split assignment and quality
+    gate are per-row maps; a third exchange would mean one of them
+    started shuffling.  The lang filter must reach the parquet scan."""
+    q = entrymod.queries()["corpus_curation"]
+    df = q(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
+    formatted = _plan(df)
+    pushed = formatted.split("PushedFilters: [")[1].split("]")[0]
+    assert "EqualTo(lang,en)" in pushed
