@@ -1814,6 +1814,101 @@ FROM assigned GROUP BY split
 """
 
 
+def q_chunk_documents(spark, sf):
+    """LLM training-window chunking (500-char windows, 100-char overlap):
+    a pure per-row posexplode riding the scan stage — no shuffle (see
+    operators/chunking.py).  Chunk identity = (doc_id, start div stride),
+    stable under any partitioning."""
+    from mizzounewscrawler_spark.operators.chunking import chunk_documents
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    ch = chunk_documents(d, "text", size=500, overlap=100)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        F.length("chunk").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+SQL_CHUNKS = """
+WITH starts AS (
+  SELECT doc_id, text, unnest(range(0, length(text)::bigint, 400)) AS s
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT doc_id, s // 400 AS chunk_id, s AS chunk_start,
+       length(substring(text, (s + 1)::int, 500)) AS chunk_len,
+       md5(substring(text, (s + 1)::int, 500)) AS chunk_md5
+FROM starts
+"""
+
+
+def q_pack_sequences(spark, sf):
+    """Training-sequence packing (next-fit greedy, budget 500 chars) over
+    data-derived buckets — deterministic at any parallelism (see
+    operators/chunking.pack_sequences).  Bucket here is a mirrorable
+    ``doc_id % 16`` so DuckDB can replay the sequential fold as a
+    recursive CTE; production default is xxhash64."""
+    from mizzounewscrawler_spark.operators.chunking import pack_sequences
+
+    d = t(spark, sf, "documents").select("doc_id", "n_chars")
+    packed = pack_sequences(
+        d,
+        "doc_id",
+        "n_chars",
+        budget=500,
+        n_buckets=16,
+        bucket_of=F.pmod(F.col("doc_id"), F.lit(16)),
+    )
+    return packed.select(
+        "bucket",
+        "seq_id",
+        "n_items",
+        "total_weight",
+        "oversize",
+        F.array_min("item_ids").alias("min_id"),
+        F.array_max("item_ids").alias("max_id"),
+    )
+
+
+# The exact sequential fold (next-fit state machine) replayed in SQL:
+# state after item i = (seq_id of i, #closed sequences, open-seq weight).
+SQL_PACK_SEQUENCES = """
+WITH RECURSIVE base AS (
+  SELECT doc_id % 16 AS bucket, doc_id, n_chars::bigint AS w,
+         row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS idx
+  FROM documents
+), rec AS (
+  SELECT bucket, idx, doc_id, w,
+         0::bigint AS seq_id,
+         CASE WHEN w > 500 THEN 1 ELSE 0 END::bigint AS closed,
+         CASE WHEN w > 500 THEN 0 ELSE w END AS cur_w
+  FROM base WHERE idx = 1
+  UNION ALL
+  SELECT b.bucket, b.idx, b.doc_id, b.w,
+         CASE WHEN b.w > 500
+                THEN r.closed + CASE WHEN r.cur_w > 0 THEN 1 ELSE 0 END
+              WHEN r.cur_w + b.w > 500 THEN r.closed + 1
+              ELSE r.closed END AS seq_id,
+         CASE WHEN b.w > 500
+                THEN r.closed + CASE WHEN r.cur_w > 0 THEN 1 ELSE 0 END + 1
+              WHEN r.cur_w + b.w > 500 THEN r.closed + 1
+              ELSE r.closed END AS closed,
+         CASE WHEN b.w > 500 THEN 0
+              WHEN r.cur_w + b.w > 500 THEN b.w
+              ELSE r.cur_w + b.w END AS cur_w
+  FROM base b JOIN rec r ON b.bucket = r.bucket AND b.idx = r.idx + 1
+)
+SELECT CAST(bucket AS INT) AS bucket, CAST(seq_id AS INT) AS seq_id,
+       CAST(count(*) AS INT) AS n_items,
+       CAST(sum(w) AS BIGINT) AS total_weight,
+       sum(w) > 500 AS oversize,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM rec GROUP BY bucket, seq_id
+"""
+
+
 def q_lang_id_hist(spark, sf):
     """Language-ID (marker-word heuristic, JVM-side) histogram."""
     d = t(spark, sf, "documents")
@@ -2412,6 +2507,8 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("multires_rollup", q_multires_rollup, SQL_MULTIRES, "A9/P13 (rollup cascade)"),
     QuerySpec("corpus_split", q_corpus_split, SQL_CORPUS_SPLIT, "sampling (hash split)"),
     QuerySpec("corpus_curation", q_corpus_curation, SQL_CORPUS_CURATION, "pipeline (filter+dedup+split)"),
+    QuerySpec("chunk_documents", q_chunk_documents, SQL_CHUNKS, "chunking (training windows)"),
+    QuerySpec("pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES, "chunking (sequence packing)"),
     QuerySpec("stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE, "sampling (per-group cap)"),
     QuerySpec("group_percentiles", q_group_percentiles, SQL_GROUP_PERCENTILES, "sketch (exact quantiles)"),
     QuerySpec("lang_id_hist", q_lang_id_hist, SQL_LANG_ID, "text ops (lang-ID)"),
