@@ -2126,6 +2126,24 @@ def q_multimodal_metadata(spark, sf):
     )
 
 
+# The fixture media is generated by pure index arithmetic and the decode
+# parses it back out of the binary header, so the oracle recomputes every
+# metadata column from the same arithmetic WITHOUT the binary: a header
+# mis-parse (offset, endianness, padding) in DecodeBackend breaks the match.
+SQL_MULTIMODAL = """
+SELECT i AS media_id,
+       CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS kind,
+       (64 + (i % 8) * 32)::int AS width,
+       (48 + (i % 5) * 32)::int AS height,
+       (CASE i % 3 WHEN 2 THEN 30 * (1 + i % 4) WHEN 0 THEN 1 ELSE 0 END)::int
+           AS frames,
+       (32 + least((64 + (i % 8) * 32) * (48 + (i % 5) * 32), 4096))::int
+           AS n_bytes
+FROM range(200) t(i)
+"""
+
+
 def q_minhash_neardup(spark, sf):
     """MinHash+LSH near-dup pairs, small-N SQL mirror: Spark computes the
     16-hash signatures (xxhash64 — not in DuckDB) and persists them; the
@@ -2519,7 +2537,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("lsh_ann_topk", q_lsh_ann, SQL_LSH_ANN, "similarity (ANN)"),
     QuerySpec("ivf_ann_topk", q_ivf_ann, SQL_IVF_ANN, "similarity (IVF ANN)"),
     QuerySpec("embedding_neardup_lsh", q_embedding_neardup_lsh, SQL_EMB_NEARDUP_LSH, "dedup (embedding LSH)"),
-    QuerySpec("multimodal_decode", q_multimodal_metadata, None, "multimodal"),
+    QuerySpec("multimodal_decode", q_multimodal_metadata, SQL_MULTIMODAL, "multimodal (header round-trip)"),
     QuerySpec("crawl_wave_demo", q_crawl_wave, None, "crawl engine"),
     QuerySpec("never_attempted_first", q_never_attempted_first, SQL_NEVER_ATTEMPTED, "O2/S1"),
     QuerySpec("extractor_method_stats", q_extractor_method_stats, SQL_METHOD_STATS, "A8"),
