@@ -54,8 +54,14 @@ def chunk_documents(
         c for c in df.columns if c != text_col
     ]
     text = F.col(text_col)
+    # a chunk starting at s contributes new characters iff s < len - overlap
+    # (otherwise it is fully contained in the previous window — emitting it
+    # would duplicate its chars in the corpus), so starts stop there; the
+    # greatest() keeps [0] for texts shorter than the overlap
     starts: Column = F.sequence(
-        F.lit(0), F.length(text) - F.lit(1), F.lit(stride)
+        F.lit(0),
+        F.greatest(F.length(text) - F.lit(overlap + 1), F.lit(0)),
+        F.lit(stride),
     )
     chunks = F.transform(
         starts, lambda s: F.substring(text, s + F.lit(1), size)

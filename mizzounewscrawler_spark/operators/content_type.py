@@ -62,12 +62,17 @@ def dateline_wire_marker_expr(
     callsign row-set (dimension-sized, like the O5 pattern rows)."""
     rows = DEFAULT_CALLSIGN_ROWS if callsign_rows is None else callsign_rows
     cs = F.regexp_extract(F.substring(text, 1, 300), DATELINE_RE, 1)
-    url_l = F.lower(url)
+    # ownership = the url's HOST is one of the broadcaster's registered
+    # domains (reference keys on the domain list only) — matching the
+    # callsign anywhere in the url would exempt third-party pages that
+    # merely mention it in a path segment
+    host = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
     expr: Column = F.lit("")  # unknown callsign → never wire
     for callsign, domains, _dataset in rows:
-        owns = url_l.contains(F.lit(callsign.lower()))
+        owns = F.lit(False)
         for d in domains:
-            owns = owns | url_l.contains(F.lit(d))
+            dl = d.lower()
+            owns = owns | (host == F.lit(dl)) | host.endswith(F.lit("." + dl))
         expr = F.when(
             cs == callsign,
             F.when(owns, F.lit("")).otherwise(F.lit("WIRE")),
@@ -238,10 +243,14 @@ def wire_recheck(
     re-check (extraction.py:328-334): the deterministic cascade stands in
     for the remote service (the sanctioned stub pattern, SURVEY §2.10) —
     swap the verdict expression for a client call on a real deployment.
-    One column-expression pass, no shuffle."""
+    Column expressions only, no shuffle.  The cascade (the ~30-regex
+    ladder over full text) runs ONLY over the pending slice — in the
+    steady state almost every row is already complete, and re-deriving a
+    verdict the ``when()`` would discard is pure wasted scan compute at
+    scale; the two branches re-union by name."""
     pending = F.col("wire_check_status") == WIRE_CHECK_PENDING
     redet = detect_content_type_tabular(
-        articles,
+        articles.where(pending),
         url_col=url_col,
         title_col=title_col,
         author_col=author_col,
@@ -250,18 +259,22 @@ def wire_recheck(
     )
     verdict_wire = F.col("content_type") == "wire"
     new_status = (
-        F.when(pending & verdict_wire, F.lit("wire"))
+        F.when(verdict_wire, F.lit("wire"))
         .when(
-            pending & ~verdict_wire & (F.col(status_col) == "wire"),
+            F.col(status_col) == "wire",
             F.lit("extracted"),  # first pass over-flagged — restore
         )
         .otherwise(F.col(status_col))
     )
-    return (
+    rechecked = (
         redet.withColumn(status_col, new_status)
         .withColumn("wire_check_status", F.lit(WIRE_CHECK_COMPLETE))
         .drop("content_type", "content_confidence", "byline")
     )
+    untouched = articles.where(~pending | pending.isNull()).withColumn(
+        "wire_check_status", F.lit(WIRE_CHECK_COMPLETE)
+    )
+    return rechecked.unionByName(untouched)
 
 
 def detect_content_type(

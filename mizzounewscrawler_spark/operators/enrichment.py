@@ -219,6 +219,12 @@ def enrich_articles(
         order = [
             c for c in ("wave", "publish_date", "url_hash") if c in df.columns
         ]
+        if not order:
+            raise ValueError(
+                "enrich_articles(limit=...) needs a recency/tiebreak column "
+                "(one of wave/publish_date/url_hash) so the selected subset "
+                "is deterministic; add one or drop the limit"
+            )
         df = df.orderBy(*[F.col(c).desc() for c in order]).limit(int(limit))
     if not providers:
         return (

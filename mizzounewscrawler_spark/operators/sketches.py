@@ -47,18 +47,39 @@ def _mg_merge(counters: dict, vc: "pd.Series", capacity: int) -> dict:
     return counters
 
 
-def mg_candidates(df: DataFrame, key_col: str, capacity: int) -> DataFrame:
-    """Phase 1: distinct candidate keys from per-partition MG summaries."""
+def _mg_summaries(df: DataFrame, key_col: str, capacity: int) -> DataFrame:
+    """Per-partition MG candidate keys, each partition's row count riding
+    on its first output row (``_pn``) — candidates AND the total N come
+    out of the single phase-1 pass, no dedicated count scan."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
+        n = 0
         for pdf in batches:
+            n += len(pdf)
             counters = _mg_merge(counters, pdf[key_col].value_counts(), capacity)
-        yield pd.DataFrame({key_col: list(counters.keys())})
+        keys = list(counters.keys())
+        if keys:
+            yield pd.DataFrame(
+                {key_col: keys, "_pn": [n] + [0] * (len(keys) - 1)}
+            )
+        elif n:  # flat partition: MG spilled every key, but n must survive
+            yield pd.DataFrame({key_col: [None], "_pn": [n]})
 
     return df.select(key_col).mapInPandas(
-        summarize, f"{key_col} {df.schema[key_col].dataType.simpleString()}"
-    ).distinct()
+        summarize,
+        f"{key_col} {df.schema[key_col].dataType.simpleString()}, _pn long",
+    )
+
+
+def mg_candidates(df: DataFrame, key_col: str, capacity: int) -> DataFrame:
+    """Phase 1: distinct candidate keys from per-partition MG summaries."""
+    return (
+        _mg_summaries(df, key_col, capacity)
+        .where(F.col(key_col).isNotNull())
+        .select(key_col)
+        .distinct()
+    )
 
 
 def exact_group_quantiles(
@@ -108,20 +129,27 @@ def heavy_hitters(
     contained the true top-k.
     """
     capacity = capacity or 64 * k
-    cand = mg_candidates(df, key_col, capacity)
-    counted = (
-        df.join(F.broadcast(cand), key_col, "left_semi")
-        .groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    top = counted.orderBy(F.col("cnt").desc(), F.col(key_col).asc()).limit(k)
-    rows = top.collect()
+    # ONE pass computes both the candidate set and N (each partition's row
+    # count rides the summary) — a dedicated df.count() would be a third
+    # full scan of the input at the 10^12-row design point
+    summ = _mg_summaries(df, key_col, capacity).cache()
+    try:
+        n_total = summ.agg(F.sum("_pn").alias("n")).collect()[0]["n"] or 0
+        cand = summ.where(F.col(key_col).isNotNull()).select(key_col).distinct()
+        counted = (
+            df.join(F.broadcast(cand), key_col, "left_semi")
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        top = counted.orderBy(F.col("cnt").desc(), F.col(key_col).asc()).limit(k)
+        rows = top.collect()
+    finally:
+        summ.unpersist()
     # Certification: the MG bound covers every key with freq > N/(cap+1),
     # so the candidate set provably contains the true top-k iff the k-th
     # candidate count clears that bar.  Fewer than k candidates means MG
     # spilled the tail away (flat distribution) — equally uncertifiable:
     # we cannot tell "input has < k distinct keys" from "sketch lost them".
-    n_total = df.count()
     if len(rows) < k or rows[-1]["cnt"] * (capacity + 1) <= n_total:
         kth = rows[-1]["cnt"] if rows else 0
         raise ValueError(

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 _TIME = "_asof_t"
 _TAG = "_asof_tag"
 _KEY = "_asof_k"
-_RPFX = "_asof_r_"
+_RPAY = "_asof_pay"
 
 
 def asof_join(
@@ -55,19 +55,30 @@ def asof_join(
     rtypes = {f.name: f.dataType for f in right.schema.fields}
     ltypes = {f.name: f.dataType for f in left.schema.fields}
 
+    # the entire matched right row travels as ONE struct: filling payload
+    # columns independently would stitch together values from DIFFERENT
+    # right rows whenever the latest match carries a NULL in one of them
+    # (last(ignorenulls) per column reaches further back per column) —
+    # a row that never existed.  The struct is non-null exactly on right
+    # rows, so last(struct, ignorenulls=True) selects whole rows.
+    pay_t = (
+        "struct<"
+        + ",".join(f"`{c}`:{rtypes[c].simpleString()}" for c in fill_cols)
+        + ">"
+    )
     l2 = left.select(
         F.col(left_on).alias(_KEY),
         F.col(left_time).cast("timestamp").alias(_TIME),
         F.lit(1).alias(_TAG),
         *[F.col(c) for c in left.columns],
-        *[F.lit(None).cast(rtypes[c]).alias(_RPFX + c) for c in fill_cols],
+        F.lit(None).cast(pay_t).alias(_RPAY),
     )
     r2 = right.select(
         F.col(right_on).alias(_KEY),
         F.col(right_time).cast("timestamp").alias(_TIME),
         F.lit(0).alias(_TAG),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in left.columns],
-        *[F.col(c).alias(_RPFX + c) for c in fill_cols],
+        F.struct(*[F.col(c).alias(c) for c in fill_cols]).alias(_RPAY),
     )
     # right rows sort before left rows at equal time (_TAG asc) → inclusive.
     w = (
@@ -79,28 +90,23 @@ def asof_join(
         _TAG,
         _TIME,
         *[F.col(c) for c in left.columns],
-        *[
-            F.last(_RPFX + c, ignorenulls=True).over(w).alias(_RPFX + c)
-            for c in fill_cols
-        ],
+        F.last(_RPAY, ignorenulls=True).over(w).alias(_RPAY),
     )
     out = filled.where(F.col(_TAG) == 1)
     if tolerance_days is not None:
         fresh = F.datediff(
-            F.to_date(F.col(_TIME)), F.to_date(F.col(_RPFX + right_time))
+            F.to_date(F.col(_TIME)),
+            F.to_date(F.col(_RPAY)[right_time]),
         ) <= F.lit(tolerance_days)
         out = out.select(
             _TIME,
             *[F.col(c) for c in left.columns],
-            *[
-                F.when(fresh, F.col(_RPFX + c)).alias(_RPFX + c)
-                for c in fill_cols
-            ],
+            F.when(fresh, F.col(_RPAY)).alias(_RPAY),
         )
     return out.select(
         *[F.col(c) for c in left.columns],
-        *[F.col(_RPFX + c).alias(c) for c in payload_cols],
-        F.col(_RPFX + right_time).alias("asof_" + right_time),
+        *[F.col(_RPAY)[c].alias(c) for c in payload_cols],
+        F.col(_RPAY)[right_time].alias("asof_" + right_time),
     )
 
 

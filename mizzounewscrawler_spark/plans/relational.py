@@ -1834,7 +1834,8 @@ def q_chunk_documents(spark, sf):
 
 SQL_CHUNKS = """
 WITH starts AS (
-  SELECT doc_id, text, unnest(range(0, length(text)::bigint, 400)) AS s
+  SELECT doc_id, text,
+         unnest(range(0, greatest(length(text)::bigint - 100, 1), 400)) AS s
   FROM documents WHERE trim(text) <> ''
 )
 SELECT doc_id, s // 400 AS chunk_id, s AS chunk_start,

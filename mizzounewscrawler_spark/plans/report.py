@@ -65,6 +65,11 @@ def county_report(
     articles are semi-joined to the surviving hosts, both broadcast."""
     arts = articles.where(~F.col("status").isin(*EXCLUDED_STATUSES))
     if dataset_label is not None:
+        if dataset_sources is None:
+            raise ValueError(
+                "county_report: dataset_label needs dataset_sources (the "
+                "datasets M:N membership table) — same contract as run_crawl"
+            )
         from mizzounewscrawler_spark.operators.datasets import scope_sources
 
         sources = scope_sources(sources, dataset_sources, dataset_label)

@@ -17,9 +17,10 @@ def test_chunks_cover_text_exactly(spark):
         chunk_documents(df, "text", size=500, overlap=100).collect(),
         key=lambda r: r["chunk_id"],
     )
-    # stride 400 over 1234 chars -> starts 0,400,800,1200 -> 4 chunks
-    assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
-    assert [r["chunk_start"] for r in rows] == [0, 400, 800, 1200]
+    # stride 400 over 1234 chars: starts < 1234-100 -> 0,400,800 (a chunk
+    # at 1200 would be fully contained in chunk 800 — phantom tail)
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+    assert [r["chunk_start"] for r in rows] == [0, 400, 800]
     for r in rows:
         assert r["chunk"] == text[r["chunk_start"] : r["chunk_start"] + 500]
     # overlap carry: each chunk's first 100 chars == previous chunk's
@@ -27,8 +28,8 @@ def test_chunks_cover_text_exactly(spark):
     for prev, cur in zip(rows, rows[1:]):
         if len(prev["chunk"]) == 500:
             assert cur["chunk"][:100] == prev["chunk"][400:500]
-    # full reconstruction from strided prefixes
-    assert "".join(r["chunk"][:400] for r in rows)[: len(text)] == text
+    # lossless reconstruction: strided prefixes + the last chunk whole
+    assert "".join(r["chunk"][:400] for r in rows[:-1]) + rows[-1]["chunk"] == text
 
 
 def test_short_and_empty_docs(spark):
@@ -46,6 +47,12 @@ def test_exact_multiple_no_phantom_tail(spark):
     df = spark.createDataFrame([(1, "x" * 800)], ["doc_id", "text"])
     rows = chunk_documents(df, "text", size=500, overlap=100).collect()
     assert sorted(r["chunk_start"] for r in rows) == [0, 400]
+    # len % stride within (0, overlap]: the tail would be fully contained
+    # in the previous window — must NOT be emitted (450 <= 0 + size)
+    df2 = spark.createDataFrame([(1, "y" * 450)], ["doc_id", "text"])
+    rows2 = chunk_documents(df2, "text", size=500, overlap=100).collect()
+    assert [r["chunk_start"] for r in rows2] == [0]
+    assert len(rows2[0]["chunk"]) == 450
 
 
 def test_bad_overlap_rejected(spark):

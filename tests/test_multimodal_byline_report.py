@@ -307,3 +307,30 @@ def test_real_codec_backend_gated_or_working():
     out = be.decode(buf.getvalue())
     assert out["ok"] and (out["width"], out["height"]) == (8, 5)
     assert be.decode(b"not an image")["ok"] is False
+
+
+def test_callsign_exemption_requires_host_ownership(spark):
+    """Ownership = the url's HOST is a registered broadcaster domain; a
+    third-party page that merely mentions the callsign (or a broadcaster
+    domain) in its PATH is still syndicated → wire."""
+    from mizzounewscrawler_spark.operators.content_type import (
+        detect_content_type_tabular,
+    )
+
+    dateline = "COLUMBIA, Mo. (KOMU) — County officials met Tuesday."
+    rows = [
+        # callsign in the path of a third-party site → wire, not exempt
+        ("https://example-paper.com/news/komu-report-on-flood", "wire"),
+        # broadcaster domain quoted in the path of a third-party site → wire
+        ("https://example-paper.com/about/komu.com-coverage", "wire"),
+        # subdomain of the broadcaster's own domain → exempt (local)
+        ("https://www.komu.com/news/a", "news"),
+        # suffix-similar but different registered host → wire
+        ("https://notkomu.com/news/b", "wire"),
+    ]
+    df = spark.createDataFrame(
+        [(u, "Meeting", "Staff", dateline) for u, _ in rows],
+        ["url", "title", "author", "text"],
+    )
+    got = [r["content_type"] for r in detect_content_type_tabular(df).collect()]
+    assert got == [want for _, want in rows]

@@ -88,3 +88,23 @@ def test_range_join_containment_and_bucketing(spark):
         for r in range_join(pts, iv, "k", "k2", "t", "s", "e").collect()
     )
     assert got == [(1, 7), (1, 8), (3, 7)]
+
+
+def test_asof_null_payload_does_not_mix_rows(spark):
+    """The matched right row travels whole: when the LATEST match has a
+    NULL payload column, that NULL must come through — not an older row's
+    value spliced in per-column (the independent-forward-fill bug)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(3))], "eid long, k long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(1), 5.0, 2.0), (10, _ts(2), 7.0, None)],
+        "k long, rt timestamp, a double, b double",
+    )
+    row = asof_join(
+        left, right, left_on="k", right_on="k",
+        left_time="t", right_time="rt", payload_cols=["a", "b"],
+    ).collect()[0]
+    assert row["a"] == 7.0
+    assert row["b"] is None  # NOT 2.0 from the t=1 row
+    assert row["asof_rt"] == _ts(2)
