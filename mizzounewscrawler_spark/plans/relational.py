@@ -1910,6 +1910,63 @@ FROM rec GROUP BY bucket, seq_id
 """
 
 
+def q_warc_roundtrip(spark, sf):
+    """WARC source round-trip: documents → deterministic WARC/1.0 archives
+    (sources/warc.encode_warc) → record parser (parse_warc) → page rows.
+    The oracle recomputes every column from the documents table directly,
+    so any parser defect (header split, Content-Length accounting, status
+    parse, payload boundary) breaks the value hash — same pattern as the
+    multimodal header oracle."""
+    from mizzounewscrawler_spark.sources.warc import encode_warc, parse_warc
+
+    d = (
+        t(spark, sf, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", "source", "text")
+    )
+
+    def rt(batches):
+        import pandas as pd
+
+        cols = ["url", "warc_ts", "http_status", "html"]
+        for pdf in batches:
+            recs = [
+                {
+                    "url": f"https://src-{s}.example/doc/{i}",
+                    "warc_ts": f"2024-01-01T00:00:{i % 60:02d}Z",
+                    "status": 404 if i % 10 == 0 else 200,
+                    "html": txt.encode("utf-8"),
+                }
+                for i, s, txt in zip(pdf["doc_id"], pdf["source"], pdf["text"])
+            ]
+            parsed = list(parse_warc(encode_warc(recs)))
+            yield pd.DataFrame(
+                [{c: p[c] for c in cols} for p in parsed], columns=cols
+            )
+
+    out = d.mapInPandas(
+        rt, "url string, warc_ts string, http_status int, html binary"
+    )
+    return out.select(
+        "url",
+        "warc_ts",
+        "http_status",
+        F.length("html").alias("html_len"),
+        F.md5("html").alias("html_md5"),
+    )
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT 'https://src-' || source || '.example/doc/' || doc_id AS url,
+       '2024-01-01T00:00:' || lpad((doc_id % 60)::varchar, 2, '0') || 'Z'
+           AS warc_ts,
+       (CASE WHEN doc_id % 10 = 0 THEN 404 ELSE 200 END)::int AS http_status,
+       strlen(text)::int AS html_len,
+       md5(text) AS html_md5
+FROM documents WHERE doc_id < 100
+"""
+
+
 def q_lang_id_hist(spark, sf):
     """Language-ID (marker-word heuristic, JVM-side) histogram."""
     d = t(spark, sf, "documents")
@@ -2528,6 +2585,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("corpus_curation", q_corpus_curation, SQL_CORPUS_CURATION, "pipeline (filter+dedup+split)"),
     QuerySpec("chunk_documents", q_chunk_documents, SQL_CHUNKS, "chunking (training windows)"),
     QuerySpec("pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES, "chunking (sequence packing)"),
+    QuerySpec("warc_roundtrip", q_warc_roundtrip, SQL_WARC_ROUNDTRIP, "source (WARC ingestion)"),
     QuerySpec("stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE, "sampling (per-group cap)"),
     QuerySpec("group_percentiles", q_group_percentiles, SQL_GROUP_PERCENTILES, "sketch (exact quantiles)"),
     QuerySpec("lang_id_hist", q_lang_id_hist, SQL_LANG_ID, "text ops (lang-ID)"),
