@@ -67,3 +67,86 @@ def robots_allowed_py(path: str, disallow: list[str] | None) -> bool:
     if not disallow:
         return True
     return not any(path.startswith(d) for d in disallow)
+
+
+def _parse_robots_body(body: str) -> list[dict]:
+    """RFC 9309 group parser for ONE robots.txt body → one dict per
+    user-agent: ``{user_agent, disallow[], allow[], crawl_delay}``.
+
+    Semantics: consecutive ``User-agent`` lines open a group that shares
+    the rule lines that follow; field names are case-insensitive and
+    ``#`` comments are stripped; empty ``Disallow:`` values are ignored
+    (allow-all); ``Crawl-delay`` is the de-facto extension every major
+    crawler honors.  ``*``/``$`` path wildcards are carried through
+    verbatim as prefixes (the fixture semantics downstream; a consumer
+    wanting full wildcard matching translates them to a regex at its own
+    matching point).  An agent named by several groups gets the UNION of
+    their rules (RFC 9309 §2.2.1)."""
+    groups: dict[str, dict] = {}
+    current: list[str] = []
+    rules_seen = False  # a UA line after rules starts a NEW group
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field, value = field.strip().lower(), value.strip()
+        if field == "user-agent":
+            if rules_seen:
+                current = []
+                rules_seen = False
+            agent = value.lower()
+            current.append(agent)
+            groups.setdefault(
+                agent,
+                {"user_agent": agent, "disallow": [], "allow": [],
+                 "crawl_delay": None},
+            )
+        elif field in ("disallow", "allow", "crawl-delay"):
+            rules_seen = True
+            if not current:
+                continue  # rules before any user-agent line: ignored
+            for agent in current:
+                g = groups[agent]
+                if field == "disallow" and value:
+                    g["disallow"].append(value)
+                elif field == "allow" and value:
+                    g["allow"].append(value)
+                elif field == "crawl-delay":
+                    try:
+                        g["crawl_delay"] = float(value)
+                    except ValueError:
+                        pass
+    return list(groups.values())
+
+
+ROBOTS_RULES_SCHEMA = (
+    "host string, user_agent string, disallow array<string>, "
+    "allow array<string>, crawl_delay double"
+)
+
+
+def parse_robots_txt(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Raw fetched robots.txt bodies ``(host, body)`` → the rules table
+    ``apply_robots`` consumes (one row per (host, user-agent group)).
+
+    Arrow-batched ``mapInPandas``; robots bodies are small and one-per-
+    host, so this is dimension-sized work — run it once per robots
+    refresh cycle, not per wave."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["host", "user_agent", "disallow", "allow", "crawl_delay"]
+        for pdf in batches:
+            rows = [
+                {"host": h, **g}
+                for h, b in zip(pdf[host_col], pdf[body_col])
+                for g in _parse_robots_body(b or "")
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return bodies.mapInPandas(run, ROBOTS_RULES_SCHEMA)

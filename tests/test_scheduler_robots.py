@@ -123,3 +123,65 @@ def test_robots_prefix_enforcement(spark):
     assert robots_allowed_py("/private/x.html", ["/private/"]) is False
     assert robots_allowed_py("/news/ok.html", ["/private/"]) is True
     assert robots_allowed_py("/anything", None) is True
+
+
+def test_parse_robots_txt_groups_and_pipeline(spark):
+    """Raw robots.txt bodies → rules table → apply_robots end to end:
+    shared-group user agents, repeated groups unioned, comments/blank
+    lines, empty Disallow ignored, crawl-delay parsed, and the parsed
+    '*' group actually blocking a candidate."""
+    from mizzounewscrawler_spark.operators.robots import (
+        apply_robots,
+        parse_robots_txt,
+    )
+
+    body_a = """
+# global rules
+User-agent: *
+Disallow: /private/
+Disallow:          # empty value -> allow-all, ignored
+Crawl-delay: 2.5
+
+User-agent: fastbot
+User-agent: otherbot
+Allow: /public/
+Disallow: /tmp/
+
+User-agent: *        # second * group: rules UNION per RFC 9309
+Disallow: /drafts/
+"""
+    bodies = spark.createDataFrame(
+        [("a.test", body_a), ("b.test", "User-agent: *\nDisallow:\n")],
+        ["host", "body"],
+    )
+    rules = {
+        (r["host"], r["user_agent"]): r
+        for r in parse_robots_txt(bodies).collect()
+    }
+    star = rules[("a.test", "*")]
+    assert sorted(star["disallow"]) == ["/drafts/", "/private/"]
+    assert star["crawl_delay"] == 2.5
+    for agent in ("fastbot", "otherbot"):  # shared group
+        g = rules[("a.test", agent)]
+        assert list(g["disallow"]) == ["/tmp/"] and list(g["allow"]) == ["/public/"]
+    assert list(rules[("b.test", "*")]["disallow"]) == []
+
+    cands = spark.createDataFrame(
+        [
+            ("a.test", "test,a)/private/x"),
+            ("a.test", "test,a)/drafts/y"),
+            ("a.test", "test,a)/news/z"),
+            ("b.test", "test,b)/anything"),
+        ],
+        ["host", "url_surt"],
+    )
+    got = {
+        r["url_surt"]: r["robots_allowed"]
+        for r in apply_robots(cands, parse_robots_txt(bodies)).collect()
+    }
+    assert got == {
+        "test,a)/private/x": False,
+        "test,a)/drafts/y": False,
+        "test,a)/news/z": True,
+        "test,b)/anything": True,
+    }
