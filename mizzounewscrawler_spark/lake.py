@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -365,6 +366,45 @@ class LakeTable:
         snap_summary.setdefault("compaction", "binpack")
         snap_summary["folded_versions"] = len(fold)
         return self.commit_staged(staged, "rewrite", snap_summary)
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict[str, Any]:
+        """Iceberg ``expire_snapshots`` analog: drop manifests older than
+        the newest ``keep_last`` and delete the data/delete version dirs
+        that NO retained snapshot references.
+
+        Compaction removes versions from the live list but leaves their
+        directories and manifests on disk — at 10^4+ waves the full
+        pre-compaction history accumulates as dead storage.  Expiration is
+        the GC half: time travel shortens to ``keep_last`` snapshots, the
+        CURRENT merged view is untouched (every retained snapshot's
+        live/delete versions are kept, so reads and resume-from-checkpoint
+        are unaffected).  Driver-local file ops only — run it on the same
+        amortized trigger as compaction, not per wave."""
+        if keep_last < 1:
+            raise ValueError("expire_snapshots: keep_last must be >= 1")
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return {"expired_snapshots": 0, "removed_dirs": 0}
+        retained, expired = snaps[-keep_last:], snaps[:-keep_last]
+        referenced: set[int] = set()
+        for s in retained:
+            referenced.update(s.live_versions)
+            referenced.update(s.delete_versions)
+        removed = 0
+        dead: set[int] = set()
+        for s in expired:
+            dead.update(s.live_versions)
+            dead.update(s.delete_versions)
+            dead.add(s.version)  # a data-less merge commit still staged dirs
+        for v in sorted(dead - referenced):
+            for d in (self._data_dir(v), self._delete_dir(v)):
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+                    removed += 1
+        for s in expired:
+            os.remove(os.path.join(self._snap_dir, f"v{s.version:06d}.json"))
+            self._cache.pop(s.version, None)
+        return {"expired_snapshots": len(expired), "removed_dirs": removed}
 
     def export_version(
         self, dest_dir: str, snapshot_id: int | None = None

@@ -241,3 +241,53 @@ def test_crawl_bounded_live_versions_and_equivalence(spark, web_spark):
                 assert n_live <= cap + 1, (tbl.path, n_live)
     assert seen_sets[4] == seen_sets[0]
     assert article_counts[4] == article_counts[0]
+
+
+def test_expire_snapshots_gc_without_changing_current(spark, tmp_path):
+    """expire_snapshots removes old manifests AND unreferenced version
+    dirs (the GC half compaction lacks), while the current merged view —
+    including still-live EARLY versions and merge-on-read deletes — is
+    byte-identical before and after."""
+    t = LakeTable(spark, str(tmp_path / "gc"))
+    t.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        {"wave": -1},
+    )
+    for i in range(3, 7):
+        t.append(spark.createDataFrame([(i, "x")], "k long, v string"))
+    t.merge(None, spark.createDataFrame([(3,)], "k long"), "k", {"wave": 9})
+    before = sorted((r["k"], r["v"]) for r in t.read().collect())
+    n_snaps = len(t.snapshots())
+    assert n_snaps == 6
+
+    stats = t.expire_snapshots(keep_last=2)
+    assert stats["expired_snapshots"] == n_snaps - 2
+    assert len(t.snapshots()) == 2
+    after = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert after == before  # current view untouched
+    # v0 (the overwrite) is STILL live in the retained snapshots → its dir
+    # must survive even though its own manifest was expired
+    assert os.path.isdir(t._data_dir(0))
+    # a second expire is a no-op
+    assert t.expire_snapshots(keep_last=2)["expired_snapshots"] == 0
+
+
+def test_expire_snapshots_removes_dead_compacted_history(spark, tmp_path):
+    """After a full compact, every pre-compaction data dir is dead; expire
+    with keep_last=1 must delete them all and reads must still work."""
+    t = LakeTable(spark, str(tmp_path / "gc2"))
+    for i in range(5):
+        t.append(spark.createDataFrame([(i,)], "k long"))
+    t.compact()
+    live = set(t.current_snapshot().live_versions)
+    before = sorted(r["k"] for r in t.read().collect())
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["removed_dirs"] >= 5  # the five pre-compaction appends
+    for v in range(5):
+        if v not in live:
+            assert not os.path.isdir(t._data_dir(v)), v
+    assert sorted(r["k"] for r in t.read().collect()) == before
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)
