@@ -119,6 +119,14 @@ class CrawlConfig:
     # I/O, keeps reader file listing + plan size O(cap) at 10^4+ waves).
     # 0 disables.
     compact_max_live: int = 32
+    # Snapshot-expiration GC for the append-heavy tables (url_seen /
+    # articles / order_log / fetch_events): keep only the newest N
+    # manifests and delete version dirs no retained snapshot references —
+    # compaction bounds the LIVE set, this bounds the DEAD history's
+    # storage at 10^4+ waves.  0 = off (keeps full time travel).  The
+    # frontier is never expired: its per-wave snapshot summaries ARE the
+    # crawl's metrics/lineage record and the resume checkpoint chain.
+    expire_keep_snapshots: int = 0
     # S6 proxy-scraping discovery: ((host, article_regex), …) pairs — the
     # reference's discovery_proxy sources + per-domain pattern table
     # (discovery.py:2328-2410).  For flagged hosts, source pages keep their
@@ -823,6 +831,11 @@ def run_crawl(
         if cfg.compact_max_live:
             for tbl in (t.url_seen, t.articles, t.order_log, t.fetch_events):
                 tbl.compact_small(cfg.compact_max_live, {"wave": wave})
+        if cfg.expire_keep_snapshots:
+            # GC the dead pre-compaction history (driver-local file ops;
+            # same amortized trigger as compaction — never the frontier)
+            for tbl in (t.url_seen, t.articles, t.order_log, t.fetch_events):
+                tbl.expire_snapshots(cfg.expire_keep_snapshots)
 
         seen = t.url_seen.read()
         host_state_df = t.host_state.read()

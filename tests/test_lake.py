@@ -291,3 +291,32 @@ def test_expire_snapshots_removes_dead_compacted_history(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         t.expire_snapshots(keep_last=0)
+
+
+def test_crawl_expiration_bounds_history_and_preserves_results(spark, web_spark):
+    """With GC on, append-heavy tables keep <= keep_last manifests on disk
+    and the crawl's URL-seen set / article count match a no-GC run."""
+    import tempfile
+
+    from mizzounewscrawler_spark.crawl import CrawlConfig, open_tables, run_crawl
+
+    pages, seeds, robots = web_spark
+    results = {}
+    for keep in (0, 2):
+        out = tempfile.mkdtemp(prefix=f"crawl_gc{keep}_")
+        cfg = CrawlConfig(
+            max_waves=8, bloom_capacity=10000, compact_max_live=4,
+            expire_keep_snapshots=keep,
+        )
+        run_crawl(spark, pages, seeds, robots, out, cfg)
+        t = open_tables(spark, out)
+        results[keep] = (
+            sorted(r["url_surt"] for r in t.url_seen.read().collect()),
+            t.articles.read().count(),
+        )
+        if keep:
+            for tbl in (t.url_seen, t.articles, t.order_log):
+                assert len(tbl.snapshots()) <= keep, tbl.path
+            # the frontier's lineage record is never expired
+            assert len(t.frontier.snapshots()) > keep
+    assert results[2] == results[0]
