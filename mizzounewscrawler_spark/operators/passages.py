@@ -1,0 +1,160 @@
+"""Passage-level corpus hygiene: repeated-passage removal + decontamination.
+
+Two standard LLM-training-data operators the reference engine has no analog
+for (its dedup story stops at whole-article url/content hashes,
+/root/reference/src/crawler/url_verification.py):
+
+* **passage_dedup** — the C4/RefinedWeb "remove any line that repeats
+  across the corpus" rule, re-expressed over fixed-size token windows
+  (documents here are single-line token streams, so the passage unit is a
+  deterministic ``window_tokens`` window rather than a newline split; swap
+  the splitter for ``split(text, '\\n')`` on naturally-lined corpora).  A
+  passage that occurs in ``min_docs``+ distinct documents is boilerplate
+  (navigation chrome, cookie banners, syndicated footers); every
+  occurrence is dropped and each document's text is reconstructed from its
+  surviving passages in order.
+
+* **decontaminate** — benchmark n-gram decontamination (the GPT-3 appendix
+  C / Dolma recipe): any corpus document sharing an ``n``-token n-gram
+  with a benchmark/eval document is flagged, with the overlap count, so
+  downstream can drop or audit it.
+
+Scale shape (both): one explode to corpus-token volume, shuffles keyed on
+the passage/n-gram STRING — uniform by construction (hash partitioning on
+high-entropy text keys has no skew; a pathological single-passage corpus
+degrades to one reducer exactly like any groupBy and is exactly the
+boilerplate the operator exists to remove).  ``passage_dedup`` is two
+shuffles (occurrence count on passage, reconstruction on doc id) — the
+same cost C4's original MapReduce paid.  ``decontaminate`` broadcasts the
+benchmark side (eval suites are MBs, corpus is the 100-TB side, which
+streams map-side through the broadcast hash join).  Per-doc state in the
+reconstruction is one document's passage list — bounded by the longest
+document, same bound as extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mizzounewscrawler_spark.functions.text import tokens_expr
+
+
+def passage_windows(text: Column, window: int) -> Column:
+    """Array of consecutive ``window``-token passages (last one may be
+    shorter); empty array for blank text.  Pure JVM — rides the scan."""
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    nwin = ((n + F.lit(window - 1)) / F.lit(window)).cast("int")
+    return F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), nwin - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(toks, i * F.lit(window) + F.lit(1), window), " "
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def explode_passages(
+    df: DataFrame, text_col: str, id_col: str, window: int
+) -> DataFrame:
+    """(id, pos, passage) — one row per token window, pos 0-based."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(passage_windows(F.col(text_col), window)).alias(
+            "pos", "passage"
+        ),
+    )
+
+
+def passage_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Drop every passage that occurs in ≥ ``min_docs`` distinct documents;
+    reconstruct each document from its surviving passages.
+
+    Returns one row per input document: ``(id, n_passages, n_dropped,
+    clean_text)`` — ``clean_text`` is the in-order join of kept passages
+    ('' when everything was boilerplate).  Exact, deterministic, and
+    partitioning-independent: occurrence counts come from a distinct
+    (passage, id) groupBy, reconstruction sorts by the passage position.
+    """
+    p = explode_passages(df, text_col, id_col, window)
+    occ = (
+        p.select("passage", id_col)
+        .distinct()
+        .groupBy("passage")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+    )
+    boiler = occ.where(F.col("_nd") >= min_docs).select(
+        "passage", F.lit(True).alias("_boiler")
+    )
+    flagged = p.join(boiler, "passage", "left")
+    kept_struct = F.when(
+        F.col("_boiler").isNull(), F.struct(F.col("pos"), F.col("passage"))
+    )  # no otherwise → null; collect_list skips nulls
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("_boiler"), 1).otherwise(0)).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["passage"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
+def ngrams_distinct(text: Column, n: int) -> Column:
+    """Distinct ``n``-token shingles of ``text`` (empty when < n tokens)."""
+    toks = tokens_expr(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Flag corpus documents sharing any ``n``-token n-gram with the
+    benchmark set: returns ``(id, n_matched)`` — n_matched = how many
+    distinct corpus-doc n-grams hit the benchmark.  Clean documents are
+    absent (anti-join against this result to keep them).
+
+    The benchmark n-gram set is broadcast (eval suites are small); the
+    corpus side explodes its distinct per-doc n-grams and streams through
+    the broadcast hash join map-side — no corpus shuffle until the final
+    per-doc count, which carries only matching rows.
+    """
+    bench_ng = (
+        benchmark.select(
+            F.explode(ngrams_distinct(F.col(text_col), n)).alias("_g")
+        )
+        .distinct()
+    )
+    corpus_ng = corpus.select(
+        F.col(id_col),
+        F.explode(ngrams_distinct(F.col(text_col), n)).alias("_g"),
+    )
+    return (
+        corpus_ng.join(F.broadcast(bench_ng), "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )

@@ -75,6 +75,39 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 100,
+) -> DataFrame:
+    """Per-group deterministic subsampling — training-mixture weights.
+
+    Keeps each row iff its md5 bucket clears the group's rate: a source
+    with ``rates_pct['forums'] = 25`` contributes ~25% of its rows, chosen
+    by the same pinned md5 hash as :func:`hash_split` (stable under
+    repartitioning/re-runs; a row kept at 25% is still kept at 50% —
+    rates are MONOTONE, so raising a source's weight only adds documents,
+    the property that makes mixture re-weighting reproducible across
+    training runs).  Pure per-row map: no shuffle, free at 100 TB.
+
+    Groups absent from ``rates_pct`` fall back to ``default_pct``.
+    Thresholds use the same integer arithmetic as ``split_thresholds``
+    (``pct * BUCKETS div 100``) so SQL mirrors embed identical literals.
+    """
+    for name, pct in rates_pct.items():
+        if not 0 <= pct <= 100:
+            raise ValueError(f"rate out of [0,100] for {name!r}: {pct}")
+    bucket = split_bucket_expr(F.col(id_col))
+    thr: Column = F.lit(default_pct * BUCKETS // 100)
+    for name, pct in rates_pct.items():
+        thr = F.when(
+            F.col(group_col) == F.lit(name), F.lit(pct * BUCKETS // 100)
+        ).otherwise(thr)
+    return df.where(bucket < thr)
+
+
 def stratified_sample(
     df: DataFrame,
     group_col: str,

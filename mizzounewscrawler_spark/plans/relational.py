@@ -1704,6 +1704,108 @@ SELECT doc_id, source, sample_rank FROM (
 """
 
 
+def q_passage_dedup(spark, sf):
+    """C4/RefinedWeb passage-level dedup: every 10-token passage occurring
+    in ≥2 distinct documents is corpus boilerplate; drop all its
+    occurrences and rebuild each document from the survivors
+    (operators/passages.passage_dedup — two uniform-key shuffles, the
+    MapReduce C4 shape)."""
+    from mizzounewscrawler_spark.operators.passages import passage_dedup
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    return passage_dedup(d, "text", "doc_id", window=10, min_docs=2)
+
+
+SQL_PASSAGE_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents WHERE trim(text) <> ''
+), pass0 AS (
+  SELECT doc_id, tk, unnest(range(0, (len(tk) + 9) // 10)) AS pos FROM toks
+), pass AS (
+  SELECT doc_id, pos,
+         array_to_string(tk[pos*10+1 : pos*10+10], ' ') AS passage
+  FROM pass0
+), occ AS (
+  SELECT passage, count(DISTINCT doc_id) AS nd FROM pass GROUP BY passage
+), flagged AS (
+  SELECT p.doc_id, p.pos, p.passage, (o.nd >= 2) AS boiler
+  FROM pass p JOIN occ o ON p.passage = o.passage
+)
+SELECT doc_id, count(*) AS n_passages,
+       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       coalesce(string_agg(CASE WHEN NOT boiler THEN passage END, ' '
+                           ORDER BY pos), '') AS clean_text
+FROM flagged GROUP BY doc_id
+"""
+
+
+def q_benchmark_decontam(spark, sf):
+    """Benchmark n-gram decontamination (GPT-3 appendix-C / Dolma recipe):
+    flag corpus documents sharing an n-gram with the benchmark slice
+    (deterministic fixture split: doc_id % 19 == 0 is the 'eval suite').
+    n=4 here so the fixture exercises chance collisions as well as true
+    duplicates; production uses 8-13-gram windows
+    (operators/passages.decontaminate — benchmark side broadcast, corpus
+    side streams map-side)."""
+    from mizzounewscrawler_spark.operators.passages import decontaminate
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 19 == 0)
+    corpus = d.where(F.col("doc_id") % 19 != 0)
+    return decontaminate(corpus, bench, "text", "doc_id", n=4)
+
+
+SQL_DECONTAM = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents WHERE trim(text) <> ''
+), ng AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 3),
+                               i -> array_to_string(tk[i:i+3], ' '))) AS gs
+  FROM toks WHERE len(tk) >= 4
+), post AS (SELECT doc_id, unnest(gs) AS g FROM ng),
+bench AS (SELECT DISTINCT g FROM post WHERE doc_id % 19 = 0)
+SELECT p.doc_id, count(*) AS n_matched
+FROM post p JOIN bench b ON p.g = b.g
+WHERE p.doc_id % 19 <> 0
+GROUP BY p.doc_id
+"""
+
+
+def q_mixture_sample(spark, sf):
+    """Training-mixture weights: per-source deterministic subsampling by
+    the pinned md5 bucket (operators/sampling.mixture_sample — monotone in
+    the rate, shuffle-free), summarized per source."""
+    from mizzounewscrawler_spark.operators.sampling import mixture_sample
+
+    d = t(spark, sf, "documents")
+    kept = mixture_sample(
+        d, "source", "doc_id",
+        {"src0": 100, "src1": 75, "src2": 50, "src3": 25},
+        default_pct=60,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+
+
+# thresholds: pct * 65536 div 100, same integer math as the operator
+SQL_MIXTURE = """
+WITH kept AS (
+  SELECT source, n_chars FROM documents
+  WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+        < CASE WHEN source = 'src0' THEN 65536
+               WHEN source = 'src1' THEN 49152
+               WHEN source = 'src2' THEN 32768
+               WHEN source = 'src3' THEN 16384
+               ELSE 39321 END
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM kept GROUP BY source
+"""
+
+
 def q_group_percentiles(spark, sf):
     """Exact per-event-type value percentiles (p50/p95/p99, discrete-lower
     variant) — all-integer rank math in operators/sketches.
@@ -2587,6 +2689,9 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES, "chunking (sequence packing)"),
     QuerySpec("warc_roundtrip", q_warc_roundtrip, SQL_WARC_ROUNDTRIP, "source (WARC ingestion)"),
     QuerySpec("stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE, "sampling (per-group cap)"),
+    QuerySpec("passage_dedup", q_passage_dedup, SQL_PASSAGE_DEDUP, "dedup (C4 passage removal)"),
+    QuerySpec("benchmark_decontam", q_benchmark_decontam, SQL_DECONTAM, "dedup (benchmark decontamination)"),
+    QuerySpec("mixture_sample", q_mixture_sample, SQL_MIXTURE, "sampling (mixture weights)"),
     QuerySpec("group_percentiles", q_group_percentiles, SQL_GROUP_PERCENTILES, "sketch (exact quantiles)"),
     QuerySpec("lang_id_hist", q_lang_id_hist, SQL_LANG_ID, "text ops (lang-ID)"),
     QuerySpec("embedding_neardup_exact", q_embedding_neardup_exact, SQL_EMB_NEARDUP, "dedup (embedding)"),
