@@ -567,6 +567,71 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return w.withColumn("_rn", rn).where(F.col("_rn") == 1).drop("_h", "_rn")
 
 
+def _band_postings_expr(
+    sig: Column, bands: int, rows_per_band: int, hashed_buckets: bool
+) -> Column:
+    """array<struct<band,bucket>> — one LSH posting per band of ``sig``.
+
+    The bucket key is the band's signature slice, xxhash64'd to a uniform
+    8-byte long for production; ``hashed_buckets=False`` keeps the raw
+    comma-joined string so a SQL mirror can recompute the identical key.
+    """
+    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
+
+    def one(b: Column) -> Column:
+        raw = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        key = F.xxhash64(raw) if hashed_buckets else raw
+        return F.struct(b.alias("band"), key.alias("bucket"))
+
+    return F.transform(band_ids, one)
+
+
+def minhash_band_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | None = None,
+    *,
+    sig_col: str | None = None,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    hashed_buckets: bool = True,
+) -> DataFrame:
+    """(id, band, bucket) LSH postings — the persistable near-dup index.
+
+    Written once per corpus snapshot to a lake table (bucket/partition it on
+    the uniform ``bucket`` key), this is what lets each new crawl wave probe
+    "does anything in the 100-TB corpus look like this?" with one equi-join
+    instead of rescanning corpus text: the index holds ``bands`` longs per
+    document (~64 B/doc at the defaults — 10^10 docs ≈ 640 GB of postings,
+    a normal lake table), while the text it replaces is the 100-TB side.
+
+    Pass ``sig_col`` to band precomputed signatures (fixture/SQL-mirror
+    path); otherwise signatures are computed from ``text_col`` in-flight.
+    """
+    if (text_col is None) == (sig_col is None):
+        raise ValueError("exactly one of text_col / sig_col required")
+    sig = (
+        F.col(sig_col)
+        if sig_col is not None
+        else minhash_signature_expr(F.col(text_col), num_hashes, shingle_k)
+    )
+    postings = _band_postings_expr(
+        sig, bands, num_hashes // bands, hashed_buckets
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(postings).alias("bb")
+    ).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -582,30 +647,10 @@ def minhash_lsh_pairs(
     pairs (a < b).  All shuffles are on uniform hash keys; the band join is
     the classic LSH bucket join that avoids the O(n²) cross product.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature_expr(F.col(text_col), num_hashes, shingle_k)
-    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
-    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = with_sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                band_ids,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = minhash_band_postings(
+        df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -616,6 +661,54 @@ def minhash_lsh_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def incremental_neardup(
+    new_batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str | None = None,
+    *,
+    sig_col: str | None = None,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    hashed_buckets: bool = True,
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against an EXISTING corpus index.
+
+    ``index`` is a :func:`minhash_band_postings` table (id, band, bucket)
+    persisted from the already-ingested corpus.  The batch's postings
+    equi-join it on (band, bucket); result is distinct ``(new_id,
+    corpus_id)`` pairs sharing ≥1 LSH band — same candidate semantics as
+    :func:`minhash_lsh_pairs` restricted to cross (batch × corpus) pairs
+    (parity-tested in tests/test_dedup.py).  Batch-internal pairs are NOT
+    emitted; run ``minhash_lsh_pairs`` on the batch for those.
+
+    Scale shape: per-wave cost is O(batch × bands) map work + one shuffle
+    of the wave-sized probe side onto the index's (band, bucket) layout —
+    the corpus text is never rescanned and the index is never rewritten
+    (append the batch's postings after the probe to ingest it).  Probe
+    keys are uniform 8-byte hashes; a mega-bucket (boilerplate band) skews
+    exactly like any hot groupBy key and is handled by AQE skew-join.
+    """
+    probe = minhash_band_postings(
+        new_batch, id_col, text_col, sig_col=sig_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        hashed_buckets=hashed_buckets,
+    )
+    n, c = probe.alias("n"), index.alias("c")
+    return (
+        n.join(
+            c,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id")
+        )
         .distinct()
     )
 

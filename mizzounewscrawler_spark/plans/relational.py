@@ -2364,6 +2364,51 @@ FROM banded a JOIN banded b2
 """
 
 
+def q_incremental_neardup(spark, sf):
+    """Incremental near-dup: a new batch (doc_id % 5 == 0 — 'this wave')
+    probed against the persisted LSH band index of the already-ingested
+    corpus (the rest) — the corpus text is never rescanned.  Spark computes
+    the 16-hash signatures (xxhash64, not in DuckDB) and persists them;
+    banding + the probe equi-join run identically in both engines
+    (hashed_buckets=False keeps bucket keys as recomputable strings).
+    Production path: dedup.minhash_band_postings persisted per snapshot +
+    dedup.incremental_neardup per wave; cross-pair parity with
+    minhash_lsh_pairs pinned in tests/test_dedup.py."""
+    from mizzounewscrawler_spark.functions.text import minhash_signature_expr
+    from mizzounewscrawler_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_band_postings,
+    )
+
+    d = t(spark, sf, "documents").where(F.col("doc_id") < 500)
+    sigs = d.select(
+        "doc_id", minhash_signature_expr(F.col("text"), 16, 3).alias("sig")
+    ).where(~F.array_contains(F.transform("sig", lambda x: x.isNull()), True))
+    path = _write_fixture(sigs.toPandas(), "incr_minhash_sigs")
+    s = spark.read.parquet(path)
+    index = minhash_band_postings(
+        s.where(F.col("doc_id") % 5 != 0), "doc_id", sig_col="sig",
+        num_hashes=16, bands=4, hashed_buckets=False,
+    )
+    return incremental_neardup(
+        s.where(F.col("doc_id") % 5 == 0), index, "doc_id", sig_col="sig",
+        num_hashes=16, bands=4, hashed_buckets=False,
+    )
+
+
+SQL_INCR_NEARDUP = f"""
+WITH sigs AS (SELECT * FROM '{_FIX_DIR}/incr_minhash_sigs.parquet'),
+banded AS (
+  SELECT doc_id, b.band AS band,
+         array_to_string(list_slice(sig, b.band*4+1, b.band*4+4), ',') AS bucket
+  FROM sigs, (SELECT unnest(range(0,4)) AS band) b
+)
+SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+FROM banded n JOIN banded c ON n.band = c.band AND n.bucket = c.bucket
+WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+"""
+
+
 def q_simhash_neardup(spark, sf):
     """SimHash near-dup pairs, small-N SQL mirror: Spark computes the
     64-bit Charikar hashes (xxhash64 token hashing — not in DuckDB) and
@@ -2696,6 +2741,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("lang_id_hist", q_lang_id_hist, SQL_LANG_ID, "text ops (lang-ID)"),
     QuerySpec("embedding_neardup_exact", q_embedding_neardup_exact, SQL_EMB_NEARDUP, "dedup (embedding)"),
     QuerySpec("minhash_lsh_neardup", q_minhash_neardup, SQL_MINHASH, "dedup (LSH)"),
+    QuerySpec("incremental_neardup", q_incremental_neardup, SQL_INCR_NEARDUP, "dedup (incremental index probe)"),
     QuerySpec("simhash_neardup", q_simhash_neardup, SQL_SIMHASH, "dedup (SimHash)"),
     QuerySpec("doc_fingerprints", q_doc_fingerprints, SQL_DOC_FINGERPRINTS, "text ops (fingerprint)"),
     QuerySpec("lsh_ann_topk", q_lsh_ann, SQL_LSH_ANN, "similarity (ANN)"),

@@ -13,6 +13,8 @@ from mizzounewscrawler_spark.operators.dedup import (
     build_bloom,
     exact_dedup,
     filter_unseen,
+    incremental_neardup,
+    minhash_band_postings,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     save_bloom_shards,
@@ -261,3 +263,56 @@ def test_resolve_neardup_clusters_keep_lowest_id(spark):
         0: (0, True), 3: (0, False), 5: (0, False),
         1: (1, True), 2: (1, False), 4: (4, True),
     }
+
+
+def test_incremental_neardup_probes_index_without_corpus_text(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different content about city council budget votes " * 10
+    corpus = spark.createDataFrame([(1, base), (3, far)], ["id", "text"])
+    batch = spark.createDataFrame(
+        [(10, near), (11, "unrelated fresh words nobody wrote before " * 10)],
+        ["id", "text"],
+    )
+    # the index is the ONLY thing the probe sees — no corpus text column
+    index = minhash_band_postings(corpus, "id", "text")
+    assert set(index.columns) == {"id", "band", "bucket"}
+    pairs = {
+        (r["new_id"], r["corpus_id"])
+        for r in incremental_neardup(batch, index, "id", "text").collect()
+    }
+    assert (10, 1) in pairs
+    assert all(new != 11 for new, _ in pairs)
+
+
+def test_incremental_neardup_matches_batch_self_join_cross_pairs(spark):
+    # parity: probing the corpus index with the batch == the cross slice of
+    # minhash_lsh_pairs run over corpus ∪ batch
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta " * 6,
+        "alpha beta gamma delta epsilon zeta eta iota " * 6,
+        "one two three four five six seven eight " * 6,
+        "one two three four five six seven nine " * 6,
+        "totally disjoint vocabulary cluster here now then " * 6,
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    full = spark.createDataFrame(rows, ["id", "text"])
+    corpus = full.where(F.col("id") % 2 == 0)
+    batch = full.where(F.col("id") % 2 == 1)
+    all_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(full, "id", "text").collect()
+    }
+    cross = {
+        (a, b) if a % 2 == 1 else (b, a)
+        for a, b in all_pairs
+        if (a % 2) != (b % 2)
+    }
+    incr = {
+        (r["new_id"], r["corpus_id"])
+        for r in incremental_neardup(
+            batch, minhash_band_postings(corpus, "id", "text"),
+            "id", "text",
+        ).collect()
+    }
+    assert incr == cross
