@@ -39,12 +39,15 @@ from mizzounewscrawler_spark.lake import LakeTable
 from mizzounewscrawler_spark.operators.dedup import (
     _bloom_params,
     add_hashes,
+    band_self_pairs,
     bloom_flag,
     bloom_flag_sharded,
     build_bloom,
     filter_unseen,
     filter_unseen_flagged,
     merge_blooms,
+    minhash_band_postings,
+    probe_band_index,
     save_bloom_shards,
     touched_shards,
 )
@@ -148,6 +151,17 @@ class CrawlConfig:
     # members of this named dataset — requires run_crawl(dataset_sources=…)
     # carrying the (dataset_label, source_id) M:N dim.  None = all sources.
     dataset_label: str | None = None
+    # Content near-dup maintenance riding the crawl (training-data
+    # hygiene): each wave's EXTRACTED articles are MinHash-banded
+    # (dedup.minhash_band_postings, id = url_hash), probed against the
+    # accumulated neardup_postings index for pairs vs ALL prior waves
+    # (the prior waves' text is never rescanned — only their ~64 B/doc
+    # postings), self-joined for intra-wave pairs, and appended to the
+    # index.  Pairs land in the neardup_pairs table (id_a, id_b, wave);
+    # across a whole crawl their union equals minhash_lsh_pairs over the
+    # full articles table (invariant pinned in tests/test_dedup.py).  Off
+    # by default: two extra wave-sized jobs per wave.
+    neardup_minhash: bool = False
     # Cache-fill discipline for the tier-A staging pool: when True, the
     # articles write (the one consumer guaranteed to scan every `results`
     # row) runs ALONE first, filling the extraction cache, and the small
@@ -367,6 +381,8 @@ class CrawlTables:
     host_state: LakeTable
     order_log: LakeTable
     fetch_events: LakeTable
+    neardup_postings: LakeTable
+    neardup_pairs: LakeTable
 
 
 def open_tables(spark: SparkSession, out_dir: str) -> CrawlTables:
@@ -377,6 +393,8 @@ def open_tables(spark: SparkSession, out_dir: str) -> CrawlTables:
         host_state=LakeTable(spark, f"{out_dir}/host_state"),
         order_log=LakeTable(spark, f"{out_dir}/order_log"),
         fetch_events=LakeTable(spark, f"{out_dir}/fetch_events"),
+        neardup_postings=LakeTable(spark, f"{out_dir}/neardup_postings"),
+        neardup_pairs=LakeTable(spark, f"{out_dir}/neardup_pairs"),
     )
 
 
@@ -823,18 +841,61 @@ def run_crawl(
             t.fetch_events.commit_staged(staged_events, "append", {"wave": wave})
         t.host_state.commit_staged(staged_host, "overwrite", {"wave": wave})
 
+        if cfg.neardup_minhash:
+            # content near-dup riding the crawl: band this wave's extracted
+            # articles, pair them against ALL prior waves via the postings
+            # index (never rescanning prior text), then append the wave's
+            # postings.  ORDER MATTERS: pairs must materialize against the
+            # index as-of the previous wave before the postings append.
+            # docs comes from the COMMITTED articles table, not `results`:
+            # the wave pipeline's logical plan is enormous, and stacking
+            # the 32-hash MinHash transform on top of it sends Catalyst
+            # optimization time through the roof — the parquet re-read is
+            # wave-sized and gives the signature jobs a flat scan plan.
+            docs = (
+                t.articles.read()
+                .where(
+                    (F.col("wave") == wave)
+                    & (F.col("status") == "extracted")
+                    & F.col("text").isNotNull()
+                    & (F.length("text") > 0)
+                )
+                .select(F.col("url_hash").alias("id"), "text")
+            )
+            postings = minhash_band_postings(docs, "id", "text").cache()
+            wave_caches.append(postings)
+            pairs = band_self_pairs(postings)
+            if t.neardup_postings.exists():
+                cross = probe_band_index(
+                    postings, t.neardup_postings.read()
+                ).select(
+                    F.col("new_id").alias("id_a"),
+                    F.col("corpus_id").alias("id_b"),
+                )
+                pairs = pairs.unionByName(cross)
+            t.neardup_pairs.append(
+                pairs.withColumn("wave", F.lit(wave)).coalesce(small_n),
+                {"wave": wave},
+            )
+            t.neardup_postings.append(
+                postings.coalesce(small_n), {"wave": wave}
+            )
+
         # append-heavy compaction (VERDICT r3 wrong #2): bin-pack the small
         # half of each table's live versions once the count exceeds the cap
         # — keeps the per-wave url_seen re-read O(cap) dirs, amortized
         # O(wave) I/O (see lake.compact_small); runs BEFORE the url_seen
         # re-read below so the next wave plans over the packed manifest
+        append_heavy = [t.url_seen, t.articles, t.order_log, t.fetch_events]
+        if cfg.neardup_minhash:
+            append_heavy += [t.neardup_postings, t.neardup_pairs]
         if cfg.compact_max_live:
-            for tbl in (t.url_seen, t.articles, t.order_log, t.fetch_events):
+            for tbl in append_heavy:
                 tbl.compact_small(cfg.compact_max_live, {"wave": wave})
         if cfg.expire_keep_snapshots:
             # GC the dead pre-compaction history (driver-local file ops;
             # same amortized trigger as compaction — never the frontier)
-            for tbl in (t.url_seen, t.articles, t.order_log, t.fetch_events):
+            for tbl in append_heavy:
                 tbl.expire_snapshots(cfg.expire_keep_snapshots)
 
         seen = t.url_seen.read()

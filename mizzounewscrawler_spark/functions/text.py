@@ -148,43 +148,95 @@ def lang_id_expr(text: Column) -> Column:
 # --------------------------------------------------------------------------
 
 
+def bind_once(col: Column, build) -> Column:
+    """Evaluate ``col`` ONCE per row and hand the bound value to ``build``.
+
+    Spark's higher-order functions (transform/filter/aggregate) are
+    ``CodegenFallback`` — interpreted eval with no common-subexpression
+    elimination — so a captured subtree inside a lambda is RE-EVALUATED on
+    every lambda invocation.  An expression like
+    ``transform(idx, i -> slice(toks, i, k))`` therefore re-tokenizes the
+    whole document once per shingle: O(n²) per row, and each additional
+    reference (``size(toks)``, one per MinHash permutation, …) multiplies
+    it again.  Wrapping the expensive value in a single-element array and
+    transforming over it binds it to a *lambda variable*, which IS an O(1)
+    read, so every reference inside ``build`` is cheap:
+
+        bind_once(toks, lambda ts: <expr referencing ts many times>)
+    """
+    return F.element_at(F.transform(F.array(col), build), 1)
+
+
 def word_shingles_expr(text: Column, k: int = 3) -> Column:
     """Array of word k-shingles (space-joined).
 
     NB: guarded for n < k — Spark's ``sequence(1, 0)`` is the *descending*
     sequence [1, 0], which would feed ``slice`` an invalid start of 0.
+    The token array is bound once (see :func:`bind_once`); capturing it in
+    the per-index lambda would re-tokenize the document per shingle.
     """
     toks = F.transform(tokens_expr(text), lambda t: F.lower(t))
-    n = F.size(toks)
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
-        F.array().cast("array<int>")
+
+    def _inner(ts: Column) -> Column:
+        n = F.size(ts)
+        idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(idx, lambda i: F.array_join(F.slice(ts, i, k), " "))
+
+    # null text → size()=null → empty idx in the original formulation; keep
+    # the empty-array (never null) contract for explode()/size() consumers
+    return F.coalesce(
+        bind_once(toks, _inner), F.array().cast("array<string>")
     )
-    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+
+
+def shingle_hashes_expr(text: Column, k: int = 3) -> Column:
+    """array<bigint>: xxhash64 of each word k-shingle — the one-pass base
+    array that every MinHash permutation / fingerprint min reuses."""
+    return bind_once(
+        word_shingles_expr(text, k),
+        lambda sh: F.transform(sh, lambda s: F.xxhash64(s)),
+    )
 
 
 def fingerprint_expr(text: Column, k: int = 3) -> Column:
     """Rolling-hash document fingerprint: min xxhash64 over word k-shingles
     (a 1-permutation MinHash; winnowing-style representative)."""
-    sh = word_shingles_expr(text, k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    return F.when(F.size(sh) > 0, F.array_min(hashes)).otherwise(F.lit(None))
+    return bind_once(
+        shingle_hashes_expr(text, k),
+        lambda hs: F.when(F.size(hs) > 0, F.array_min(hs)).otherwise(
+            F.lit(None)
+        ),
+    )
 
 
-def minhash_signature_expr(text: Column, num_hashes: int = 32, k: int = 3) -> Column:
-    """MinHash signature as array<bigint>: for permutation i, min over
-    shingles of xxhash64(shingle, salted by i).  Salting = prefixing the
-    shingle with the permutation index keeps everything JVM-native."""
-    sh = word_shingles_expr(text, k)
-
+def minhash_signature_from_hashes(hashes: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature (array<bigint>) from a bound shingle-hash array:
+    permutation i = min over shingle hashes h of xxhash64(i, h) — a fresh
+    JVM-native 64-bit mix per permutation, no string work.  ``hashes``
+    must be a cheap reference (lambda variable / attribute), not an
+    expensive subtree: it is referenced 2×num_hashes times."""
     def _perm_min(i: int):
         return F.when(
-            F.size(sh) > 0,
+            F.size(hashes) > 0,
             F.array_min(
-                F.transform(sh, lambda s: F.xxhash64(F.concat(F.lit(f"{i}|"), s)))
+                F.transform(hashes, lambda h: F.xxhash64(F.lit(i), h))
             ),
         )
 
     return F.array(*[_perm_min(i) for i in range(num_hashes)])
+
+
+def minhash_signature_expr(text: Column, num_hashes: int = 32, k: int = 3) -> Column:
+    """MinHash signature as array<bigint>: tokenize + shingle + hash the
+    document ONCE, then take per-permutation minima of a cheap re-mix
+    (xxhash64(perm_index, shingle_hash)).  Empty/short docs yield an array
+    of nulls (shape-stable for the banding step)."""
+    return bind_once(
+        shingle_hashes_expr(text, k),
+        lambda hs: minhash_signature_from_hashes(hs, num_hashes),
+    )
 
 
 def simhash_expr(text: Column, bits: int = 64) -> Column:
@@ -192,23 +244,30 @@ def simhash_expr(text: Column, bits: int = 64) -> Column:
 
     Implemented with native higher-order functions: for each bit b, count
     tokens whose hash has bit b set; bit is 1 in the result iff that count
-    exceeds half the token count.  O(bits) expressions, JVM-side.
+    exceeds half the token count.  O(bits) expressions, JVM-side; the
+    token-hash array is bound once (64 per-bit references otherwise each
+    re-tokenize + re-hash the document — see :func:`bind_once`).
     """
     toks = F.transform(tokens_expr(text), lambda t: F.lower(t))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(hashes)
-    def _ones_at(b: int):
-        return F.size(
-            F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
-        )
 
-    acc = F.lit(0).cast("long")
-    for b in range(bits):
-        ones = _ones_at(b)
-        bit_set = (ones * 2) > n
-        bit_val = F.shiftleft(F.lit(1).cast("long"), b)  # b=63 wraps to min-long: correct bit pattern
-        acc = acc.bitwiseOR(F.when(bit_set, bit_val).otherwise(F.lit(0).cast("long")))
-    return F.when(n > 0, acc)
+    def _inner(hs: Column) -> Column:
+        n = F.size(hs)
+
+        def _ones_at(b: int):
+            return F.size(
+                F.filter(hs, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+            )
+
+        acc = F.lit(0).cast("long")
+        for b in range(bits):
+            ones = _ones_at(b)
+            bit_set = (ones * 2) > n
+            bit_val = F.shiftleft(F.lit(1).cast("long"), b)  # b=63 wraps to min-long: correct bit pattern
+            acc = acc.bitwiseOR(F.when(bit_set, bit_val).otherwise(F.lit(0).cast("long")))
+        return F.when(n > 0, acc)
+
+    return bind_once(hashes, _inner)
 
 
 # --------------------------------------------------------------------------

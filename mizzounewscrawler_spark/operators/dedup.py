@@ -651,8 +651,14 @@ def minhash_lsh_pairs(
         df, id_col, text_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    return band_self_pairs(banded)
+
+
+def band_self_pairs(postings: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 (band, bucket) posting —
+    the LSH bucket self-join over a :func:`minhash_band_postings` frame."""
+    a = postings.alias("a")
+    b = postings.alias("b")
     return (
         a.join(
             b,
@@ -661,6 +667,26 @@ def minhash_lsh_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def probe_band_index(probe: DataFrame, index: DataFrame) -> DataFrame:
+    """Distinct (new_id, corpus_id) pairs: probe postings equi-joined
+    against an index postings frame on (band, bucket).  The probe side is
+    batch-sized; the index streams through map-side when the probe
+    broadcasts (the per-wave regime), or AQE shuffles both on the uniform
+    bucket key."""
+    n, c = probe.alias("n"), index.alias("c")
+    return (
+        n.join(
+            c,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id")
+        )
         .distinct()
     )
 
@@ -699,18 +725,7 @@ def incremental_neardup(
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
         hashed_buckets=hashed_buckets,
     )
-    n, c = probe.alias("n"), index.alias("c")
-    return (
-        n.join(
-            c,
-            (F.col("n.band") == F.col("c.band"))
-            & (F.col("n.bucket") == F.col("c.bucket")),
-        )
-        .select(
-            F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id")
-        )
-        .distinct()
-    )
+    return probe_band_index(probe, index)
 
 
 def simhash_neardup_pairs(

@@ -316,3 +316,52 @@ def test_incremental_neardup_matches_batch_self_join_cross_pairs(spark):
         ).collect()
     }
     assert incr == cross
+
+
+def test_crawl_neardup_index_equals_full_self_join(spark, web_spark):
+    """The per-wave incremental maintenance (intra-wave self-pairs +
+    index probe vs prior waves) must reconstruct EXACTLY the pairs a
+    one-shot minhash_lsh_pairs finds over the final articles table."""
+    import tempfile
+
+    from mizzounewscrawler_spark.crawl import (
+        CrawlConfig,
+        open_tables,
+        run_crawl,
+    )
+
+    pages, seeds, robots = web_spark
+    out = tempfile.mkdtemp(prefix="crawl_neardup_")
+    # max_per_host high enough that the 4 waves exhaust the ~400-page web:
+    # the generator's exact-dup articles (k%13==12, distinct URLs) are then
+    # guaranteed extracted together with their body-source, so the corpus
+    # provably contains near-dup pairs for the invariant to bite on.
+    run_crawl(
+        spark, pages, seeds, robots, out,
+        CrawlConfig(max_waves=4, max_per_host=60, neardup_minhash=True),
+    )
+    t = open_tables(spark, out)
+    incremental = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in t.neardup_pairs.read().collect()
+    }
+    docs = (
+        t.articles.read()
+        .where(
+            (F.col("status") == "extracted")
+            & F.col("text").isNotNull()
+            & (F.length("text") > 0)
+        )
+        .select(F.col("url_hash").alias("id"), "text")
+    )
+    full = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in minhash_lsh_pairs(docs, "id", "text").collect()
+    }
+    assert incremental == full
+    assert len(full) > 0, "fixture web should contain near-dup pages"
+    # the postings index covers every extracted article exactly once
+    n_docs = docs.count()
+    idx = t.neardup_postings.read()
+    assert idx.select("id").distinct().count() == n_docs
+    assert idx.count() == n_docs * 8  # 8 bands per doc at the defaults
