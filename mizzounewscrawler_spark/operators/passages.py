@@ -37,21 +37,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mizzounewscrawler_spark.functions.text import tokens_expr
+from mizzounewscrawler_spark.functions.text import bind_once, tokens_expr
 
 
 def passage_windows(text: Column, window: int) -> Column:
     """Array of consecutive ``window``-token passages (last one may be
-    shorter); empty array for blank text.  Pure JVM — rides the scan."""
-    toks = tokens_expr(text)
-    n = F.size(toks)
-    nwin = ((n + F.lit(window - 1)) / F.lit(window)).cast("int")
-    return F.when(n > 0, F.transform(
-        F.sequence(F.lit(0), nwin - F.lit(1)),
-        lambda i: F.array_join(
-            F.slice(toks, i * F.lit(window) + F.lit(1), window), " "
-        ),
-    )).otherwise(F.array().cast("array<string>"))
+    shorter); empty array for blank text.  Pure JVM — rides the scan.
+    The token array is bound once (bind_once): capturing it inside the
+    per-window lambda would re-tokenize the document per window."""
+
+    def _inner(toks: Column) -> Column:
+        n = F.size(toks)
+        nwin = ((n + F.lit(window - 1)) / F.lit(window)).cast("int")
+        return F.when(n > 0, F.transform(
+            F.sequence(F.lit(0), nwin - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(toks, i * F.lit(window) + F.lit(1), window), " "
+            ),
+        )).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(tokens_expr(text), _inner)
 
 
 def explode_passages(
@@ -113,17 +118,21 @@ def passage_dedup(
 
 
 def ngrams_distinct(text: Column, n: int) -> Column:
-    """Distinct ``n``-token shingles of ``text`` (empty when < n tokens)."""
-    toks = tokens_expr(text)
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Distinct ``n``-token shingles of ``text`` (empty when < n tokens).
+    Token array bound once — see :func:`passage_windows`."""
+
+    def _inner(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(tokens_expr(text), _inner)
 
 
 def decontaminate(
