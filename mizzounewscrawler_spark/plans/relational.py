@@ -242,11 +242,11 @@ WHERE s_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 3 = 0)
 
 def q_geo_radius_join(spark, sf):
     """U7 publisher-gazetteer radius join: the GRID-BUCKETED spatial join
-    (operators.geo.build_publisher_gazetteer — cell equi-join + exact
+    (operators.geo.radius_places_join — cell equi-join + exact
     haversine, no cross join) vs DuckDB's brute-force cross-join mirror:
     the oracle checks the optimization preserves exact semantics.
     Deterministic synthetic coordinates derived from customer/nation keys."""
-    from mizzounewscrawler_spark.operators.geo import build_publisher_gazetteer
+    from mizzounewscrawler_spark.operators.geo import radius_places_join
 
     c = t(spark, sf, "customer")
     n = t(spark, sf, "nation")
@@ -262,7 +262,7 @@ def q_geo_radius_join(spark, sf):
         (F.lit(-95.0) + (F.col("n_nationkey") % 7) * 0.5).alias("lon"),
         F.lit(30.0).alias("radius_miles"),
     )
-    gz = build_publisher_gazetteer(pubs, places)
+    gz = radius_places_join(pubs, places)
     return gz.groupBy("publisher").agg(F.count(F.lit(1)).alias("n_places"))
 
 
@@ -2752,4 +2752,23 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("never_attempted_first", q_never_attempted_first, SQL_NEVER_ATTEMPTED, "O2/S1"),
     QuerySpec("extractor_method_stats", q_extractor_method_stats, SQL_METHOD_STATS, "A8"),
     QuerySpec("articles_per_source", q_articles_per_source, SQL_ARTICLES_PER_SOURCE, "A10"),
+]
+
+# U7 geo entries live in plans/geo_catalog.py (fixture-backed, like the
+# MinHash/IVF entries); imported here so the driver contract sees them
+from mizzounewscrawler_spark.plans import geo_catalog as _geo  # noqa: E402
+
+CATALOG += [
+    QuerySpec(
+        "publisher_gazetteer",
+        _geo.q_publisher_gazetteer,
+        _geo._sql_publisher_gazetteer(_FIX_DIR),
+        "U7 (gazetteer build)",
+    ),
+    QuerySpec(
+        "geo_local_wire",
+        _geo.q_geo_local_wire,
+        _geo._sql_geo_local_wire(_FIX_DIR),
+        "U7 (geo signals + local/wire classification)",
+    ),
 ]
