@@ -121,26 +121,38 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 def lang_id_expr(text: Column) -> Column:
     """Pick the language whose marker-word hit count is highest (ties break
-    by fixed language order en,es,fr,de; no hits → 'und')."""
+    by fixed language order en,es,fr,de; no hits → 'und').
+
+    The token array AND the per-language score array are each bound once
+    (see :func:`bind_once`): the argmax when-chain nests every earlier
+    language's score inside the later comparisons, so unbound scores would
+    re-tokenize + re-scan the document a combinatorial number of times in
+    interpreted HOF eval."""
     toks = F.transform(tokens_expr(text), lambda t: F.lower(t))
 
-    def _marker_hits(words: list[str]):
-        # NB: close over the array; a defaulted lambda param would be
-        # (mis)read by PySpark as a second lambda variable
-        arr = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    def _scores(ts: Column) -> Column:
+        def _marker_hits(words: list[str]):
+            # NB: close over the array; a defaulted lambda param would be
+            # (mis)read by PySpark as a second lambda variable
+            arr = F.array(*[F.lit(w) for w in words])
+            return F.size(F.filter(ts, lambda t: F.array_contains(arr, t)))
 
-    scores = [(lang, _marker_hits(words)) for lang, words in LANG_MARKERS.items()]
-    best = F.lit("und")
-    best_score = F.lit(0)
-    # iterate reversed with >= (plus a >0 guard) so EARLIER languages win
-    # ties: a later-processed (earlier-listed) language displaces an equal
-    # score, and zero hits never displace 'und'
-    for lang, sc in reversed(scores):
-        take = (sc >= best_score) & (sc > 0)
-        best = F.when(take, F.lit(lang)).otherwise(best)
-        best_score = F.when(take, sc).otherwise(best_score)
-    return best
+        return F.array(*[_marker_hits(w) for w in LANG_MARKERS.values()])
+
+    def _pick(sc: Column) -> Column:
+        best = F.lit("und")
+        best_score = F.lit(0)
+        # iterate reversed with >= (plus a >0 guard) so EARLIER languages
+        # win ties: a later-processed (earlier-listed) language displaces
+        # an equal score, and zero hits never displace 'und'
+        for i, lang in reversed(list(enumerate(LANG_MARKERS))):
+            s = F.element_at(sc, i + 1)
+            take = (s >= best_score) & (s > 0)
+            best = F.when(take, F.lit(lang)).otherwise(best)
+            best_score = F.when(take, s).otherwise(best_score)
+        return best
+
+    return bind_once(bind_once(toks, _scores), _pick)
 
 
 # --------------------------------------------------------------------------
