@@ -220,3 +220,88 @@ def stream_into_laketable(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_neardup_maintenance(
+    spark: SparkSession,
+    in_dir: str,
+    postings_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    schema: str = "id string, text string",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of the crawl's ``neardup_minhash`` maintenance
+    (crawl.py run_crawl): each micro-batch of documents is MinHash-banded,
+    self-paired for intra-batch near-dups, probed against the accumulated
+    ``neardup_postings`` index for pairs vs ALL prior batches (prior text
+    is never rescanned — only its ~64 B/doc postings), and appended.
+    Across a whole stream the pair union equals a one-shot
+    ``minhash_lsh_pairs`` over every document seen (invariant pinned in
+    tests/test_streaming.py).
+
+    At-least-once → exactly-once the same way as
+    :func:`stream_into_laketable`: each table append is skipped when its
+    latest snapshot already carries this ``batch_id``.  Pairs commit
+    BEFORE postings (matching the wave loop), so a crash between the two
+    appends replays into "skip pairs, append postings" — the probe on the
+    retried batch still sees the index as-of the previous batch because
+    its own postings were never appended.
+    """
+    from mizzounewscrawler_spark.lake import LakeTable
+    from mizzounewscrawler_spark.operators.dedup import (
+        band_self_pairs,
+        minhash_band_postings,
+        probe_band_index,
+    )
+
+    postings_t = LakeTable(spark, postings_path)
+    pairs_t = LakeTable(spark, pairs_path)
+    raw = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = raw.parquet(in_dir)
+
+    def _last(table: "LakeTable") -> int:
+        snap = table.current_snapshot()
+        v = snap.summary.get("batch_id", -1) if snap is not None else -1
+        return v if isinstance(v, int) else -1
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.where(
+            F.col("text").isNotNull() & (F.length("text") > 0)
+        ).select("id", "text")
+        postings = minhash_band_postings(
+            docs, "id", "text",
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        ).cache()
+        try:
+            pairs = band_self_pairs(postings)
+            if postings_t.exists():
+                pairs = pairs.unionByName(
+                    probe_band_index(postings, postings_t.read()).select(
+                        F.col("new_id").alias("id_a"),
+                        F.col("corpus_id").alias("id_b"),
+                    )
+                )
+            if _last(pairs_t) < batch_id:
+                pairs_t.append(
+                    pairs.withColumn("batch_id", F.lit(batch_id)),
+                    {"batch_id": batch_id, "streaming": True},
+                )
+            if _last(postings_t) < batch_id:
+                postings_t.append(
+                    postings, {"batch_id": batch_id, "streaming": True}
+                )
+        finally:
+            postings.unpersist()
+
+    return (
+        raw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -148,3 +148,60 @@ def test_stream_host_politeness_state(spark, tmpdirs):
     assert rows, "third failure must emit an updated state row"
     f2_ts = (base + dt.timedelta(seconds=2)).timestamp()
     assert abs(rows[0]["backoff_until"] - (f2_ts + 1800.0)) < 1e-6
+
+
+def test_stream_neardup_maintenance_equals_batch_self_join(spark, tmpdirs):
+    """Per-batch incremental maintenance (intra-batch self-pairs + index
+    probe) over a multi-file stream must reconstruct EXACTLY the pairs a
+    one-shot minhash_lsh_pairs finds over all documents."""
+    import pyspark.sql.functions as F
+
+    from mizzounewscrawler_spark.operators.dedup import minhash_lsh_pairs
+    from mizzounewscrawler_spark.streaming.waves import (
+        stream_neardup_maintenance,
+    )
+
+    body_a = "the quick brown fox jumps over the lazy dog " * 8
+    body_b = "a completely different document about spark streaming " * 8
+    docs = [
+        ("d0", body_a),
+        ("d1", body_a + "extra tail words here"),   # near-dup of d0
+        ("d2", body_b),
+        ("d3", body_b),                              # exact dup of d2
+        ("d4", "short unrelated text with nothing shared at all " * 6),
+        ("d5", body_a),                              # dup of d0, later file
+    ]
+    in_dir = f"{tmpdirs}/docs"
+    # three drops → with maxFilesPerTrigger=1 each becomes its own
+    # micro-batch, so cross-batch pairs MUST come from the index probe
+    for i in range(3):
+        spark.createDataFrame(
+            docs[2 * i : 2 * i + 2], "id string, text string"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+    q = stream_neardup_maintenance(
+        spark, in_dir,
+        f"{tmpdirs}/postings", f"{tmpdirs}/pairs", f"{tmpdirs}/ckpt",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    pairs_t = LakeTable(spark, f"{tmpdirs}/pairs")
+    got = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in pairs_t.read().collect()
+    }
+    all_docs = spark.createDataFrame(docs, "id string, text string")
+    want = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in minhash_lsh_pairs(all_docs, "id", "text").collect()
+    }
+    assert got == want
+    assert ("d0", "d5") in got  # cross-batch pair → the index probe fired
+    assert len(want) >= 3
+    # postings cover every non-empty doc exactly once, 8 bands each
+    idx = LakeTable(spark, f"{tmpdirs}/postings").read()
+    assert idx.select("id").distinct().count() == len(docs)
+    assert idx.count() == len(docs) * 8
+    # ≥2 micro-batches actually ran (batch ids recorded per append)
+    n_batches = pairs_t.read().select("batch_id").distinct().count()
+    assert n_batches >= 2
