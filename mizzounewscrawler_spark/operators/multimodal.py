@@ -50,17 +50,88 @@ def encode_fake_media(kind: str, width: int, height: int, frames: int, seed: int
     return header + body
 
 
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode raw BGR pixel bytes (row-major, top-down, ``width*height*3``)
+    as a standard 24-bit uncompressed bottom-up BMP — a REAL image format,
+    dependency-free in both directions (see ``DecodeBackend('bmp')``)."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 BGR bytes")
+    row = width * 3
+    pad = (-row) % 4
+    body = b"".join(
+        pixels[y * row : (y + 1) * row] + b"\x00" * pad
+        for y in range(height - 1, -1, -1)  # bottom-up storage
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    return header + info + body
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    """Parse a 24-bit uncompressed BMP: returns ok/kind/width/height/frames
+    plus ``body`` = raw top-down BGR pixel bytes (padding stripped,
+    bottom-up storage flipped)."""
+    bad = {"ok": False, "kind": None, "width": 0, "height": 0, "frames": 0}
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return bad
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return bad
+    top_down = h < 0
+    h_abs = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    if len(payload) < offset + stride * h_abs:
+        return bad
+    rows = [
+        payload[offset + y * stride : offset + y * stride + row]
+        for y in range(h_abs)
+    ]
+    if not top_down:
+        rows.reverse()
+    return {
+        "ok": True, "kind": "bmp", "width": w, "height": h_abs,
+        "frames": 1, "body": b"".join(rows),
+    }
+
+
+def resize_bmp(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """REAL nearest-neighbor resize of a 24-bit BMP payload via numpy —
+    decode → index-map → re-encode, no image library."""
+    import numpy as np
+
+    d = _decode_bmp(payload)
+    if not d["ok"]:
+        raise ValueError("not a decodable 24-bit BMP")
+    w, h = d["width"], d["height"]
+    px = np.frombuffer(d["body"], dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(new_h) * h // new_h).clip(0, h - 1)
+    xs = (np.arange(new_w) * w // new_w).clip(0, w - 1)
+    out = px[ys][:, xs]
+    return encode_bmp(new_w, new_h, out.tobytes())
+
+
 class DecodeBackend:
-    """Codec seam.  ``fake`` parses the fixture header; ``real`` decodes
-    images with PIL when it is installed (import-gated — this container
-    ships no image libs, so the real path raises NotImplementedError here
-    and works unchanged on a cluster image that has Pillow; video/audio
-    stay documented ffmpeg integration points)."""
+    """Codec seam.  ``fake`` parses the fixture header; ``bmp`` is a REAL
+    dependency-free decoder for 24-bit uncompressed BMP (decode + numpy
+    nearest-neighbor resize + re-encode — the whole image path works
+    end-to-end in this container); ``real`` decodes any format with PIL
+    when it is installed (import-gated — this container ships no image
+    libs, so that path raises NotImplementedError here and works unchanged
+    on a cluster image that has Pillow; video/audio stay documented ffmpeg
+    integration points)."""
 
     def __init__(self, mode: str = "fake"):
         self.mode = mode
 
     def decode(self, payload: bytes) -> dict:
+        if self.mode == "bmp":
+            return _decode_bmp(payload)
         if self.mode == "real":
             try:
                 import io
@@ -218,8 +289,10 @@ def sample_frames(
 def resize_images(
     media: DataFrame, max_side: int = 256, backend: DecodeBackend | None = None
 ) -> DataFrame:
-    """Resize plan: computes target dims JVM-free in the UDF; the real
-    backend would re-encode payload bytes (stubbed: passes payload through)."""
+    """Resize: computes target dims in the UDF; with the ``bmp`` backend
+    the payload is REALLY re-encoded (numpy nearest-neighbor) — the fake
+    backend passes payload through, the PIL backend would re-encode with
+    the library."""
     be = backend or DecodeBackend()
     schema = T.StructType(
         [
@@ -235,16 +308,21 @@ def resize_images(
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 d = be.decode(bytes(payload) if payload is not None else None)
-                if not d["ok"] or d["kind"] != "image":
+                if not d["ok"] or d["kind"] not in ("image", "bmp"):
                     continue
                 w, h = d["width"], d["height"]
                 scale = min(1.0, max_side / max(w, h, 1))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                if d["kind"] == "bmp" and (nw, nh) != (w, h):
+                    new_payload = resize_bmp(bytes(payload), nw, nh)
+                else:
+                    new_payload = payload  # fake/PIL seam: pass-through
                 out.append(
                     {
                         "media_id": mid,
-                        "new_width": int(w * scale),
-                        "new_height": int(h * scale),
-                        "payload": payload,  # real backend: re-encoded bytes
+                        "new_width": nw,
+                        "new_height": nh,
+                        "payload": new_payload,
                     }
                 )
             yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
