@@ -1526,6 +1526,67 @@ FROM ws JOIN bs USING (doc_id)
 """
 
 
+def q_ccnet_buckets(spark, sf):
+    """CCNet-style perplexity quality bucketing (Wenzek et al. 2019 §4.4,
+    restated as an exact bigram LM): train add-k bigram counts on the
+    corpus, score every document's perplexity, label head/middle/tail at
+    per-language quantiles.  operators/lm.py; one broadcast LM join + one
+    doc-keyed groupBy + per-language percentile thresholds."""
+    from mizzounewscrawler_spark.operators.lm import (
+        ccnet_buckets,
+        ngram_lm,
+        perplexity,
+    )
+
+    d = t(spark, sf, "documents").where(F.trim(F.col("text")) != "")
+    lm = ngram_lm(d)
+    scored = perplexity(d, lm).join(d.select("doc_id", "lang"), "doc_id")
+    return ccnet_buckets(scored, by="lang").select(
+        "doc_id", "lang", "n_tokens", "ppl", "bucket"
+    )
+
+
+SQL_CCNET = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_transform(regexp_split_to_array(trim(text), '\s+'),
+                        x -> lower(x)) AS tk
+  FROM documents WHERE trim(text) <> ''
+), tr AS (
+  SELECT doc_id, lang,
+         CASE WHEN i = 1 THEN '<s>' ELSE tk[i - 1] END AS prev,
+         tk[i] AS word
+  FROM toks, unnest(generate_series(1, len(tk))) AS u(i)
+), big AS (
+  SELECT prev, word, count(*) AS c_bigram FROM tr GROUP BY 1, 2
+), ctx AS (
+  SELECT prev, count(*) AS c_prev FROM tr GROUP BY 1
+), voc AS (SELECT count(DISTINCT word) AS vocab FROM tr),
+lp AS (
+  SELECT tr.doc_id, tr.lang,
+         log2((coalesce(b.c_bigram, 0) + 0.1)
+              / (coalesce(c.c_prev, 0) + 0.1 * (v.vocab + 1))) AS lp
+  FROM tr
+  LEFT JOIN big b ON tr.prev = b.prev AND tr.word = b.word
+  LEFT JOIN ctx c ON tr.prev = c.prev
+  CROSS JOIN voc v
+), scored AS (
+  SELECT doc_id, lang, count(*) AS n_tokens,
+         round(pow(2.0, -sum(lp) / count(*)), 4) AS ppl
+  FROM lp GROUP BY 1, 2
+), cuts AS (
+  SELECT lang, quantile_cont(ppl, 0.1) AS t_head,
+         quantile_cont(ppl, 0.5) AS t_mid
+  FROM scored GROUP BY 1
+)
+SELECT s.doc_id, s.lang, CAST(s.n_tokens AS BIGINT) AS n_tokens, s.ppl,
+       CASE WHEN s.ppl <= c.t_head THEN 'head'
+            WHEN s.ppl <= c.t_mid THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN cuts c USING (lang)
+"""
+
+
 def q_tfidf_keywords(spark, sf):
     """Top-3 keywords per document by tf/df ranking (tf-idf with a rational
     score instead of ln(N/df) — transcendental-free so Spark and DuckDB
@@ -2724,6 +2785,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("asof_join_latest_order", q_asof_join, SQL_ASOF, "temporal (as-of join)"),
     QuerySpec("range_join_windows", q_range_join, SQL_RANGE_JOIN, "temporal (range join)"),
     QuerySpec("gopher_quality", q_gopher_quality, SQL_GOPHER, "text ops (repetition gates)"),
+    QuerySpec("ccnet_perplexity_buckets", q_ccnet_buckets, SQL_CCNET, "curation (CCNet LM quality buckets)"),
     QuerySpec("tfidf_keywords", q_tfidf_keywords, SQL_TFIDF, "text ops (keyword extraction)"),
     QuerySpec("heavy_hitter_terms", q_heavy_hitters, SQL_HEAVY_HITTERS, "sketch (MG + exact recount)"),
     QuerySpec("pagerank_hosts", q_pagerank_hosts, SQL_PAGERANK, "graph (host authority)"),
