@@ -1,0 +1,289 @@
+"""Command-line surface mirroring the reference CLI.
+
+The reference ships a Click CLI (``/root/reference/src/cli/commands/`` —
+crawl, discovery_status/pipeline_status, verification, gazetteer,
+reports, versioning, telemetry, cleaning/curation, …).  A user switching
+engines keeps the same verbs; each subcommand here is a thin argparse
+wrapper over the corresponding Spark plan — no logic lives in the CLI.
+
+    python -m mizzounewscrawler_spark.cli <command> …
+    # or on a cluster:
+    spark-submit --py-files mnc.zip -m … (same args as jobs/crawl_job.py)
+
+Subcommand → reference command → engine plan:
+
+* ``crawl``       → cli/commands/crawl.py        → ``crawl.run_crawl``
+* ``status``      → discovery_status.py / pipeline_status.py →
+                    lake snapshot summaries + per-status/host counts
+* ``verify-urls`` → verification.py              → ``verify_status_expr``
+* ``gazetteer``   → gazetteer.py                 → ``geo.build_publisher_gazetteer``
+* ``report``      → reports.py / discovery_report.py → ``plans.report.county_report``
+* ``export``      → versioning.py (+ BQ shapes)  → ``plans.export.run_bq_export``
+* ``telemetry``   → telemetry.py                 → ``plans.telemetry`` rollups
+* ``curate``      → cleaning.py / content_cleaning.py → quality gate +
+                    exact dedup + hash split (the corpus_curation plan)
+
+Every command builds/gets the active SparkSession via ``getOrCreate`` so
+it composes with spark-submit AND with an already-running session in
+tests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _spark(app: str) -> SparkSession:
+    return SparkSession.builder.appName(app).getOrCreate()
+
+
+def _cmd_crawl(args) -> int:
+    from mizzounewscrawler_spark.crawl import CrawlConfig, run_crawl
+
+    spark = _spark("mnc-crawl")
+    if args.synthetic:
+        h, p, s = (int(x) for x in args.synthetic.split(":"))
+        from mizzounewscrawler_spark.sources.generator import generate_web_spark
+
+        pages, seeds, robots = generate_web_spark(
+            spark, seed=s, n_hosts=h, target_pages=p
+        )
+        pages = pages.cache()
+    else:
+        if not (args.pages and args.seeds and args.robots):
+            raise SystemExit("--pages/--seeds/--robots required without --synthetic")
+        pages = spark.read.parquet(args.pages)
+        seeds = spark.read.parquet(args.seeds)
+        robots = spark.read.parquet(args.robots)
+    stats = run_crawl(
+        spark, pages, seeds, robots, args.out,
+        CrawlConfig(max_waves=args.waves, max_per_host=args.max_per_host),
+    )
+    print(json.dumps({k: v for k, v in stats.items() if not k.startswith("_")}))
+    return 0
+
+
+def _cmd_status(args) -> int:
+    """discovery_status/pipeline_status: table snapshot summaries plus the
+    A2 per-status and A1 per-host pending counts, one JSON document."""
+    from mizzounewscrawler_spark.crawl import open_tables
+
+    spark = _spark("mnc-status")
+    t = open_tables(spark, args.out)
+    out: dict = {"tables": {}, "status_counts": {}, "top_hosts": []}
+    for name in ("frontier", "url_seen", "articles", "host_state",
+                 "order_log", "fetch_events"):
+        tbl = getattr(t, name)
+        if not tbl.exists():
+            continue
+        snap = tbl.current_snapshot()
+        out["tables"][name] = {
+            "version": snap.version,
+            "summary": dict(snap.summary),
+        }
+    if t.articles.exists():
+        arts = t.articles.read()
+        out["status_counts"] = {
+            r["status"]: r["n"]
+            for r in arts.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        out["top_hosts"] = [
+            [r["host"], r["n"]]
+            for r in arts.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "host")
+            .limit(args.top)
+            .collect()
+        ]
+    print(json.dumps(out, default=str))
+    return 0
+
+
+def _cmd_verify_urls(args) -> int:
+    from mizzounewscrawler_spark.operators.verification import verify_status_expr
+
+    spark = _spark("mnc-verify")
+    df = spark.read.parquet(args.input)
+    out = df.select(
+        "*", verify_status_expr(F.col(args.column)).alias("verify_status")
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    counts = {
+        r["verify_status"]: r["n"]
+        for r in out.groupBy("verify_status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(json.dumps(counts))
+    return 0
+
+
+def _cmd_gazetteer(args) -> int:
+    from mizzounewscrawler_spark.operators.geo import build_publisher_gazetteer
+
+    spark = _spark("mnc-gazetteer")
+    gaz = build_publisher_gazetteer(
+        spark.read.parquet(args.publishers), spark.read.parquet(args.places)
+    )
+    gaz.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"entries": gaz.count()}))
+    return 0
+
+
+def _cmd_report(args) -> int:
+    from mizzounewscrawler_spark.crawl import open_tables
+    from mizzounewscrawler_spark.plans.report import county_report
+
+    spark = _spark("mnc-report")
+    t = open_tables(spark, args.out)
+    sources = spark.read.parquet(args.sources)
+    rep = county_report(t.articles.read(), sources, county=args.county)
+    (rep.coalesce(1).write.mode("overwrite")
+        .option("header", True).csv(args.csv))
+    print(json.dumps({"rows": rep.count()}))
+    return 0
+
+
+def _cmd_export(args) -> int:
+    from mizzounewscrawler_spark.crawl import open_tables
+    from mizzounewscrawler_spark.plans.export import run_bq_export
+
+    spark = _spark("mnc-export")
+    t = open_tables(spark, args.out)
+    manifests = run_bq_export(spark, args.dest, t.articles.read())
+    print(json.dumps(
+        {k: {"rows": v.get("rows"), "files": len(v.get("files", []))}
+         for k, v in manifests.items()},
+        default=str,
+    ))
+    return 0
+
+
+def _cmd_telemetry(args) -> int:
+    from mizzounewscrawler_spark.crawl import open_tables
+    from mizzounewscrawler_spark.plans.telemetry import (
+        host_error_summary,
+        method_effectiveness,
+    )
+
+    spark = _spark("mnc-telemetry")
+    t = open_tables(spark, args.out)
+    arts = t.articles.read()
+    out = {
+        "host_errors": [
+            r.asDict()
+            for r in host_error_summary(arts)
+            .orderBy(F.desc("n"), "host", "error_class")
+            .limit(args.top)
+            .collect()
+        ],
+        "method_effectiveness": [
+            r.asDict()
+            for r in method_effectiveness(arts).limit(args.top).collect()
+        ],
+    }
+    print(json.dumps(out, default=str))
+    return 0
+
+
+def _cmd_curate(args) -> int:
+    """The corpus_curation plan over an arbitrary documents parquet:
+    lang filter → quality gate → exact dedup keep-first → hash split."""
+    from pyspark.sql import Window
+
+    from mizzounewscrawler_spark.functions.text import quality_score_expr
+    from mizzounewscrawler_spark.operators.sampling import hash_split
+
+    spark = _spark("mnc-curate")
+    d = spark.read.parquet(args.input)
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(args.id_column)
+    kept = (
+        d.where((F.col("lang") == args.lang) & (F.trim(F.col("text")) != ""))
+        .withColumn("quality", quality_score_expr(F.col("text")))
+        .where(F.col("quality") >= args.min_quality)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    split = hash_split(kept, args.id_column, {"train": 80, "val": 10, "test": 10})
+    split.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    stats = {
+        r["split"]: r["n"]
+        for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(json.dumps(stats))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mnc-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run the wave crawl (cli/commands/crawl.py)")
+    c.add_argument("--out", required=True)
+    c.add_argument("--pages"), c.add_argument("--seeds"), c.add_argument("--robots")
+    c.add_argument("--synthetic", help="H:P:SEED fixture web instead of tables")
+    c.add_argument("--waves", type=int, default=10)
+    c.add_argument("--max-per-host", type=int, default=3, dest="max_per_host")
+    c.set_defaults(fn=_cmd_crawl)
+
+    s = sub.add_parser("status", help="lake + pipeline status (discovery_status.py)")
+    s.add_argument("--out", required=True)
+    s.add_argument("--top", type=int, default=10)
+    s.set_defaults(fn=_cmd_status)
+
+    v = sub.add_parser("verify-urls", help="F3 verification chain (verification.py)")
+    v.add_argument("--input", required=True)
+    v.add_argument("--output", required=True)
+    v.add_argument("--column", default="url")
+    v.set_defaults(fn=_cmd_verify_urls)
+
+    g = sub.add_parser("gazetteer", help="U7 gazetteer build (gazetteer.py)")
+    g.add_argument("--publishers", required=True)
+    g.add_argument("--places", required=True)
+    g.add_argument("--output", required=True)
+    g.set_defaults(fn=_cmd_gazetteer)
+
+    r = sub.add_parser("report", help="county report CSV (reports.py)")
+    r.add_argument("--out", required=True)
+    r.add_argument("--sources", required=True)
+    r.add_argument("--csv", required=True)
+    r.add_argument("--county")
+    r.set_defaults(fn=_cmd_report)
+
+    e = sub.add_parser("export", help="BQ-shaped checksum export (versioning.py)")
+    e.add_argument("--out", required=True)
+    e.add_argument("--dest", required=True)
+    e.set_defaults(fn=_cmd_export)
+
+    tl = sub.add_parser("telemetry", help="A9 rollups (telemetry.py)")
+    tl.add_argument("--out", required=True)
+    tl.add_argument("--top", type=int, default=24)
+    tl.set_defaults(fn=_cmd_telemetry)
+
+    q = sub.add_parser("curate", help="quality gate + dedup + split (cleaning.py)")
+    q.add_argument("--input", required=True)
+    q.add_argument("--output", required=True)
+    q.add_argument("--lang", default="en")
+    q.add_argument("--min-quality", type=float, default=0.15, dest="min_quality")
+    q.add_argument("--id-column", default="doc_id", dest="id_column")
+    q.set_defaults(fn=_cmd_curate)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(
+        argv if argv is not None else sys.argv[1:]
+    )
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

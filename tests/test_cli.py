@@ -1,0 +1,120 @@
+"""CLI surface (mizzounewscrawler_spark/cli.py) — every subcommand runs
+end-to-end against a tiny crawl lake (reference CLI parity:
+/root/reference/src/cli/commands/)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+import pytest
+
+from mizzounewscrawler_spark import cli
+
+
+@pytest.fixture(scope="module")
+def lake(spark):
+    out = tempfile.mkdtemp(prefix="cli_lake_")
+    rc = cli.main(
+        ["crawl", "--out", f"{out}/crawl", "--synthetic", "4:120:7",
+         "--waves", "2", "--max-per-host", "30"]
+    )
+    assert rc == 0
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_cli_status(lake, capsys):
+    assert cli.main(["status", "--out", f"{lake}/crawl"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "articles" in out["tables"]
+    assert sum(out["status_counts"].values()) > 0
+    assert out["top_hosts"]
+
+
+def test_cli_verify_urls(lake, spark, capsys):
+    urls = spark.createDataFrame(
+        [("https://h0.example/news/2024/story.html",),
+         ("https://bit.ly/x",),
+         ("https://h0.example/tag/sports",)],
+        "url string",
+    )
+    urls.write.mode("overwrite").parquet(f"{lake}/urls")
+    rc = cli.main(
+        ["verify-urls", "--input", f"{lake}/urls", "--output", f"{lake}/verified"]
+    )
+    assert rc == 0
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(counts.values()) == 3
+    got = spark.read.parquet(f"{lake}/verified")
+    assert "verify_status" in got.columns
+
+
+def test_cli_gazetteer(lake, spark, capsys):
+    spark.createDataFrame(
+        [("h1", "The Post", "Carthage", "Jasper", "MO", "64836",
+          "print", "Weekly", 37.17, -94.31)],
+        "host string, name string, city string, county string, state string,"
+        " zip string, media_type string, frequency string, lat double,"
+        " lon double",
+    ).write.mode("overwrite").parquet(f"{lake}/pubs")
+    spark.createDataFrame(
+        [("Carthage High School", "schools", 37.16, -94.30)],
+        "place string, category string, lat double, lon double",
+    ).write.mode("overwrite").parquet(f"{lake}/places")
+    rc = cli.main(
+        ["gazetteer", "--publishers", f"{lake}/pubs", "--places",
+         f"{lake}/places", "--output", f"{lake}/gaz"]
+    )
+    assert rc == 0
+    n = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["entries"]
+    assert n >= 4  # city, county, county+' county', school, compact alias
+    gaz = {r["place"] for r in spark.read.parquet(f"{lake}/gaz").collect()}
+    assert "carthage high school" in gaz
+
+
+def test_cli_report(lake, spark, capsys):
+    from mizzounewscrawler_spark.crawl import open_tables
+
+    t = open_tables(spark, f"{lake}/crawl")
+    hosts = [r["host"] for r in t.articles.read().select("host").distinct().collect()]
+    spark.createDataFrame(
+        [(h, f"src {h}", "Springfield", "Greene") for h in hosts],
+        "host string, name string, city string, county string",
+    ).write.mode("overwrite").parquet(f"{lake}/sources")
+    rc = cli.main(
+        ["report", "--out", f"{lake}/crawl", "--sources", f"{lake}/sources",
+         "--csv", f"{lake}/report_csv"]
+    )
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"]
+    assert rows > 0
+    got = spark.read.option("header", True).csv(f"{lake}/report_csv")
+    assert "county" in got.columns and got.count() == rows
+
+
+def test_cli_export_and_telemetry_and_curate(lake, spark, capsys):
+    assert cli.main(["export", "--out", f"{lake}/crawl",
+                     "--dest", f"{lake}/bq"]) == 0
+    manifests = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "articles" in manifests and manifests["articles"]["files"] >= 1
+
+    assert cli.main(["telemetry", "--out", f"{lake}/crawl"]) == 0
+    tel = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert tel["host_errors"]
+
+    docs = spark.createDataFrame(
+        [(i, "the and of to in is was for with that " * 20, "en")
+         for i in range(30)]
+        + [(99, "", "en"), (98, "dup text", "fr")],
+        "doc_id int, text string, lang string",
+    )
+    docs.write.mode("overwrite").parquet(f"{lake}/docs")
+    rc = cli.main(["curate", "--input", f"{lake}/docs",
+                   "--output", f"{lake}/curated"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 30 identical docs dedup to one surviving row in some split
+    assert sum(stats.values()) == 1
+    assert spark.read.parquet(f"{lake}/curated").count() == 1
