@@ -222,6 +222,111 @@ def _cmd_curate(args) -> int:
     return 0
 
 
+def _cmd_load_sources(args) -> int:
+    """Reference load_sources.py: validate the publinks CSV (required
+    columns; duplicate url_news; duplicate normalized hosts) and write the
+    normalized sources table.  Validation failures exit 1 with the
+    reference's remove-duplicates-before-retrying message shape."""
+    from mizzounewscrawler_spark.functions.urls import host_expr
+
+    spark = _spark("mnc-load-sources")
+    df = spark.read.option("header", True).csv(args.input)
+    required = ["host_id", "name", "city", "county", "url_news"]
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        print(json.dumps({"error": f"missing required columns: {missing}"}))
+        return 1
+    df = df.withColumn("_host_norm", host_expr(F.col("url_news")))
+    errors = []
+    for col, label in (("url_news", "url_news"), ("_host_norm", "host")):
+        dupes = [
+            r[col]
+            for r in df.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .collect()
+        ]
+        if dupes:
+            errors.append(
+                f"Duplicate {label} entries detected: {sorted(dupes)}. "
+                "Remove duplicates before retrying."
+            )
+    if errors:
+        print(json.dumps({"error": errors}))
+        return 1
+    out = df.select(
+        F.col("_host_norm").alias("host"),
+        "name", "city", "county",
+        F.col("url_news").alias("url"),
+        F.coalesce(F.col("media_type"), F.lit("unknown")).alias("media_type")
+        if "media_type" in df.columns else F.lit("unknown").alias("media_type"),
+        F.coalesce(F.col("frequency"), F.lit("unknown")).alias("frequency")
+        if "frequency" in df.columns else F.lit("unknown").alias("frequency"),
+        F.lit("pending").alias("status"),
+        F.lit(1).alias("priority"),
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"sources": out.count()}))
+    return 0
+
+
+def _cmd_housekeeping(args) -> int:
+    """Reference housekeeping.py restated for the lake: bin-pack small
+    snapshot versions, GC expired history, and report stuck records
+    (articles whose extraction produced no text)."""
+    from mizzounewscrawler_spark.crawl import open_tables
+
+    spark = _spark("mnc-housekeeping")
+    t = open_tables(spark, args.out)
+    report: dict = {"compacted": {}, "null_text_articles": 0}
+    for name in ("url_seen", "articles", "order_log", "fetch_events",
+                 "neardup_postings", "neardup_pairs"):
+        tbl = getattr(t, name)
+        if not tbl.exists():
+            continue
+        before = len(tbl.current_snapshot().live_versions)
+        tbl.compact_small(args.max_live, {"housekeeping": True})
+        if args.keep_snapshots:
+            tbl.expire_snapshots(args.keep_snapshots)
+        report["compacted"][name] = {
+            "live_versions_before": before,
+            "live_versions_after": len(tbl.current_snapshot().live_versions),
+        }
+    if t.articles.exists():
+        report["null_text_articles"] = (
+            t.articles.read()
+            .where(
+                (F.col("status") == "extracted")
+                & (F.col("text").isNull() | (F.length("text") == 0))
+            )
+            .count()
+        )
+    print(json.dumps(report))
+    return 0
+
+
+def _cmd_near_dup(args) -> int:
+    """Near-duplicate sweep over a documents parquet: MinHash-LSH candidate
+    pairs → connected-components clusters → keep-lowest-id verdicts."""
+    from mizzounewscrawler_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        resolve_neardup_clusters,
+    )
+
+    spark = _spark("mnc-near-dup")
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.id_column).alias("id"), F.col(args.text_column).alias("text")
+    )
+    pairs = minhash_lsh_pairs(docs, "id", "text")
+    verdicts = resolve_neardup_clusters(
+        docs.select("id"), pairs, "id"
+    ).withColumnRenamed("id", args.id_column)
+    verdicts.write.mode("overwrite").parquet(args.output)
+    n_dropped = verdicts.where(~F.col("is_kept")).count()
+    print(json.dumps({"docs": docs.count(), "dropped": n_dropped}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mnc-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -275,6 +380,32 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--min-quality", type=float, default=0.15, dest="min_quality")
     q.add_argument("--id-column", default="doc_id", dest="id_column")
     q.set_defaults(fn=_cmd_curate)
+
+    ls = sub.add_parser(
+        "load-sources", help="validate + normalize publinks CSV (load_sources.py)"
+    )
+    ls.add_argument("--input", required=True)
+    ls.add_argument("--output", required=True)
+    ls.set_defaults(fn=_cmd_load_sources)
+
+    hk = sub.add_parser(
+        "housekeeping", help="compaction + GC + stuck-record report (housekeeping.py)"
+    )
+    hk.add_argument("--out", required=True)
+    hk.add_argument("--max-live", type=int, default=8, dest="max_live")
+    hk.add_argument(
+        "--keep-snapshots", type=int, default=4, dest="keep_snapshots"
+    )
+    hk.set_defaults(fn=_cmd_housekeeping)
+
+    nd = sub.add_parser(
+        "near-dup", help="MinHash-LSH near-dup sweep + cluster verdicts"
+    )
+    nd.add_argument("--input", required=True)
+    nd.add_argument("--output", required=True)
+    nd.add_argument("--id-column", default="doc_id", dest="id_column")
+    nd.add_argument("--text-column", default="text", dest="text_column")
+    nd.set_defaults(fn=_cmd_near_dup)
     return p
 
 

@@ -118,3 +118,61 @@ def test_cli_export_and_telemetry_and_curate(lake, spark, capsys):
     # 30 identical docs dedup to one surviving row in some split
     assert sum(stats.values()) == 1
     assert spark.read.parquet(f"{lake}/curated").count() == 1
+
+
+def test_cli_load_sources_validation_and_normalize(lake, spark, capsys):
+    import csv
+    import os
+
+    path = f"{lake}/publinks.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["host_id", "name", "city", "county", "url_news",
+                    "media_type", "frequency"])
+        w.writerow(["1", "A Post", "Carthage", "Jasper",
+                    "https://www.a-post.example/news", "print", "Weekly"])
+        w.writerow(["2", "B Daily", "Nixa", "Christian",
+                    "https://b-daily.example/", "print", "Daily"])
+    rc = cli.main(["load-sources", "--input", path,
+                   "--output", f"{lake}/sources_norm"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["sources"] == 2
+    rows = {r["host"]: r for r in
+            spark.read.parquet(f"{lake}/sources_norm").collect()}
+    assert "a-post.example" in rows  # www. stripped by host normalization
+    assert rows["a-post.example"]["status"] == "pending"
+
+    # duplicate host (same domain, different URL) → reject, exit 1
+    with open(path, "a", newline="") as f:
+        csv.writer(f).writerow(
+            ["3", "A Post Again", "X", "Y",
+             "https://a-post.example/other", "print", "Weekly"])
+    rc = cli.main(["load-sources", "--input", path,
+                   "--output", f"{lake}/sources_norm2"])
+    assert rc == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "Duplicate host" in err["error"][0]
+    assert not os.path.exists(f"{lake}/sources_norm2")
+
+
+def test_cli_housekeeping_and_near_dup(lake, spark, capsys):
+    assert cli.main(["housekeeping", "--out", f"{lake}/crawl",
+                     "--max-live", "2"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "articles" in rep["compacted"]
+    after = rep["compacted"]["articles"]["live_versions_after"]
+    assert after <= max(2, rep["compacted"]["articles"]["live_versions_before"])
+
+    body = "the quick brown fox jumps over the lazy dog " * 8
+    spark.createDataFrame(
+        [(1, body), (2, body + "tail"), (3, "completely different words " * 9)],
+        "doc_id int, text string",
+    ).write.mode("overwrite").parquet(f"{lake}/nd_docs")
+    assert cli.main(["near-dup", "--input", f"{lake}/nd_docs",
+                     "--output", f"{lake}/nd_out"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res == {"docs": 3, "dropped": 1}
+    kept = {r["doc_id"]: r["is_kept"]
+            for r in spark.read.parquet(f"{lake}/nd_out").collect()}
+    assert kept == {1: True, 2: False, 3: True}
