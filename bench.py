@@ -227,15 +227,22 @@ def bench_crawl(spark, n_hosts: int, pages: int, waves: int) -> dict:
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Min-over-reps per query — the same host-weather protocol as the
+    crawl reps (shared microVM, ~2.5x run-to-run CPU-steal variance; a
+    single shot conflates engine speed with whoever else is on the box).
+    Reps interleave across queries so one noisy window can't bias one
+    query's whole sample."""
     specs = {s.name: s for s in CATALOG}
-    out = {}
-    for name in HEADLINE:
-        fn = specs[name].spark_fn
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
-    return out
+    reps = int(os.environ.get("BENCH_QUERY_REPS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            fn = specs[name].spark_fn
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
+    return {name: round(min(ts), 3) for name, ts in samples.items()}
 
 
 def main() -> None:
