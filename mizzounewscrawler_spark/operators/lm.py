@@ -80,9 +80,15 @@ def perplexity(
     (nothing to score).  The +1 in V+1 reserves unk mass."""
     tr = _transitions(docs.select(id_col, text_col), [id_col], text_col)
     vocab = lm.select(F.max("vocab").alias("vocab"))
+    # bigram and context counts join SEPARATELY: a transition with a seen
+    # context but unseen bigram must still smooth against c(prev) — a
+    # single join on (prev, word) would zero the denominator for exactly
+    # the out-of-domain transitions importance weighting cares about
+    big = lm.select("prev", "word", "c_bigram")
+    ctx = lm.select("prev", "c_prev").dropDuplicates(["prev"])
     scored = (
-        tr.join(F.broadcast(lm.select("prev", "word", "c_bigram", "c_prev")),
-                ["prev", "word"], "left")
+        tr.join(F.broadcast(big), ["prev", "word"], "left")
+        .join(F.broadcast(ctx), ["prev"], "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             id_col,
@@ -131,4 +137,69 @@ def ccnet_buckets(
         .when(F.col("ppl") <= F.col("_t_mid"), "middle")
         .otherwise("tail")
         .alias("bucket"),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    lm_target: DataFrame,
+    lm_raw: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.1,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per doc, the average
+    log-likelihood ratio between a TARGET-domain LM and a RAW-pool LM.
+    With the bigram models here that ratio is exactly
+    ``log₂ ppl_raw − log₂ ppl_target`` (both perplexities are
+    2^(−mean log₂ P)), so one :func:`perplexity` pass per model suffices.
+    Returns (id_col, n_tokens, log_ratio); higher = more target-like."""
+    tgt = perplexity(docs, lm_target, id_col, text_col, k).select(
+        id_col, "n_tokens", F.col("ppl").alias("_ppl_t")
+    )
+    raw = perplexity(docs, lm_raw, id_col, text_col, k).select(
+        id_col, F.col("ppl").alias("_ppl_r")
+    )
+    return tgt.join(raw, id_col).select(
+        id_col,
+        "n_tokens",
+        F.round(F.log2("_ppl_r") - F.log2("_ppl_t"), 6).alias("log_ratio"),
+    )
+
+
+def dsir_resample(
+    weights: DataFrame,
+    keep_frac: float = 0.25,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Gumbel-top-k importance resampling, deterministic: sampling without
+    replacement ∝ exp(w) is exactly "add Gumbel noise to w, take the top
+    k" (Gumbel-top-k trick), and the Gumbel draw here derives from an
+    md5-hash uniform keyed by (seed, id) — reproducible on any cluster,
+    any partitioning, and mirrorable in SQL.  Selection is by an exact
+    score quantile (no global sort): kept ⇔ score > percentile(score,
+    1−keep_frac), so ~keep_frac of rows survive (ties at the cut are
+    excluded deterministically).  Returns the input plus ``score`` and
+    ``kept``."""
+    # 48-bit hash uniform in (0,1): (int(md5[:12],16) + 0.5) / 2^48
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col))), 1, 12),
+            16, 10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 48))
+    gumbel = -F.log(-F.log(u))
+    # natural-log weight: log_ratio is base-2
+    score = F.round(
+        F.col("log_ratio") * F.lit(float(__import__("math").log(2))) + gumbel, 6
+    )
+    w = weights.withColumn("score", score)
+    cut = w.agg(
+        F.percentile("score", F.lit(1.0 - keep_frac)).alias("_cut")
+    )
+    return w.crossJoin(F.broadcast(cut)).select(
+        *weights.columns, "score", (F.col("score") > F.col("_cut")).alias("kept")
     )

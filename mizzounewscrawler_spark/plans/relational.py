@@ -1587,6 +1587,82 @@ FROM scored s JOIN cuts c USING (lang)
 """
 
 
+def q_dsir_resample(spark, sf):
+    """DSIR importance resampling (Xie et al. 2023): target LM = the
+    corpus's English slice, raw LM = the whole corpus; per-doc importance
+    weight = mean log-likelihood ratio; deterministic Gumbel-top-k keeps
+    ~25% (operators/lm.py).  Everything — both LM trainings, the ratio,
+    the hash-uniform Gumbel draw, the quantile cut — is mirrored in
+    DuckDB."""
+    from mizzounewscrawler_spark.operators.lm import (
+        dsir_resample,
+        dsir_weights,
+        ngram_lm,
+    )
+
+    d = t(spark, sf, "documents").where(F.trim(F.col("text")) != "")
+    w = dsir_weights(d, ngram_lm(d.where(F.col("lang") == "en")), ngram_lm(d))
+    return dsir_resample(w, keep_frac=0.25)
+
+
+def _sql_lm_lp(doc_filter: str, prefix: str) -> str:
+    """CTE block computing per-(doc, transition) log2-probs under the LM
+    trained on ``doc_filter`` docs — shared by the DSIR mirror."""
+    return f"""{prefix}big AS (
+  SELECT prev, word, count(*) AS c FROM tr WHERE {doc_filter} GROUP BY 1, 2
+), {prefix}ctx AS (
+  SELECT prev, count(*) AS c FROM tr WHERE {doc_filter} GROUP BY 1
+), {prefix}voc AS (
+  SELECT count(DISTINCT word) AS v FROM tr WHERE {doc_filter}
+), {prefix}lp AS (
+  SELECT tr.doc_id,
+         log2((coalesce(b.c, 0) + 0.1)
+              / (coalesce(c.c, 0) + 0.1 * (v.v + 1))) AS lp
+  FROM tr
+  LEFT JOIN {prefix}big b ON tr.prev = b.prev AND tr.word = b.word
+  LEFT JOIN {prefix}ctx c ON tr.prev = c.prev
+  CROSS JOIN {prefix}voc v
+), {prefix}ppl AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(pow(2.0, -sum(lp) / count(*)), 4) AS ppl
+  FROM {prefix}lp GROUP BY 1
+)"""
+
+
+SQL_DSIR = (
+    r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_transform(regexp_split_to_array(trim(text), '\s+'),
+                        x -> lower(x)) AS tk
+  FROM documents WHERE trim(text) <> ''
+), tr AS (
+  SELECT t.doc_id, t.lang,
+         CASE WHEN i = 1 THEN '<s>' ELSE tk[i - 1] END AS prev,
+         tk[i] AS word
+  FROM toks t, unnest(generate_series(1, len(tk))) AS u(i)
+), """
+    + _sql_lm_lp("lang = 'en'", "t_")
+    + ", "
+    + _sql_lm_lp("true", "r_")
+    + r""",
+w AS (
+  SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+         round(log2(r.ppl) - log2(t.ppl), 6) AS log_ratio
+  FROM t_ppl t JOIN r_ppl r USING (doc_id)
+), scored AS (
+  SELECT *,
+    round(log_ratio * ln(2)
+          - ln(-ln((CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) + 0.5) / 281474976710656.0)), 6) AS score
+  FROM w
+), cut AS (SELECT quantile_cont(score, 0.75) AS c FROM scored)
+SELECT s.doc_id, s.n_tokens, s.log_ratio, s.score, s.score > cut.c AS kept
+FROM scored s CROSS JOIN cut
+"""
+)
+
+
 def q_tfidf_keywords(spark, sf):
     """Top-3 keywords per document by tf/df ranking (tf-idf with a rational
     score instead of ln(N/df) — transcendental-free so Spark and DuckDB
@@ -2786,6 +2862,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("range_join_windows", q_range_join, SQL_RANGE_JOIN, "temporal (range join)"),
     QuerySpec("gopher_quality", q_gopher_quality, SQL_GOPHER, "text ops (repetition gates)"),
     QuerySpec("ccnet_perplexity_buckets", q_ccnet_buckets, SQL_CCNET, "curation (CCNet LM quality buckets)"),
+    QuerySpec("dsir_resample", q_dsir_resample, SQL_DSIR, "curation (DSIR importance resampling)"),
     QuerySpec("tfidf_keywords", q_tfidf_keywords, SQL_TFIDF, "text ops (keyword extraction)"),
     QuerySpec("heavy_hitter_terms", q_heavy_hitters, SQL_HEAVY_HITTERS, "sketch (MG + exact recount)"),
     QuerySpec("pagerank_hosts", q_pagerank_hosts, SQL_PAGERANK, "graph (host authority)"),

@@ -84,3 +84,55 @@ def test_lm_scoring_plan_shape(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_perplexity_smooths_with_seen_context_unseen_bigram(spark):
+    """A transition with a seen CONTEXT but unseen bigram must include
+    c(prev) in the smoothing denominator — i.e. be LESS probable than the
+    same-context seen bigram, and less probable than under a fresh
+    context."""
+    corpus = spark.createDataFrame([("a b a b a b",)], "text string")
+    lm = ngram_lm(corpus)
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a z")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r["ppl"] for r in perplexity(docs, lm).collect()}
+    # doc 2's (a, z) has c(a b)=0 but c(a)=3: P = k/(3 + k(V+1)) — with a
+    # bugged (prev,word)-only join the denominator would be k(V+1) and
+    # P would be uniform 1/(V+1), UNDER-penalizing the unseen bigram
+    import math
+    k, V = 0.1, 2
+    # transitions of corpus: (<s>,a) c=1, (a,b) c=3, (b,a) c=2
+    p_s_a = (1 + k) / (1 + k * (V + 1))
+    p_a_b = (3 + k) / (3 + k * (V + 1))
+    p_a_z = (0 + k) / (3 + k * (V + 1))
+    want1 = 2 ** (-(math.log2(p_s_a) + math.log2(p_a_b)) / 2)
+    want2 = 2 ** (-(math.log2(p_s_a) + math.log2(p_a_z)) / 2)
+    assert out[1] == pytest.approx(round(want1, 4))
+    assert out[2] == pytest.approx(round(want2, 4))
+
+
+def test_dsir_weights_and_deterministic_resample(spark):
+    from mizzounewscrawler_spark.operators.lm import dsir_resample, dsir_weights
+
+    target = spark.createDataFrame(
+        [("clean prose about science " * 5,)] * 3, "text string"
+    )
+    raw = spark.createDataFrame(
+        [("clean prose about science " * 5,), ("spam spam buy now " * 5,)],
+        "text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "clean prose about science " * 5), (2, "spam spam buy now " * 5)],
+        "doc_id int, text string",
+    )
+    w = dsir_weights(docs, ngram_lm(target), ngram_lm(raw))
+    ratios = {r["doc_id"]: r["log_ratio"] for r in w.collect()}
+    # the target-like doc carries the higher importance weight
+    assert ratios[1] > ratios[2]
+
+    out1 = dsir_resample(w, keep_frac=0.5).collect()
+    out2 = dsir_resample(w, keep_frac=0.5).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
+    kept = {r["doc_id"] for r in out1 if r["kept"]}
+    assert len(kept) == 1  # ~50% of 2 docs, ties excluded at the cut
