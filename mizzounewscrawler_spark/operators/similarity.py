@@ -366,3 +366,212 @@ def embedding_neardup_candidates(
         .dropDuplicates(["id_a", "id_b"])
     )
     return cand
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al. 2023, arXiv:2303.09540).
+#
+# Cluster the embedding space, then prune near-duplicates WITHIN each
+# cluster only: the clustering bounds the quadratic pairwise step to
+# O(Σ m_c²) instead of O(n²), which is the whole trick that made SemDeDup
+# feasible on LAION/C4 scale.  Semantics pinned here (and mirrored in the
+# `semdedup` oracle SQL):
+#
+# - clustering: deterministic seeded k-means — the seed assignment is the
+#   pinned md5 bucket family shared with sampling.hash_split (stable across
+#   engines/partitionings; no RNG), centroids are per-cell dimension means
+#   (posexplode-avg — a hot cell never materializes its member vectors into
+#   one row), assignment is argmax cosine over the broadcast centroid list.
+#   ``iters`` extra Lloyd rounds refine the seeding (each round is one
+#   scalar-shuffle aggregation + a reassignment scan).
+# - prune order: within a cluster, ascending (centroid_sim, id) — the paper
+#   keeps the LOW-centroid-similarity examples (they carry the most
+#   information for training) and removes the redundant cluster core.
+# - removal rule: a document is removed iff ANY earlier document in that
+#   order has cosine ≥ threshold with it (non-recursive — independent of
+#   whether the earlier document itself survived; this is the common
+#   SemDeDup implementation choice and keeps the rule SQL-expressible).
+#
+# All cosines are rounded to 6 decimals before threshold comparison so the
+# decision is stable across engines and summation orders.
+# --------------------------------------------------------------------------
+
+
+def _md5_cell(id_col: Column, n_clusters: int) -> Column:
+    """Pinned seed-cell assignment: first 4 hex chars of md5(id) mod k —
+    byte-identical to the DuckDB mirror ``CAST('0x' || substring(md5(id),
+    1, 4) AS BIGINT) % k`` and to sampling.hash_split's bucket family."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        ),
+        F.lit(n_clusters),
+    )
+
+
+def _safe_cos_guarded(a: Column, b: Column) -> Column:
+    """Cosine with zero-norm vectors pinned to -2.0 (below any true cosine)
+    so argmax assignment never sees NULL/NaN."""
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(-2.0))
+
+
+def semdedup_assign(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means assignment: (id, v, cell, centroid_sim).
+
+    ``iters=0`` is ONE centroid-build + assignment pass from the md5 seed
+    cells (the SQL-mirrorable form used by the catalog); each extra iter is
+    a Lloyd round.  Per round the shuffle carries only (cell, dim, partial
+    sum) scalars and the driver collects n_clusters × dim aggregated
+    doubles — at 10^9 rows × 64 dims × 64k clusters that is 4M scalars,
+    broadcast back as literals.  Centroid coordinates are rounded to 9
+    decimals and similarities to 6 before the argmax so assignment ties
+    break identically everywhere (tie → larger cell id, matching the SQL
+    mirror's ``ORDER BY sim DESC, cell DESC``).
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cur = base.withColumn("cell", _md5_cell(F.col("id"), n_clusters))
+    out = None
+    for _ in range(iters + 1):
+        cent_rows = (
+            cur.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("x"), 9).alias("mean_x"))
+            .collect()
+        )
+        centroids: dict[int, dict[int, float]] = {}
+        for r in cent_rows:
+            centroids.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(
+                r["mean_x"]
+            )
+        sims = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        _safe_cos_guarded(
+                            F.col("v"),
+                            F.array(
+                                *[
+                                    F.lit(centroids[c][d])
+                                    for d in sorted(centroids[c])
+                                ]
+                            ),
+                        ),
+                        6,
+                    ).alias("sim"),
+                    F.lit(c).alias("cell"),
+                )
+                for c in sorted(centroids)
+            ]
+        )
+        out = base.withColumn("best", F.array_max(sims)).select(
+            "id",
+            "v",
+            F.col("best.cell").cast("long").alias("cell"),
+            F.col("best.sim").alias("centroid_sim"),
+        )
+        cur = out
+    return out
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.30,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kernel: str = "join",
+) -> DataFrame:
+    """SemDeDup keep/remove verdicts: (vec_id, cell, centroid_sim, kept).
+
+    kernel="join" (oracle path): within-cluster pairs via a rank-bounded
+    equi-join on the cluster id, cosine evaluated JVM-side with
+    ``cosine_expr`` (sequential ``aggregate`` fold — the same summation
+    order as DuckDB's list_dot_product, so the rounded decision is
+    bit-stable across engines).  O(Σ m_c²) shuffled pair rows — exact and
+    fine when clusters are small relative to executors.
+
+    kernel="pandas" (scale path, the paper's shape): one shuffle of each
+    row to its cluster via ``applyInPandas``, then a vectorized numpy
+    matmul per cluster — O(Σ m_c²) FLOPs in BLAS, only O(n) rows moved.
+    Choose n_clusters ≈ n/target_cluster_size (the paper used 50k clusters
+    for LAION-440M); a cluster must fit one task's memory (m·d doubles).
+    The two kernels agree except on adversarial cosines within an ulp of
+    the round-6 boundary (parity-tested in tests/test_similarity.py).
+    """
+    assign = semdedup_assign(embeddings, n_clusters, iters, id_col, vec_col)
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy("cell").orderBy(
+            F.col("centroid_sim").asc(), F.col("id").asc()
+        )
+    )
+    ranked = assign.withColumn("rnk", rnk)
+    if kernel == "join":
+        x, y = ranked.alias("x"), ranked.alias("y")
+        dup = (
+            x.join(
+                y,
+                (F.col("x.cell") == F.col("y.cell"))
+                & (F.col("y.rnk") < F.col("x.rnk")),
+            )
+            .where(
+                F.round(cosine_expr(F.col("x.v"), F.col("y.v")), 6)
+                >= threshold
+            )
+            .select(F.col("x.id").alias("id"))
+            .distinct()
+        )
+        out = ranked.join(
+            dup.withColumn("dup", F.lit(True)), "id", "left"
+        ).select(
+            F.col("id").alias(id_col),
+            "cell",
+            "centroid_sim",
+            F.coalesce(~F.col("dup"), F.lit(True)).alias("kept"),
+        )
+        return out
+    if kernel != "pandas":
+        raise ValueError(f"unknown kernel {kernel!r}")
+
+    import pandas as pd
+
+    tau = float(threshold)
+
+    def _prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(["rnk"], ignore_index=True)
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        safe = norms.copy()
+        safe[safe == 0] = 1.0  # zero vectors → cosine 0 → never a dup
+        U = V / safe[:, None]
+        S = np.round(U @ U.T, 6)
+        dup = np.tril(S >= tau, -1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "cell": pdf["cell"],
+                "centroid_sim": pdf["centroid_sim"],
+                "kept": ~dup,
+            }
+        )
+
+    out = ranked.groupBy("cell").applyInPandas(
+        _prune, "id long, cell long, centroid_sim double, kept boolean"
+    )
+    return out.select(
+        F.col("id").alias(id_col), "cell", "centroid_sim", "kept"
+    )

@@ -2261,6 +2261,69 @@ SELECT * FROM (
 """
 
 
+def q_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023): md5-seeded k-means assignment (one
+    pass, SQL-mirrorable), then within-cluster prune — a doc is removed iff
+    an earlier doc in ascending (centroid_sim, id) order has cosine ≥ 0.30.
+    The paper's trick: clustering bounds the quadratic step to O(Σ m_c²)."""
+    from mizzounewscrawler_spark.operators.similarity import semdedup
+
+    emb = t(spark, sf, "embeddings")
+    return semdedup(emb, n_clusters=8, threshold=0.30, iters=0)
+
+
+SQL_SEMDEDUP = """
+WITH base AS (
+  SELECT vec_id AS id, embedding::double[] AS v,
+         CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) AS BIGINT) % 8
+           AS seed_cell
+  FROM embeddings
+),
+cent_raw AS (
+  SELECT seed_cell, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM base
+),
+cent AS (
+  SELECT seed_cell, dim, round(avg(x), 9) AS mean_x
+  FROM cent_raw GROUP BY seed_cell, dim
+),
+cents AS (
+  SELECT seed_cell AS cell, list(mean_x ORDER BY dim) AS c FROM cent
+  GROUP BY seed_cell
+),
+scored AS (
+  SELECT b.id, b.v, c.cell,
+         CASE WHEN sqrt(list_dot_product(b.v, b.v))
+                   * sqrt(list_dot_product(c.c, c.c)) > 0
+              THEN round(list_dot_product(b.v, c.c)
+                         / (sqrt(list_dot_product(b.v, b.v))
+                            * sqrt(list_dot_product(c.c, c.c))), 6)
+              ELSE -2.0 END AS sim
+  FROM base b CROSS JOIN cents c
+),
+assign AS (
+  SELECT id, v, cell, sim AS centroid_sim
+  FROM (SELECT *, row_number() OVER (PARTITION BY id
+                                     ORDER BY sim DESC, cell DESC) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cell
+                               ORDER BY centroid_sim ASC, id ASC) AS rnk
+  FROM assign
+)
+SELECT a.id AS vec_id, a.cell, a.centroid_sim,
+       NOT EXISTS (
+         SELECT 1 FROM ranked b
+         WHERE b.cell = a.cell AND b.rnk < a.rnk
+           AND round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.30
+       ) AS kept
+FROM ranked a
+"""
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible: LSH, simhash, crawl engine)
 # --------------------------------------------------------------------------
@@ -2879,6 +2942,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("group_percentiles", q_group_percentiles, SQL_GROUP_PERCENTILES, "sketch (exact quantiles)"),
     QuerySpec("lang_id_hist", q_lang_id_hist, SQL_LANG_ID, "text ops (lang-ID)"),
     QuerySpec("embedding_neardup_exact", q_embedding_neardup_exact, SQL_EMB_NEARDUP, "dedup (embedding)"),
+    QuerySpec("semdedup", q_semdedup, SQL_SEMDEDUP, "dedup (SemDeDup semantic)"),
     QuerySpec("minhash_lsh_neardup", q_minhash_neardup, SQL_MINHASH, "dedup (LSH)"),
     QuerySpec("incremental_neardup", q_incremental_neardup, SQL_INCR_NEARDUP, "dedup (incremental index probe)"),
     QuerySpec("simhash_neardup", q_simhash_neardup, SQL_SIMHASH, "dedup (SimHash)"),

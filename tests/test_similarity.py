@@ -174,3 +174,98 @@ def test_ngram_jaccard_df_cap_keeps_high_threshold_pairs(spark, docs):
     )
     missing = exact - capped
     assert not missing, f"df-cap lost near-identical pairs: {sorted(missing)[:5]}"
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023)
+# --------------------------------------------------------------------------
+
+
+def test_semdedup_kernel_parity(spark, emb):
+    """The JVM pair-join oracle path and the applyInPandas matmul scale
+    path must produce identical verdicts on the fixture embeddings."""
+    from mizzounewscrawler_spark.operators.similarity import semdedup
+
+    a = semdedup(emb, n_clusters=8, threshold=0.30, kernel="join")
+    b = semdedup(emb, n_clusters=8, threshold=0.30, kernel="pandas")
+    pa = {r["vec_id"]: r["kept"] for r in a.collect()}
+    pb = {r["vec_id"]: r["kept"] for r in b.collect()}
+    assert pa == pb
+    assert len(pa) == emb.count()
+    # the prune must actually fire on this fixture
+    assert any(not v for v in pa.values())
+    assert any(v for v in pa.values())
+
+
+def test_semdedup_planted_duplicates(spark):
+    """Exact duplicate vectors land in one cluster and all but the
+    earliest (lowest id at equal centroid_sim) are removed."""
+    from mizzounewscrawler_spark.operators.similarity import semdedup
+
+    dup = [1.0] + [0.0] * 15
+    rows = [(i, dup) for i in range(3)] + [
+        (10, [0.0] * 15 + [1.0]),
+        (11, [0.0, 1.0] + [0.0] * 14),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r for r in semdedup(
+            df, n_clusters=1, threshold=0.95, kernel="pandas"
+        ).collect()
+    }
+    kept_dups = [i for i in range(3) if out[i]["kept"]]
+    assert kept_dups == [0]
+    assert out[10]["kept"] and out[11]["kept"]
+
+
+def test_semdedup_lloyd_iters_deterministic_and_partition_invariant(
+    spark, emb
+):
+    """Lloyd refinement (iters>0) stays deterministic: same verdicts from a
+    1-partition and a 32-partition layout of the same input."""
+    from mizzounewscrawler_spark.operators.similarity import semdedup
+
+    one = semdedup(
+        emb.repartition(1), n_clusters=8, threshold=0.30, iters=2
+    )
+    many = semdedup(
+        emb.repartition(32), n_clusters=8, threshold=0.30, iters=2
+    )
+    pa = {r["vec_id"]: (r["cell"], r["kept"]) for r in one.collect()}
+    pb = {r["vec_id"]: (r["cell"], r["kept"]) for r in many.collect()}
+    assert pa == pb
+
+
+def test_semdedup_keeps_low_centroid_sim_examples(spark, emb):
+    """Within a removed/kept pair above threshold, the kept doc must not be
+    preceded (in ascending centroid_sim order) by a >=tau neighbour — spot
+    check the ordering semantics on the real fixture."""
+    from mizzounewscrawler_spark.operators.similarity import (
+        semdedup,
+        semdedup_assign,
+    )
+
+    out = semdedup(emb, n_clusters=8, threshold=0.30).collect()
+    removed = [r for r in out if not r["kept"]]
+    assert removed, "fixture must produce removals at tau=0.30"
+    # every removed doc has an earlier (lower centroid_sim or equal+lower id)
+    # neighbour in the same cell — verify one cell exhaustively in python
+    import math
+
+    assign = semdedup_assign(emb, n_clusters=8).collect()
+    cell0 = sorted(
+        [r for r in assign if r["cell"] == 0],
+        key=lambda r: (r["centroid_sim"], r["id"]),
+    )
+    def cos(u, w):
+        d = sum(x * y for x, y in zip(u, w))
+        nu = math.sqrt(sum(x * x for x in u))
+        nw = math.sqrt(sum(x * x for x in w))
+        return round(d / (nu * nw), 6) if nu * nw else 0.0
+
+    verdict = {r["vec_id"]: r["kept"] for r in out}
+    for j, rj in enumerate(cell0):
+        expect = not any(
+            cos(ri["v"], rj["v"]) >= 0.30 for ri in cell0[:j]
+        )
+        assert verdict[rj["id"]] == expect
