@@ -268,6 +268,18 @@ def main() -> None:
     frontier: dict = {}
     if not os.environ.get("BENCH_SKIP_CRAWL"):
         runs = [bench_crawl(spark, n_hosts, pages, waves) for _ in range(reps)]
+        # Adaptive extension: a steal window INSIDE every rep defeats
+        # min-over-reps (observed rep spreads of 3-7x on this box).  When
+        # the rep spread says the weather was bursty, buy up to
+        # BENCH_MAX_EXTRA_REPS more chances at one clean rep; quiet boxes
+        # never pay the extra wall time.
+        extra = int(os.environ.get("BENCH_MAX_EXTRA_REPS", "2"))
+        def _spread(rs):
+            vals = [r["crawl_sec"] for r in rs if r.get("crawl_sec")]
+            return (max(vals) / min(vals)) if vals else 1.0
+        while extra > 0 and _spread(runs) > 1.5:
+            runs.append(bench_crawl(spark, n_hosts, pages, waves))
+            extra -= 1
         frontier = max(
             runs, key=lambda r: r.get("steady_state_urls_per_sec") or 0.0
         )
@@ -275,6 +287,21 @@ def main() -> None:
             r.get("steady_state_urls_per_sec") for r in runs
         ]
         frontier["rep_crawl_sec"] = [r.get("crawl_sec") for r in runs]
+        # Host-noise-filtered composite: Σ over waves of the min wave_sec
+        # across reps.  Every wave runs the identical plan on identical
+        # input each rep, so its min is the cleanest estimate of that
+        # wave's engine cost; the sum is what one stall-free rep would
+        # measure.  Published NEXT TO (not instead of) the best-rep
+        # figure the headline keeps using.
+        by_wave: dict[int, list[float]] = {}
+        for r in runs:
+            for w in r.get("per_wave", []):
+                if w.get("wave_sec"):
+                    by_wave.setdefault(w["wave"], []).append(w["wave_sec"])
+        if by_wave:
+            frontier["crawl_sec_min_waves"] = round(
+                sum(min(v) for v in by_wave.values()), 2
+            )
     queries = (
         {} if os.environ.get("BENCH_SKIP_QUERIES") else bench_queries(spark, sf_dir)
     )

@@ -37,12 +37,14 @@ from mizzounewscrawler_spark.functions.exprcache import session_memo
 from mizzounewscrawler_spark.functions.urls import surt_expr, url_hash_expr
 from mizzounewscrawler_spark.lake import LakeTable
 from mizzounewscrawler_spark.operators.dedup import (
+    CuckooFilter,
     _bloom_params,
     add_hashes,
     band_self_pairs,
     bloom_flag,
     bloom_flag_sharded,
     build_bloom,
+    build_cuckoo,
     filter_unseen,
     filter_unseen_flagged,
     merge_blooms,
@@ -73,6 +75,15 @@ class CrawlConfig:
     max_per_host: int = MAX_PER_HOST_PER_WAVE
     max_depth: int = 10
     use_bloom: bool = True
+    # URL-seen pre-filter family: "bloom" (default — append-only bitmap,
+    # O(new)/wave driver increments, shardable) or "cuckoo" (the north
+    # star's deletable variant: 16-bit-fingerprint cuckoo table supporting
+    # frontier retraction via dedup.requeue_seen — un-see a URL and a later
+    # wave refetches it).  Either way the exact url_seen backstop makes the
+    # crawl's RESULT identical; the filter only prices the probe.  The
+    # cuckoo is driver-built (kick chains are sequential) and is not yet
+    # sharded — see build_cuckoo's memory math for the 10^10 extension.
+    url_seen_filter: str = "bloom"
     bloom_fpr: float = 0.01
     bloom_shard_bits: int = 4
     # Shard-ALIGNED Bloom probe (the 10^10 design point, VERDICT r3 wrong
@@ -551,11 +562,19 @@ def run_crawl(
     bloom_params = _bloom_params(
         max(cfg.bloom_capacity // num_shards, 1), cfg.bloom_fpr
     )
-    bloom = (
-        build_bloom(seen, "url_hash", shard_bits=cfg.bloom_shard_bits, params=bloom_params)
-        if cfg.use_bloom
-        else None
-    )
+    if not cfg.use_bloom:
+        bloom = None
+    elif cfg.url_seen_filter == "cuckoo":
+        if cfg.bloom_sharded:
+            raise ValueError(
+                "bloom_sharded applies to the bloom filter family only"
+            )
+        bloom = build_cuckoo(seen, "url_hash", cfg.bloom_capacity)
+    else:
+        bloom = build_bloom(
+            seen, "url_hash", shard_bits=cfg.bloom_shard_bits,
+            params=bloom_params,
+        )
     shard_dir = f"{out_dir}/bloom_shards" if cfg.bloom_sharded else None
     if bloom is not None and shard_dir is not None:
         save_bloom_shards(bloom, shard_dir)  # full write once; waves touch-up
@@ -907,7 +926,13 @@ def run_crawl(
             # footer read, numpy bit ops — no Spark job).  The distributed
             # build_bloom path stays for bulk increments, where shipping
             # the hash column to the driver would not be wave-sized.
-            if discovered_new <= cfg.bloom_driver_increment_max:
+            if isinstance(bloom, CuckooFilter):
+                # deletable variant: in-place driver insert of the wave's
+                # new hashes (kick chains are sequential — no merge form)
+                bloom.insert_many(
+                    t.url_seen.staged_column(staged_seen, "url_hash")
+                )
+            elif discovered_new <= cfg.bloom_driver_increment_max:
                 new_hashes = t.url_seen.staged_column(staged_seen, "url_hash")
                 bloom = add_hashes(bloom, new_hashes)
                 if shard_dir is not None:

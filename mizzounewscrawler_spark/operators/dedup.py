@@ -238,7 +238,10 @@ def bloom_maybe_seen_col(spark, bloom: PartitionedBloom, hash_col: str):
     def _maybe_seen(h: pd.Series) -> pd.Series:
         b = bc.value
         vals = h.to_numpy(dtype=np.int64)
-        return pd.Series(b.contains(vals))
+        # duck-typed: PartitionedBloom.contains takes arrays; the deletable
+        # CuckooFilter exposes the batch path as contains_batch
+        probe = getattr(b, "contains_batch", None) or b.contains
+        return pd.Series(probe(vals))
 
     return _maybe_seen(F.col(hash_col)), bc
 
@@ -547,6 +550,101 @@ class CuckooFilter:
                 self.table[i][idx[0]] = 0
                 return True
         return False
+
+    # -- vectorized batch API (crawl-loop integration) ---------------------
+
+    def _fp_buckets_batch(self, h: np.ndarray):
+        """(fp, i1, i2) arrays — bit-identical to the scalar
+        :meth:`_fp_and_buckets` (uint64 products fit: fp·0x5BD1E995 < 2^47)."""
+        hu = h.astype(np.uint64)
+        fp = ((hu >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint64)
+        fp[fp == 0] = 1
+        mask = np.uint64(self.nbuckets - 1)
+        i1 = hu & mask
+        i2 = (i1 ^ (fp * np.uint64(0x5BD1E995))) & mask
+        return (
+            fp.astype(np.uint16),
+            i1.astype(np.int64),
+            i2.astype(np.int64),
+        )
+
+    def contains_batch(self, h: np.ndarray) -> np.ndarray:
+        """Vectorized membership — the probe path ``bloom_maybe_seen_col``
+        calls (duck-typed with ``PartitionedBloom.contains``)."""
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        fp, i1, i2 = self._fp_buckets_batch(np.asarray(h, dtype=np.int64))
+        t = self.table
+        return (t[i1] == fp[:, None]).any(axis=1) | (
+            t[i2] == fp[:, None]
+        ).any(axis=1)
+
+    def insert_many(self, hashes: np.ndarray) -> int:
+        """Idempotent-ish bulk insert: hashes already (possibly falsely)
+        present are skipped — a fingerprint collision then leaves the item
+        answering "maybe seen", which the exact backstop corrects, exactly
+        like a Bloom FP.  Driver-side Python loop over the wave's NEW URLs
+        only (anti-joined before insert, so wave-sized).  Raises when the
+        table is full — the caller must rebuild with a larger capacity.
+        Returns the number actually inserted."""
+        arr = np.asarray(hashes, dtype=np.int64)
+        if len(arr) == 0:
+            return 0
+        todo = arr[~self.contains_batch(arr)]
+        n = 0
+        for h in todo:
+            if not self.insert(int(h)):
+                raise RuntimeError(
+                    "cuckoo filter full — rebuild with larger capacity"
+                )
+            n += 1
+        return n
+
+    def delete_many(self, hashes: np.ndarray) -> int:
+        """Bulk retraction; returns how many fingerprints were removed."""
+        return sum(1 for h in np.asarray(hashes, dtype=np.int64)
+                   if self.delete(int(h)))
+
+
+def build_cuckoo(
+    df: DataFrame, hash_col: str, capacity: int, seed: int = 42
+) -> CuckooFilter:
+    """Build the deletable URL-seen filter from the seen table.
+
+    Driver-side build (collect the hash column): the cuckoo's kick chains
+    are inherently sequential, so unlike the Bloom there is no shard-local
+    distributed build to OR-merge.  Memory math at the 10^10 design point:
+    table bytes ≈ capacity·1.1·2 ≈ 22 GB — like the Bloom bitmap this
+    exceeds the broadcast budget, and the same shard-by-top-hash-bits
+    remedy applies (each shard is an independent cuckoo table; the probe
+    repartitions candidates by shard — see ``bloom_flag_sharded``).  The
+    sandbox wiring keeps the broadcast path; sharding the cuckoo is the
+    documented cluster extension."""
+    cf = CuckooFilter(max(capacity, 1), seed=seed)
+    pdf = df.select(F.col(hash_col).cast("long").alias("h")).toPandas()
+    cf.insert_many(pdf["h"].to_numpy(dtype=np.int64))
+    return cf
+
+
+def requeue_seen(
+    url_seen_table,
+    cuckoo: CuckooFilter,
+    retract: DataFrame,
+    hash_col: str = "url_hash",
+) -> int:
+    """Frontier retraction (the north star's reason the deletable variant
+    exists): un-see URLs so a later wave can refetch them.
+
+    Removes the fingerprints from the cuckoo (driver-side) AND commits an
+    equality-delete to the ``url_seen`` lake table in one merge snapshot —
+    the filter and the exact backstop must agree, otherwise the backstop
+    would keep killing the requeued URLs after the filter forgot them.
+    O(batch) I/O: the table is never rewritten.  Returns the batch size."""
+    pdf = retract.select(F.col(hash_col).cast("long").alias("h")).toPandas()
+    cuckoo.delete_many(pdf["h"].to_numpy(dtype=np.int64))
+    keys = retract.select(hash_col).distinct()
+    url_seen_table.merge(None, keys, hash_col, {"requeue": len(pdf)})
+    return len(pdf)
 
 
 # --------------------------------------------------------------------------

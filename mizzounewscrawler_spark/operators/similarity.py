@@ -491,6 +491,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kernel: str = "join",
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup keep/remove verdicts: (vec_id, cell, centroid_sim, kept).
 
@@ -508,12 +509,44 @@ def semdedup(
     for LAION-440M); a cluster must fit one task's memory (m·d doubles).
     The two kernels agree except on adversarial cosines within an ulp of
     the round-6 boundary (parity-tested in tests/test_similarity.py).
+
+    ``max_cluster_size`` is the skew guard for the 100-TB path: k-means on
+    web-scale corpora produces hot cells (boilerplate/SEO farms collapse
+    into one cluster), and a hot cell is a single straggler task holding
+    m·d doubles plus an m×m score block.  When set, any cell larger than
+    the cap is md5-subsplit into ⌈m/cap⌉ sub-cells before pruning (the
+    subsplit key rides the pinned md5 bucket family, so it is deterministic
+    and partitioning-independent).  Duplicate pairs STRADDLING sub-cells of
+    one hot cell are missed — the documented SemDeDup-style approximation;
+    size n_clusters so only pathological cells hit the cap.
     """
     assign = semdedup_assign(embeddings, n_clusters, iters, id_col, vec_col)
+    if max_cluster_size is None:
+        assign = assign.withColumn("prune_cell", F.col("cell"))
+    else:
+        sizes = assign.groupBy("cell").agg(F.count("*").alias("m"))
+        md5_bucket = F.conv(
+            F.substring(F.md5(F.col("id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        nsplits = F.ceil(F.col("m") / F.lit(max_cluster_size)).cast("long")
+        # sub-cell key = cell * 2^20 + md5-bucket mod nsplits: deterministic,
+        # partitioning-independent, and distinct across parent cells
+        assign = (
+            assign.join(F.broadcast(sizes), "cell")
+            .withColumn(
+                "prune_cell",
+                F.when(
+                    F.col("m") > max_cluster_size,
+                    F.col("cell") * F.lit(1 << 20)
+                    + F.pmod(md5_bucket, nsplits),
+                ).otherwise(F.col("cell")),
+            )
+            .drop("m")
+        )
     from pyspark.sql import Window
 
     rnk = F.row_number().over(
-        Window.partitionBy("cell").orderBy(
+        Window.partitionBy("prune_cell").orderBy(
             F.col("centroid_sim").asc(), F.col("id").asc()
         )
     )
@@ -523,7 +556,7 @@ def semdedup(
         dup = (
             x.join(
                 y,
-                (F.col("x.cell") == F.col("y.cell"))
+                (F.col("x.prune_cell") == F.col("y.prune_cell"))
                 & (F.col("y.rnk") < F.col("x.rnk")),
             )
             .where(
@@ -569,7 +602,7 @@ def semdedup(
             }
         )
 
-    out = ranked.groupBy("cell").applyInPandas(
+    out = ranked.groupBy("prune_cell").applyInPandas(
         _prune, "id long, cell long, centroid_sim double, kept boolean"
     )
     return out.select(

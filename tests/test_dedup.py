@@ -365,3 +365,99 @@ def test_crawl_neardup_index_equals_full_self_join(spark, web_spark):
     idx = t.neardup_postings.read()
     assert idx.select("id").distinct().count() == n_docs
     assert idx.count() == n_docs * 8  # 8 bands per doc at the defaults
+
+
+def test_cuckoo_batch_api_matches_scalar():
+    """contains_batch / insert_many / delete_many are bit-identical to the
+    scalar methods (the crawl probe path rides contains_batch)."""
+    import numpy as np
+
+    a, b = CuckooFilter(capacity=4000), CuckooFilter(capacity=4000)
+    rng = np.random.default_rng(7)
+    hs = rng.integers(-(2**63), 2**63 - 1, size=2500, dtype=np.int64)
+    for h in hs:
+        a.insert(int(h)) if not a.contains(int(h)) else None
+    b.insert_many(hs)
+    assert np.array_equal(a.table, b.table)
+    probe = rng.integers(-(2**63), 2**63 - 1, size=4000, dtype=np.int64)
+    probe[:2000] = hs[:2000]
+    got = b.contains_batch(probe)
+    want = np.array([a.contains(int(h)) for h in probe])
+    assert np.array_equal(got, want)
+    assert got[:2000].all()  # no false negatives
+    b.delete_many(hs[:100])
+    for h in hs[:100]:
+        a.delete(int(h))
+    assert np.array_equal(a.table, b.table)
+
+
+def test_crawl_with_cuckoo_filter_matches_bloom(spark, web_spark):
+    """url_seen_filter='cuckoo' must produce the identical crawl result —
+    the exact backstop makes the pre-filter invisible to correctness."""
+    import tempfile
+
+    from mizzounewscrawler_spark.crawl import (
+        CrawlConfig,
+        open_tables,
+        run_crawl,
+    )
+
+    pages, seeds, robots = web_spark
+    results = {}
+    for filt in ("bloom", "cuckoo"):
+        out = tempfile.mkdtemp(prefix=f"crawl_{filt}_")
+        cfg = CrawlConfig(
+            max_waves=3, bloom_capacity=10000, url_seen_filter=filt
+        )
+        run_crawl(spark, pages, seeds, robots, out, cfg)
+        t = open_tables(spark, out)
+        results[filt] = sorted(
+            r["url_surt"] for r in t.url_seen.read().collect()
+        )
+    assert results["cuckoo"] == results["bloom"]
+    assert len(results["cuckoo"]) > 10
+
+
+def test_requeue_seen_unsees_urls_end_to_end(spark, web_spark):
+    """Frontier retraction: after requeue_seen, the retracted URLs pass
+    filter_unseen again (both the cuckoo and the exact backstop forgot
+    them), while everything else stays seen."""
+    import tempfile
+
+    import numpy as np
+
+    from mizzounewscrawler_spark.crawl import (
+        CrawlConfig,
+        open_tables,
+        run_crawl,
+    )
+    from mizzounewscrawler_spark.operators.dedup import (
+        build_cuckoo,
+        requeue_seen,
+    )
+
+    pages, seeds, robots = web_spark
+    out = tempfile.mkdtemp(prefix="crawl_requeue_")
+    run_crawl(
+        spark, pages, seeds, robots, out,
+        CrawlConfig(max_waves=2, bloom_capacity=10000,
+                    url_seen_filter="cuckoo"),
+    )
+    t = open_tables(spark, out)
+    seen = t.url_seen.read().cache()
+    n0 = seen.count()
+    cf = build_cuckoo(seen, "url_hash", 10000)
+    victims = seen.limit(5).cache()
+    n_requeued = requeue_seen(t.url_seen, cf, victims)
+    assert n_requeued == 5
+
+    seen_after = t.url_seen.read()
+    assert seen_after.count() == n0 - 5
+
+    # the retracted hashes are new again through the FULL path
+    survivors = filter_unseen(victims, seen_after, cf)
+    assert survivors.count() == 5
+    # and an unretracted sample is still blocked
+    others = seen.join(victims.select("url_hash"), "url_hash",
+                       "left_anti").limit(5)
+    assert filter_unseen(others, seen_after, cf).count() == 0

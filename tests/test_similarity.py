@@ -269,3 +269,70 @@ def test_semdedup_keeps_low_centroid_sim_examples(spark, emb):
             cos(ri["v"], rj["v"]) >= 0.30 for ri in cell0[:j]
         )
         assert verdict[rj["id"]] == expect
+
+
+def test_semdedup_max_cluster_size_guard(spark, emb):
+    """Skew guard: a cap larger than every cluster changes nothing; a small
+    cap subsplits deterministically and prunes exactly within sub-cells."""
+    from mizzounewscrawler_spark.operators.similarity import (
+        semdedup,
+        semdedup_assign,
+    )
+
+    base = semdedup(emb, n_clusters=8, threshold=0.30)
+    capped_noop = semdedup(
+        emb, n_clusters=8, threshold=0.30, max_cluster_size=10_000
+    )
+    pa = {r["vec_id"]: (r["cell"], r["kept"]) for r in base.collect()}
+    pb = {r["vec_id"]: (r["cell"], r["kept"]) for r in capped_noop.collect()}
+    assert pa == pb
+
+    # small cap: every row still present once, cells unchanged (the output
+    # keeps the TRUE cluster id), and the verdict matches a python replay
+    # of the documented sub-cell semantics
+    import hashlib
+    import math
+
+    cap = 20
+    out = semdedup(
+        emb, n_clusters=8, threshold=0.30, max_cluster_size=cap
+    ).collect()
+    assert len(out) == emb.count()
+    assert {r["cell"] for r in out} == {r["cell"] for r in base.collect()}
+    # both kernels agree under the cap too
+    out_p = semdedup(
+        emb, n_clusters=8, threshold=0.30, max_cluster_size=cap,
+        kernel="pandas",
+    ).collect()
+    assert {r["vec_id"]: r["kept"] for r in out} == {
+        r["vec_id"]: r["kept"] for r in out_p
+    }
+
+    assign = semdedup_assign(emb, n_clusters=8).collect()
+    by_cell: dict[int, list] = {}
+    for r in assign:
+        by_cell.setdefault(int(r["cell"]), []).append(r)
+
+    def md5_bucket(i) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+
+    def cos(u, w):
+        d = sum(x * y for x, y in zip(u, w))
+        nu = math.sqrt(sum(x * x for x in u))
+        nw = math.sqrt(sum(x * x for x in w))
+        return round(d / (nu * nw), 6) if nu * nw else 0.0
+
+    expect = {}
+    for cell, rows in by_cell.items():
+        nsplits = max(1, -(-len(rows) // cap)) if len(rows) > cap else 1
+        subs: dict[int, list] = {}
+        for r in rows:
+            subs.setdefault(md5_bucket(r["id"]) % nsplits, []).append(r)
+        for members in subs.values():
+            members.sort(key=lambda r: (r["centroid_sim"], r["id"]))
+            for j, rj in enumerate(members):
+                expect[rj["id"]] = not any(
+                    cos(ri["v"], rj["v"]) >= 0.30 for ri in members[:j]
+                )
+    got = {r["vec_id"]: r["kept"] for r in out}
+    assert got == expect
