@@ -302,6 +302,12 @@ def main() -> None:
             frontier["crawl_sec_min_waves"] = round(
                 sum(min(v) for v in by_wave.values()), 2
             )
+            if frontier.get("urls_processed"):
+                frontier["throughput_urls_per_sec_min_waves"] = round(
+                    frontier["urls_processed"]
+                    / frontier["crawl_sec_min_waves"],
+                    1,
+                )
     queries = (
         {} if os.environ.get("BENCH_SKIP_QUERIES") else bench_queries(spark, sf_dir)
     )

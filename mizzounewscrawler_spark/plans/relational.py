@@ -2261,6 +2261,42 @@ SELECT * FROM (
 """
 
 
+def q_containment_search(spark, sf):
+    """Set-containment join (boolean AND search): every (query, doc) pair
+    where the query's token set is a subset of the doc's — rarest-token
+    prefix filter + JVM forall verify (operators/search.py; LCJoin shape).
+    Query fixture: three docs' first two tokens."""
+    from mizzounewscrawler_spark.functions.text import tokens_expr
+    from mizzounewscrawler_spark.operators.search import containment_join
+
+    docs = t(spark, sf, "documents")
+    toks = F.transform(tokens_expr(F.col("text")), lambda x: F.lower(x))
+    d = docs.where(F.trim(F.col("text")) != "").select(
+        "doc_id", toks.alias("tokens")
+    )
+    q = d.where(F.col("doc_id").isin(3, 57, 101)).select(
+        F.col("doc_id").alias("q_id"),
+        F.slice("tokens", 1, 2).alias("q_tokens"),
+    )
+    return containment_join(d, q, "doc_id", "tokens", "q_id", "q_tokens")
+
+
+SQL_CONTAINMENT = """
+WITH dt AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                        x -> lower(x)) AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+q AS (
+  SELECT doc_id AS q_id, toks[1:2] AS qtoks FROM dt
+  WHERE doc_id IN (3, 57, 101)
+)
+SELECT q.q_id, d.doc_id
+FROM q JOIN dt d ON list_has_all(d.toks, q.qtoks)
+"""
+
+
 def q_semdedup(spark, sf):
     """SemDeDup (Abbas et al. 2023): md5-seeded k-means assignment (one
     pass, SQL-mirrorable), then within-cluster prune — a doc is removed iff
@@ -2943,6 +2979,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("lang_id_hist", q_lang_id_hist, SQL_LANG_ID, "text ops (lang-ID)"),
     QuerySpec("embedding_neardup_exact", q_embedding_neardup_exact, SQL_EMB_NEARDUP, "dedup (embedding)"),
     QuerySpec("semdedup", q_semdedup, SQL_SEMDEDUP, "dedup (SemDeDup semantic)"),
+    QuerySpec("containment_search", q_containment_search, SQL_CONTAINMENT, "join (set containment / boolean search)"),
     QuerySpec("minhash_lsh_neardup", q_minhash_neardup, SQL_MINHASH, "dedup (LSH)"),
     QuerySpec("incremental_neardup", q_incremental_neardup, SQL_INCR_NEARDUP, "dedup (incremental index probe)"),
     QuerySpec("simhash_neardup", q_simhash_neardup, SQL_SIMHASH, "dedup (SimHash)"),
