@@ -327,6 +327,57 @@ def _cmd_near_dup(args) -> int:
     return 0
 
 
+def _cmd_requeue(args) -> int:
+    """Frontier retraction: un-see URLs (url_seen equality-delete + cuckoo
+    fingerprint removal) and re-admit them to the frontier as discovered
+    rows, so the next crawl run refetches them.  The operational verb for
+    the deletable URL-seen variant (north star: cuckoo filter for
+    retraction); use after a bad extraction batch or a site-wide fix."""
+    from mizzounewscrawler_spark.crawl import FRONTIER_COLS, open_tables
+    from mizzounewscrawler_spark.operators.dedup import (
+        build_cuckoo,
+        requeue_seen,
+    )
+
+    spark = _spark("mnc-requeue")
+    t = open_tables(spark, args.out)
+    match = (
+        t.articles.read()
+        .where(F.col("url").rlike(args.url_pattern))
+        .select("url", "url_surt", "url_hash", "host", "depth")
+        .dropDuplicates(["url_hash"])
+        .cache()
+    )
+    n = match.count()
+    if n == 0:
+        print(json.dumps({"requeued": 0, "readmitted": 0}))
+        return 0
+    seen = t.url_seen.read()
+    cf = build_cuckoo(seen, "url_hash", max(2 * seen.count(), 1000))
+    requeue_seen(t.url_seen, cf, match)
+    # materialize the frontier's accumulated tombstones first: IceLite
+    # equality-deletes are not sequence-numbered, so the crawl's old
+    # tombstone for these url_hashes would mask the re-append below
+    t.frontier.compact({"requeue_compaction": True})
+    fr = t.frontier.read()
+    ftypes = {f.name: f.dataType for f in fr.schema.fields}
+    readmit = (
+        match.join(fr.select("url_hash"), "url_hash", "left_anti")
+        .withColumn("status", F.lit("discovered"))
+        .withColumn("priority", F.lit(0).cast(ftypes["priority"]))
+        .withColumn("depth", F.col("depth").cast(ftypes["depth"]))
+        .select(*FRONTIER_COLS)
+    )
+    # the stale article rows stay (append-only history); downstream
+    # latest-per-key reads pick the refetched version by wave
+    t.frontier.merge(readmit, None, "url_hash", {"requeue": n})
+    n_admit = t.frontier.read().where(
+        F.col("status") == "discovered"
+    ).join(match.select("url_hash"), "url_hash", "left_semi").count()
+    print(json.dumps({"requeued": n, "readmitted": n_admit}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mnc-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -397,6 +448,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--keep-snapshots", type=int, default=4, dest="keep_snapshots"
     )
     hk.set_defaults(fn=_cmd_housekeeping)
+
+    rq = sub.add_parser(
+        "requeue",
+        help="un-see URLs (cuckoo + url_seen delete) and readmit to frontier",
+    )
+    rq.add_argument("--out", required=True)
+    rq.add_argument("--url-pattern", required=True,
+                    help="regex over the article url")
+    rq.set_defaults(fn=_cmd_requeue)
 
     nd = sub.add_parser(
         "near-dup", help="MinHash-LSH near-dup sweep + cluster verdicts"

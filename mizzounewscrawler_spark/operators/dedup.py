@@ -636,14 +636,22 @@ def requeue_seen(
     exists): un-see URLs so a later wave can refetch them.
 
     Removes the fingerprints from the cuckoo (driver-side) AND commits an
-    equality-delete to the ``url_seen`` lake table in one merge snapshot —
-    the filter and the exact backstop must agree, otherwise the backstop
-    would keep killing the requeued URLs after the filter forgot them.
-    O(batch) I/O: the table is never rewritten.  Returns the batch size."""
+    equality-delete to the ``url_seen`` lake table — the filter and the
+    exact backstop must agree, otherwise the backstop would keep killing
+    the requeued URLs after the filter forgot them.  The delete is then
+    COMPACTED away immediately: IceLite's equality-deletes apply to all
+    data versions (no Iceberg sequence numbers), so a lingering delete key
+    would also mask the re-append when the refetched URL is re-admitted to
+    url_seen — the URL would never count as seen again and refetch forever.
+    Compaction is O(table); on Iceberg proper, sequence numbers (a newer
+    append beats an older delete) make this O(batch).  Requeue is a rare
+    operational verb — the cost is acceptable and amortizes like any other
+    compaction.  Returns the batch size."""
     pdf = retract.select(F.col(hash_col).cast("long").alias("h")).toPandas()
     cuckoo.delete_many(pdf["h"].to_numpy(dtype=np.int64))
     keys = retract.select(hash_col).distinct()
     url_seen_table.merge(None, keys, hash_col, {"requeue": len(pdf)})
+    url_seen_table.compact({"requeue_compaction": True})
     return len(pdf)
 
 

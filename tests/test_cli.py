@@ -176,3 +176,28 @@ def test_cli_housekeeping_and_near_dup(lake, spark, capsys):
     kept = {r["doc_id"]: r["is_kept"]
             for r in spark.read.parquet(f"{lake}/nd_out").collect()}
     assert kept == {1: True, 2: False, 3: True}
+
+
+def test_cli_requeue_unsees_and_readmits(lake, spark, capsys):
+    """requeue: matched article URLs leave url_seen and reappear in the
+    frontier as discovered rows, ready for the next crawl run."""
+    from mizzounewscrawler_spark.crawl import open_tables
+
+    t = open_tables(spark, f"{lake}/crawl")
+    art = t.articles.read().limit(1).collect()[0]
+    url_re = "^" + __import__("re").escape(art["url"]) + "$"
+    seen_before = t.url_seen.read().count()
+
+    rc = cli.main(
+        ["requeue", "--out", f"{lake}/crawl", "--url-pattern", url_re]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["requeued"] == 1
+    assert out["readmitted"] == 1
+
+    t2 = open_tables(spark, f"{lake}/crawl")
+    assert t2.url_seen.read().count() == seen_before - 1
+    fr = t2.frontier.read()
+    rows = fr.where(fr["url_hash"] == art["url_hash"]).collect()
+    assert len(rows) == 1 and rows[0]["status"] == "discovered"
