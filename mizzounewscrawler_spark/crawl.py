@@ -38,6 +38,7 @@ from mizzounewscrawler_spark.functions.urls import surt_expr, url_hash_expr
 from mizzounewscrawler_spark.lake import LakeTable
 from mizzounewscrawler_spark.operators.dedup import (
     CuckooFilter,
+    PartitionedCuckoo,
     _bloom_params,
     add_hashes,
     band_self_pairs,
@@ -45,12 +46,14 @@ from mizzounewscrawler_spark.operators.dedup import (
     bloom_flag_sharded,
     build_bloom,
     build_cuckoo,
+    cuckoo_flag_sharded,
     filter_unseen,
     filter_unseen_flagged,
     merge_blooms,
     minhash_band_postings,
     probe_band_index,
     save_bloom_shards,
+    save_cuckoo_shards,
     touched_shards,
 )
 from mizzounewscrawler_spark.operators.content_type import (
@@ -81,8 +84,10 @@ class CrawlConfig:
     # frontier retraction via dedup.requeue_seen — un-see a URL and a later
     # wave refetches it).  Either way the exact url_seen backstop makes the
     # crawl's RESULT identical; the filter only prices the probe.  The
-    # cuckoo is driver-built (kick chains are sequential) and is not yet
-    # sharded — see build_cuckoo's memory math for the 10^10 extension.
+    # cuckoo is driver-built (kick chains are sequential); with
+    # bloom_sharded=True it becomes the sharded PartitionedCuckoo —
+    # per-shard files + shard-aligned probe, the same 10^10 remedy as the
+    # sharded Bloom (memory math on both classes in operators/dedup.py).
     url_seen_filter: str = "bloom"
     bloom_fpr: float = 0.01
     bloom_shard_bits: int = 4
@@ -565,19 +570,29 @@ def run_crawl(
     if not cfg.use_bloom:
         bloom = None
     elif cfg.url_seen_filter == "cuckoo":
-        if cfg.bloom_sharded:
-            raise ValueError(
-                "bloom_sharded applies to the bloom filter family only"
-            )
-        bloom = build_cuckoo(seen, "url_hash", cfg.bloom_capacity)
+        # deletable variant; bloom_sharded promotes it to the sharded
+        # PartitionedCuckoo (per-shard files, shard-aligned probe — the
+        # same 10^10 fix as the sharded Bloom)
+        bloom = build_cuckoo(
+            seen, "url_hash", cfg.bloom_capacity,
+            shard_bits=cfg.bloom_shard_bits if cfg.bloom_sharded else 0,
+        )
     else:
         bloom = build_bloom(
             seen, "url_hash", shard_bits=cfg.bloom_shard_bits,
             params=bloom_params,
         )
-    shard_dir = f"{out_dir}/bloom_shards" if cfg.bloom_sharded else None
+    if cfg.bloom_sharded:
+        sub = "cuckoo_shards" if cfg.url_seen_filter == "cuckoo" else "bloom_shards"
+        shard_dir = f"{out_dir}/{sub}"
+    else:
+        shard_dir = None
     if bloom is not None and shard_dir is not None:
-        save_bloom_shards(bloom, shard_dir)  # full write once; waves touch-up
+        # full write once; waves touch-up only the shards they change
+        if isinstance(bloom, PartitionedCuckoo):
+            save_cuckoo_shards(bloom, shard_dir)
+        else:
+            save_bloom_shards(bloom, shard_dir)
 
     stats: dict = {"start_wave": start_wave, "waves_run": 0}
     for wave in range(start_wave, cfg.max_waves):
@@ -639,7 +654,12 @@ def run_crawl(
             proxy_rows=proxy_rows,
         )
         if bloom is not None and shard_dir is not None:
-            flagged = bloom_flag_sharded(
+            _flag_sharded = (
+                cuckoo_flag_sharded
+                if isinstance(bloom, PartitionedCuckoo)
+                else bloom_flag_sharded
+            )
+            flagged = _flag_sharded(
                 cand, shard_dir, "url_hash", caches=wave_caches
             )
         else:
@@ -926,12 +946,17 @@ def run_crawl(
             # footer read, numpy bit ops — no Spark job).  The distributed
             # build_bloom path stays for bulk increments, where shipping
             # the hash column to the driver would not be wave-sized.
-            if isinstance(bloom, CuckooFilter):
+            if isinstance(bloom, (CuckooFilter, PartitionedCuckoo)):
                 # deletable variant: in-place driver insert of the wave's
-                # new hashes (kick chains are sequential — no merge form)
-                bloom.insert_many(
+                # new hashes (kick chains are sequential — no merge form);
+                # sharded form persists only the shards the insert touched
+                touched = bloom.insert_many(
                     t.url_seen.staged_column(staged_seen, "url_hash")
                 )
+                if shard_dir is not None and isinstance(
+                    bloom, PartitionedCuckoo
+                ):
+                    save_cuckoo_shards(bloom, shard_dir, touched)
             elif discovered_new <= cfg.bloom_driver_increment_max:
                 new_hashes = t.url_seen.staged_column(staged_seen, "url_hash")
                 bloom = add_hashes(bloom, new_hashes)

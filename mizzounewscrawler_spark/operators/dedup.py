@@ -553,31 +553,13 @@ class CuckooFilter:
 
     # -- vectorized batch API (crawl-loop integration) ---------------------
 
-    def _fp_buckets_batch(self, h: np.ndarray):
-        """(fp, i1, i2) arrays — bit-identical to the scalar
-        :meth:`_fp_and_buckets` (uint64 products fit: fp·0x5BD1E995 < 2^47)."""
-        hu = h.astype(np.uint64)
-        fp = ((hu >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint64)
-        fp[fp == 0] = 1
-        mask = np.uint64(self.nbuckets - 1)
-        i1 = hu & mask
-        i2 = (i1 ^ (fp * np.uint64(0x5BD1E995))) & mask
-        return (
-            fp.astype(np.uint16),
-            i1.astype(np.int64),
-            i2.astype(np.int64),
-        )
-
     def contains_batch(self, h: np.ndarray) -> np.ndarray:
         """Vectorized membership — the probe path ``bloom_maybe_seen_col``
-        calls (duck-typed with ``PartitionedBloom.contains``)."""
+        calls (duck-typed with ``PartitionedBloom.contains``); shares the
+        :func:`_cuckoo_probe_table` kernel with the shard-aligned path."""
         if len(h) == 0:
             return np.zeros(0, dtype=bool)
-        fp, i1, i2 = self._fp_buckets_batch(np.asarray(h, dtype=np.int64))
-        t = self.table
-        return (t[i1] == fp[:, None]).any(axis=1) | (
-            t[i2] == fp[:, None]
-        ).any(axis=1)
+        return _cuckoo_probe_table(self.table, np.asarray(h, dtype=np.int64))
 
     def insert_many(self, hashes: np.ndarray) -> int:
         """Idempotent-ish bulk insert: hashes already (possibly falsely)
@@ -606,20 +588,190 @@ class CuckooFilter:
                    if self.delete(int(h)))
 
 
+def _cuckoo_probe_table(table: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Stateless vectorized membership over a raw (nbuckets, 4) uint16
+    cuckoo table — the one probe kernel shared by ``contains_batch`` and
+    the shard-aligned ``cuckoo_flag_sharded`` task path (guaranteed probe
+    parity)."""
+    nbuckets = table.shape[0]
+    hu = np.asarray(h, dtype=np.int64).astype(np.uint64)
+    fp = ((hu >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint64)
+    fp[fp == 0] = 1
+    mask = np.uint64(nbuckets - 1)
+    i1 = (hu & mask).astype(np.int64)
+    i2 = (((hu & mask) ^ (fp * np.uint64(0x5BD1E995))) & mask).astype(
+        np.int64
+    )
+    fp16 = fp.astype(np.uint16)
+    return (table[i1] == fp16[:, None]).any(axis=1) | (
+        table[i2] == fp16[:, None]
+    ).any(axis=1)
+
+
+class PartitionedCuckoo:
+    """Sharded deletable URL-seen filter — the 10^10 design point for the
+    cuckoo family.  Shard routing is IDENTICAL to ``PartitionedBloom``
+    (top ``shard_bits`` of the unsigned hash), so the same repartition-by-
+    shard probe plan applies; each shard is an independent
+    :class:`CuckooFilter` (kick chains never cross shards, so per-shard
+    persistence is exact).  Memory math: capacity 10^10 at 16-bit
+    fingerprints ≈ 22 GB total; with shard_bits=10 each shard is ~21 MB —
+    a probe task loads only its shard file, and the driver (the single
+    writer) persists only the shards a wave's insert touched."""
+
+    def __init__(self, capacity: int, shard_bits: int = 0, seed: int = 42):
+        self.shard_bits = shard_bits
+        n = 1 << shard_bits
+        per = max(1, capacity // n)
+        self.shards = {
+            i: CuckooFilter(per, seed=seed + i) for i in range(n)
+        }
+
+    @property
+    def num_shards(self) -> int:
+        return 1 << self.shard_bits
+
+    def shard_of(self, h_unsigned: np.ndarray) -> np.ndarray:
+        if self.shard_bits == 0:
+            return np.zeros(len(h_unsigned), dtype=np.uint64)
+        return h_unsigned >> np.uint64(64 - self.shard_bits)
+
+    def _route(self, hashes) -> dict[int, np.ndarray]:
+        arr = np.asarray(hashes, dtype=np.int64)
+        sids = self.shard_of(arr.view(np.uint64))
+        return {
+            int(s): arr[sids == s] for s in np.unique(sids)
+        }
+
+    def contains_batch(self, hashes) -> np.ndarray:
+        arr = np.asarray(hashes, dtype=np.int64)
+        if len(arr) == 0:
+            return np.zeros(0, dtype=bool)
+        sids = self.shard_of(arr.view(np.uint64))
+        out = np.zeros(len(arr), dtype=bool)
+        for s in np.unique(sids):
+            m = sids == s
+            out[m] = _cuckoo_probe_table(
+                self.shards[int(s)].table, arr[m]
+            )
+        return out
+
+    def insert_many(self, hashes) -> list[int]:
+        """Returns the TOUCHED shard ids (for O(touched) persistence)."""
+        routed = self._route(hashes)
+        for s, hs in routed.items():
+            self.shards[s].insert_many(hs)
+        return sorted(routed)
+
+    def delete_many(self, hashes) -> list[int]:
+        routed = self._route(hashes)
+        for s, hs in routed.items():
+            self.shards[s].delete_many(hs)
+        return sorted(routed)
+
+
+def save_cuckoo_shards(
+    pc: PartitionedCuckoo, dir_path: str, shard_ids=None
+) -> None:
+    """Persist shard tables (one file per shard, tmp+rename atomic) + a
+    params manifest — same layout contract as ``save_bloom_shards``.
+    ``shard_ids``: only rewrite the shards a wave's insert touched."""
+    os.makedirs(dir_path, exist_ok=True)
+    any_shard = next(iter(pc.shards.values()))
+    params = {
+        "kind": "cuckoo",
+        "shard_bits": pc.shard_bits,
+        "nbuckets": int(any_shard.nbuckets),
+    }
+    ptmp = os.path.join(dir_path, ".params.json.tmp")
+    with open(ptmp, "w") as f:
+        json.dump(params, f)
+    os.replace(ptmp, os.path.join(dir_path, "params.json"))
+    ids = range(pc.num_shards) if shard_ids is None else shard_ids
+    for sid in ids:
+        p = os.path.join(dir_path, f"shard_{sid:05d}.bin")
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(pc.shards[int(sid)].table.tobytes())
+        os.replace(tmp, p)
+
+
+def cuckoo_flag_sharded(
+    candidates: DataFrame,
+    shard_dir: str,
+    hash_col: str = "url_hash",
+    caches: list | None = None,
+) -> DataFrame:
+    """Shard-ALIGNED cuckoo probe — the deletable twin of
+    ``bloom_flag_sharded``: repartition candidates by ``shard_of(hash)``,
+    each task loads ONLY its ~21 MB shard table (executor-memoized on
+    mtime), probes with the shared :func:`_cuckoo_probe_table` kernel.
+    Missing shard file ⇒ definitely new (sound: shards are persisted
+    before the probe runs).  Output contract matches ``bloom_flag``:
+    candidates + cached boolean ``_maybe_seen``."""
+    with open(os.path.join(shard_dir, "params.json")) as f:
+        params = json.load(f)
+    shard_bits, nbuckets = params["shard_bits"], params["nbuckets"]
+    num_shards = 1 << shard_bits
+
+    h_long = F.col(hash_col).cast("long")
+    shard_expr = (
+        F.shiftrightunsigned(h_long, 64 - shard_bits) if shard_bits else F.lit(0)
+    )
+    with_shard = candidates.withColumn("_shard", shard_expr.cast("int"))
+    parted = with_shard.repartition(num_shards, F.col("_shard"))
+
+    out_schema = with_shard.drop("_shard").schema.add("_maybe_seen", "boolean")
+    out_cols = [f.name for f in out_schema.fields]
+    mtimes = {sid: _shard_mtime(shard_dir, sid) for sid in range(num_shards)}
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            h = pdf[hash_col].to_numpy(dtype=np.int64)
+            maybe = np.zeros(len(pdf), dtype=bool)
+            for sid in np.unique(pdf["_shard"].to_numpy()):
+                raw = _load_shard_cached(shard_dir, int(sid), mtimes[int(sid)])
+                if raw is None:
+                    continue
+                table = np.frombuffer(raw, dtype=np.uint16).reshape(
+                    nbuckets, CuckooFilter.BUCKET
+                )
+                mask = (pdf["_shard"] == sid).to_numpy()
+                maybe[mask] = _cuckoo_probe_table(table, h[mask])
+            res = pdf.drop(columns=["_shard"])
+            res["_maybe_seen"] = maybe
+            yield res[out_cols]
+
+    flagged = parted.mapInPandas(probe, out_schema).cache()
+    if caches is not None:
+        caches.append(flagged)
+    return flagged
+
+
 def build_cuckoo(
-    df: DataFrame, hash_col: str, capacity: int, seed: int = 42
-) -> CuckooFilter:
+    df: DataFrame,
+    hash_col: str,
+    capacity: int,
+    seed: int = 42,
+    shard_bits: int = 0,
+) -> CuckooFilter | PartitionedCuckoo:
     """Build the deletable URL-seen filter from the seen table.
 
     Driver-side build (collect the hash column): the cuckoo's kick chains
     are inherently sequential, so unlike the Bloom there is no shard-local
-    distributed build to OR-merge.  Memory math at the 10^10 design point:
-    table bytes ≈ capacity·1.1·2 ≈ 22 GB — like the Bloom bitmap this
-    exceeds the broadcast budget, and the same shard-by-top-hash-bits
-    remedy applies (each shard is an independent cuckoo table; the probe
-    repartitions candidates by shard — see ``bloom_flag_sharded``).  The
-    sandbox wiring keeps the broadcast path; sharding the cuckoo is the
-    documented cluster extension."""
+    distributed build to OR-merge — but the build cost is O(n) numpy and
+    the driver is the single WRITER either way.  ``shard_bits=0`` returns
+    one broadcastable :class:`CuckooFilter`; ``shard_bits>0`` returns the
+    :class:`PartitionedCuckoo` whose per-shard files the shard-aligned
+    probe loads (no whole-filter broadcast — the same fix as the sharded
+    Bloom, see the memory math on both classes)."""
+    if shard_bits > 0:
+        pc = PartitionedCuckoo(max(capacity, 1), shard_bits, seed=seed)
+        pdf = df.select(F.col(hash_col).cast("long").alias("h")).toPandas()
+        pc.insert_many(pdf["h"].to_numpy(dtype=np.int64))
+        return pc
     cf = CuckooFilter(max(capacity, 1), seed=seed)
     pdf = df.select(F.col(hash_col).cast("long").alias("h")).toPandas()
     cf.insert_many(pdf["h"].to_numpy(dtype=np.int64))

@@ -461,3 +461,53 @@ def test_requeue_seen_unsees_urls_end_to_end(spark, web_spark):
     others = seen.join(victims.select("url_hash"), "url_hash",
                        "left_anti").limit(5)
     assert filter_unseen(others, seen_after, cf).count() == 0
+
+
+def test_partitioned_cuckoo_matches_flat():
+    """Shard routing must not change membership semantics: a
+    PartitionedCuckoo answers exactly like per-shard flat filters, with no
+    false negatives and working deletes per shard."""
+    import numpy as np
+
+    from mizzounewscrawler_spark.operators.dedup import PartitionedCuckoo
+
+    rng = np.random.default_rng(11)
+    hs = rng.integers(-(2**63), 2**63 - 1, size=3000, dtype=np.int64)
+    pc = PartitionedCuckoo(8000, shard_bits=3)
+    touched = pc.insert_many(hs)
+    assert set(touched) <= set(range(8))
+    assert pc.contains_batch(hs).all()  # no false negatives
+    pc.delete_many(hs[:300])
+    still = pc.contains_batch(hs[:300]).sum()
+    assert still < 20
+    assert pc.contains_batch(hs[300:]).all()
+
+
+def test_crawl_with_sharded_cuckoo_matches_bloom(spark, web_spark):
+    """End-to-end: url_seen_filter='cuckoo' + bloom_sharded=True (the
+    PartitionedCuckoo shard-file probe) produces the identical crawl."""
+    import tempfile
+
+    from mizzounewscrawler_spark.crawl import (
+        CrawlConfig,
+        open_tables,
+        run_crawl,
+    )
+
+    pages, seeds, robots = web_spark
+    results = {}
+    for name, cfg in {
+        "bloom": CrawlConfig(max_waves=3, bloom_capacity=10000),
+        "cuckoo_sharded": CrawlConfig(
+            max_waves=3, bloom_capacity=10000,
+            url_seen_filter="cuckoo", bloom_sharded=True,
+        ),
+    }.items():
+        out = tempfile.mkdtemp(prefix=f"crawl_{name}_")
+        run_crawl(spark, pages, seeds, robots, out, cfg)
+        t = open_tables(spark, out)
+        results[name] = sorted(
+            r["url_surt"] for r in t.url_seen.read().collect()
+        )
+    assert results["cuckoo_sharded"] == results["bloom"]
+    assert len(results["cuckoo_sharded"]) > 10
