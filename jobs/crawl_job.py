@@ -44,6 +44,14 @@ def parse_args(argv):
     ap.add_argument("--max-depth", type=int, default=10)
     ap.add_argument("--bucket-sweep", type=int, default=0)
     ap.add_argument("--bloom-capacity", type=int, default=1_000_000)
+    ap.add_argument("--url-seen-filter", choices=("bloom", "cuckoo"),
+                    default="bloom",
+                    help="pre-filter family: append-only bloom or the "
+                         "deletable cuckoo (frontier retraction)")
+    ap.add_argument("--sharded", action="store_true",
+                    help="shard-aligned probe: per-shard filter files, no "
+                         "whole-filter broadcast (the 10^10 design point)")
+    ap.add_argument("--shard-bits", type=int, default=4)
     ap.add_argument("--order-log", action="store_true",
                     help="global (wave, seq) order artifact (single-partition sort)")
     ap.add_argument("--recrawl-sources", action="store_true",
@@ -85,6 +93,9 @@ def main(argv=None) -> int:
         max_depth=args.max_depth,
         bucket_sweep=args.bucket_sweep,
         bloom_capacity=args.bloom_capacity,
+        url_seen_filter=args.url_seen_filter,
+        bloom_sharded=args.sharded,
+        bloom_shard_bits=args.shard_bits,
         with_order_log=args.order_log,
         recrawl_sources=args.recrawl_sources,
     )

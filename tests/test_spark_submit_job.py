@@ -52,6 +52,10 @@ def test_spark_submit_pyfiles_crawl():
             "--out", out,
             "--synthetic", "8:200:7",
             "--waves", "2",
+            # exercise the deletable sharded filter through the real
+            # --py-files packaging path too
+            "--url-seen-filter", "cuckoo",
+            "--sharded", "--shard-bits", "3",
         ]
         proc = subprocess.run(
             cmd, cwd=tmp, env=env, capture_output=True, text=True, timeout=420
@@ -66,3 +70,7 @@ def test_spark_submit_pyfiles_crawl():
         # snapshots committed on disk (resumable checkpoint)
         snapdir = os.path.join(out, "frontier", "snapshots")
         assert os.path.isdir(snapdir) and len(os.listdir(snapdir)) >= 2
+        # sharded cuckoo persisted its per-shard files + manifest
+        sdir = os.path.join(out, "cuckoo_shards")
+        assert os.path.isfile(os.path.join(sdir, "params.json"))
+        assert any(n.startswith("shard_") for n in os.listdir(sdir))
