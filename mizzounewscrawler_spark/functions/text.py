@@ -316,3 +316,40 @@ def pii_redact_expr(text: Column) -> Column:
     for _, pat, rep in PII_PATTERNS:
         out = F.regexp_replace(out, pat, rep)
     return out
+
+
+def compression_ratio_col(text: Column, level: int = 6) -> Column:
+    """zlib compression-ratio quality signal (the Dolma/RefinedWeb
+    repetitiveness proxy): compressed_bytes / raw_utf8_bytes, rounded to 6.
+
+    Low (<~0.35) = highly repetitive/templated text (SEO farms, boilerplate
+    loops the word-level Gopher gates can miss); high (>~0.8) = near-
+    incompressible noise (base64 blobs, minified junk).  NULL for NULL or
+    empty text.
+
+    Arrow-batched pandas UDF — zlib is C and CPU-bound, and no JVM
+    expression equivalent exists; the compression level is pinned so the
+    signal is bit-reproducible across runs and engines.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+
+    def _ratio(s):
+        import zlib
+
+        def one(x):
+            if x is None:
+                return None
+            b = x.encode("utf-8", "ignore")
+            if not b:
+                return None
+            return round(len(zlib.compress(b, lvl)) / len(b), 6)
+
+        return s.map(one)
+
+    # explicit annotations (module has `from __future__ import annotations`,
+    # which would stringify inline hints beyond pyspark's resolver)
+    _ratio.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_ratio, "double")(text)

@@ -2421,6 +2421,43 @@ GROUP BY doc_id
 """
 
 
+def q_compression_quality(spark, sf):
+    """zlib compression-ratio quality bands (Dolma/RefinedWeb
+    repetitiveness proxy).  Spark computes the per-doc ratio (zlib has no
+    DuckDB function) and persists the fixture; BOTH engines band and
+    aggregate the identical doubles — count/min/max only (order-free, so
+    no float-summation divergence)."""
+    from mizzounewscrawler_spark.functions.text import compression_ratio_col
+
+    d = t(spark, sf, "documents")
+    ratios = d.select(
+        "doc_id", compression_ratio_col(F.col("text")).alias("ratio")
+    )
+    path = _write_fixture(ratios.toPandas(), "zlib_ratios")
+    fx = spark.read.parquet(path).where(F.col("ratio").isNotNull())
+    band = (
+        F.when(F.col("ratio") < 0.35, "repetitive")
+        .when(F.col("ratio") <= 0.8, "normal")
+        .otherwise("noisy")
+    )
+    return fx.select(band.alias("band"), "ratio").groupBy("band").agg(
+        F.count("*").alias("n_docs"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
+    )
+
+
+SQL_COMPRESSION_QUALITY = f"""
+SELECT CASE WHEN ratio < 0.35 THEN 'repetitive'
+            WHEN ratio <= 0.8 THEN 'normal'
+            ELSE 'noisy' END AS band,
+       count(*) AS n_docs, min(ratio) AS min_ratio, max(ratio) AS max_ratio
+FROM '{_FIX_DIR}/zlib_ratios.parquet'
+WHERE ratio IS NOT NULL
+GROUP BY 1
+"""
+
+
 def q_ivf_ann(spark, sf):
     """IVF-style ANN top-10 (deterministic coarse quantizer, nprobe cells).
     SQL mirror via the fixture pattern: Spark computes the IVF candidate
@@ -2980,6 +3017,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("embedding_neardup_exact", q_embedding_neardup_exact, SQL_EMB_NEARDUP, "dedup (embedding)"),
     QuerySpec("semdedup", q_semdedup, SQL_SEMDEDUP, "dedup (SemDeDup semantic)"),
     QuerySpec("containment_search", q_containment_search, SQL_CONTAINMENT, "join (set containment / boolean search)"),
+    QuerySpec("compression_quality", q_compression_quality, SQL_COMPRESSION_QUALITY, "text ops (zlib quality signal)"),
     QuerySpec("minhash_lsh_neardup", q_minhash_neardup, SQL_MINHASH, "dedup (LSH)"),
     QuerySpec("incremental_neardup", q_incremental_neardup, SQL_INCR_NEARDUP, "dedup (incremental index probe)"),
     QuerySpec("simhash_neardup", q_simhash_neardup, SQL_SIMHASH, "dedup (SimHash)"),

@@ -222,3 +222,35 @@ def test_pii_counts_are_per_kind(spark):
     )
     r = df.collect()[0]
     assert (r["e"], r["s"], r["p"], r["i"]) == (2, 1, 0, 1)
+
+
+def test_compression_ratio_signal(spark):
+    """zlib quality signal: exact parity with local zlib, NULL on empty,
+    repetitive text scores far lower than high-entropy text."""
+    import zlib
+
+    from mizzounewscrawler_spark.functions.text import compression_ratio_col
+    from pyspark.sql import functions as F
+
+    import random
+
+    rep = "spam " * 400
+    rng = random.Random(42)
+    noisy = "".join(chr(rng.randrange(33, 123)) for _ in range(2000))
+    rows = [(1, rep), (2, noisy), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["ratio"]
+        for r in df.select(
+            "id", compression_ratio_col(F.col("text")).alias("ratio")
+        ).collect()
+    }
+
+    def expect(s):
+        b = s.encode()
+        return round(len(zlib.compress(b, 6)) / len(b), 6)
+
+    assert got[1] == expect(rep)
+    assert got[2] == expect(noisy)
+    assert got[3] is None and got[4] is None
+    assert got[1] < 0.05 < 0.5 < got[2]
