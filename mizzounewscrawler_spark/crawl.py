@@ -504,10 +504,24 @@ def run_crawl(
     )
 
     if t.frontier.exists():
-        last = t.frontier.current_snapshot()
-        start_wave = int(last.summary["wave"]) + 1
+        # resume from the newest WAVE-BEARING snapshot: maintenance commits
+        # (requeue readmission, out-of-band compaction without a copied
+        # summary) legitimately sit on top of the checkpoint chain without
+        # a "wave" key and must not break resume
+        cur = t.frontier.current_snapshot()
+        wave_snaps = [
+            s for s in t.frontier.snapshots() if "wave" in s.summary
+        ]
+        last = wave_snaps[-1] if wave_snaps else cur
+        start_wave = int(last.summary.get("wave", -1)) + 1
         frontier = t.frontier.read().where(F.col("status") == "discovered")
-        frontier_size = int(last.summary.get("next_frontier", frontier.count()))
+        if cur.version == last.version and "next_frontier" in last.summary:
+            frontier_size = int(last.summary["next_frontier"])
+        else:
+            # maintenance commits after the checkpoint may have added
+            # (requeue) or rewritten rows — the recorded counter is stale;
+            # one count job on resume only
+            frontier_size = frontier.count()
         seen = _read_at_wave(t.url_seen, start_wave - 1)
         host_state_df = _read_at_wave(t.host_state, start_wave - 1)
     else:

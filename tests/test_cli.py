@@ -201,3 +201,17 @@ def test_cli_requeue_unsees_and_readmits(lake, spark, capsys):
     fr = t2.frontier.read()
     rows = fr.where(fr["url_hash"] == art["url_hash"]).collect()
     assert len(rows) == 1 and rows[0]["status"] == "discovered"
+
+    # full cycle: resuming the crawl (same --out, more waves) refetches the
+    # requeued URL — a second article row lands at a later wave
+    rc = cli.main(
+        ["crawl", "--out", f"{lake}/crawl", "--synthetic", "4:120:7",
+         "--waves", "4", "--max-per-host", "30"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    t3 = open_tables(spark, f"{lake}/crawl")
+    arts = t3.articles.read()
+    refetched = arts.where(arts["url_hash"] == art["url_hash"]).collect()
+    waves = sorted(r["wave"] for r in refetched)
+    assert len(waves) == 2 and waves[0] == art["wave"] and waves[1] > art["wave"]
