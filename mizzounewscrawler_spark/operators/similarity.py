@@ -430,7 +430,12 @@ def semdedup_assign(
     a Lloyd round.  Per round the shuffle carries only (cell, dim, partial
     sum) scalars and the driver collects n_clusters × dim aggregated
     doubles — at 10^9 rows × 64 dims × 64k clusters that is 4M scalars,
-    broadcast back as literals.  Centroid coordinates are rounded to 9
+    broadcast back as literals.  (If k·d outgrows literal broadcasting —
+    e.g. 768-dim embeddings at 100k+ clusters — keep the centroids as a
+    DataFrame instead: broadcast-join docs × centroids and take the
+    row_number()-over-(sim DESC, cell DESC) winner; the ordering semantics
+    below are already defined to make that swap plan-only, not
+    semantic.)  Centroid coordinates are rounded to 9
     decimals and similarities to 6 before the argmax so assignment ties
     break identically everywhere (tie → larger cell id, matching the SQL
     mirror's ``ORDER BY sim DESC, cell DESC``).
