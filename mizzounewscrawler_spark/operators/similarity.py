@@ -411,9 +411,9 @@ def _md5_cell(id_col: Column, n_clusters: int) -> Column:
 
 def _safe_cos_guarded(a: Column, b: Column) -> Column:
     """Cosine with zero-norm vectors pinned to -2.0 (below any true cosine)
-    so argmax assignment never sees NULL/NaN."""
-    denom = norm_expr(a) * norm_expr(b)
-    return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(-2.0))
+    so argmax assignment never sees NULL/NaN — ``cosine_expr`` emits NULL
+    exactly for the zero-denominator case, so one coalesce is the guard."""
+    return F.coalesce(cosine_expr(a, b), F.lit(-2.0))
 
 
 def semdedup_assign(
@@ -534,15 +534,18 @@ def semdedup(
             F.substring(F.md5(F.col("id").cast("string")), 1, 4), 16, 10
         ).cast("long")
         nsplits = F.ceil(F.col("m") / F.lit(max_cluster_size)).cast("long")
-        # sub-cell key = cell * 2^20 + md5-bucket mod nsplits: deterministic,
-        # partitioning-independent, and distinct across parent cells
+        # sub-cell key = (cell + 1) * 2^20 + md5-bucket mod nsplits:
+        # deterministic, partitioning-independent, distinct across parent
+        # cells, AND disjoint from every un-split cell id — the +1 offset
+        # keeps hot cell 0's sub-keys (>= 2^20) from colliding with plain
+        # cells 0..n_clusters-1 (cells are < 2^20 by construction)
         assign = (
             assign.join(F.broadcast(sizes), "cell")
             .withColumn(
                 "prune_cell",
                 F.when(
                     F.col("m") > max_cluster_size,
-                    F.col("cell") * F.lit(1 << 20)
+                    (F.col("cell") + 1) * F.lit(1 << 20)
                     + F.pmod(md5_bucket, nsplits),
                 ).otherwise(F.col("cell")),
             )

@@ -293,25 +293,11 @@ def test_semdedup_max_cluster_size_guard(spark, emb):
     import hashlib
     import math
 
-    cap = 20
-    out = semdedup(
-        emb, n_clusters=8, threshold=0.30, max_cluster_size=cap
-    ).collect()
-    assert len(out) == emb.count()
-    assert {r["cell"] for r in out} == {r["cell"] for r in base.collect()}
-    # both kernels agree under the cap too
-    out_p = semdedup(
-        emb, n_clusters=8, threshold=0.30, max_cluster_size=cap,
-        kernel="pandas",
-    ).collect()
-    assert {r["vec_id"]: r["kept"] for r in out} == {
-        r["vec_id"]: r["kept"] for r in out_p
-    }
-
     assign = semdedup_assign(emb, n_clusters=8).collect()
     by_cell: dict[int, list] = {}
     for r in assign:
         by_cell.setdefault(int(r["cell"]), []).append(r)
+    sizes = sorted(len(v) for v in by_cell.values())
 
     def md5_bucket(i) -> int:
         return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
@@ -322,17 +308,36 @@ def test_semdedup_max_cluster_size_guard(spark, emb):
         nw = math.sqrt(sum(x * x for x in w))
         return round(d / (nu * nw), 6) if nu * nw else 0.0
 
-    expect = {}
-    for cell, rows in by_cell.items():
-        nsplits = max(1, -(-len(rows) // cap)) if len(rows) > cap else 1
-        subs: dict[int, list] = {}
-        for r in rows:
-            subs.setdefault(md5_bucket(r["id"]) % nsplits, []).append(r)
-        for members in subs.values():
-            members.sort(key=lambda r: (r["centroid_sim"], r["id"]))
-            for j, rj in enumerate(members):
-                expect[rj["id"]] = not any(
-                    cos(ri["v"], rj["v"]) >= 0.30 for ri in members[:j]
-                )
-    got = {r["vec_id"]: r["kept"] for r in out}
-    assert got == expect
+    def replay(cap):
+        expect = {}
+        for cell, rows in by_cell.items():
+            nsplits = max(1, -(-len(rows) // cap)) if len(rows) > cap else 1
+            subs: dict[int, list] = {}
+            for r in rows:
+                subs.setdefault(md5_bucket(r["id"]) % nsplits, []).append(r)
+            for members in subs.values():
+                members.sort(key=lambda r: (r["centroid_sim"], r["id"]))
+                for j, rj in enumerate(members):
+                    expect[rj["id"]] = not any(
+                        cos(ri["v"], rj["v"]) >= 0.30 for ri in members[:j]
+                    )
+        return expect
+
+    # cap=20 splits EVERY cell; the mixed cap leaves some cells plain while
+    # cell 0 (if hot) subsplits — the regression case where sub-cell keys
+    # colliding with plain cell ids would merge distinct clusters
+    mixed_cap = sizes[len(sizes) // 2]  # median size: ~half hot, half plain
+    for cap in (20, mixed_cap):
+        out = semdedup(
+            emb, n_clusters=8, threshold=0.30, max_cluster_size=cap
+        ).collect()
+        assert len(out) == emb.count()
+        assert {r["cell"] for r in out} == set(by_cell)
+        got = {r["vec_id"]: r["kept"] for r in out}
+        assert got == replay(cap), f"cap={cap}"
+    # both kernels agree under the cap too
+    out_p = semdedup(
+        emb, n_clusters=8, threshold=0.30, max_cluster_size=20,
+        kernel="pandas",
+    ).collect()
+    assert {r["vec_id"]: r["kept"] for r in out_p} == replay(20)
