@@ -422,24 +422,37 @@ def semdedup_assign(
     iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_mode: str = "literal",
 ) -> DataFrame:
     """Deterministic k-means assignment: (id, v, cell, centroid_sim).
 
     ``iters=0`` is ONE centroid-build + assignment pass from the md5 seed
     cells (the SQL-mirrorable form used by the catalog); each extra iter is
-    a Lloyd round.  Per round the shuffle carries only (cell, dim, partial
-    sum) scalars and the driver collects n_clusters × dim aggregated
-    doubles — at 10^9 rows × 64 dims × 64k clusters that is 4M scalars,
-    broadcast back as literals.  (If k·d outgrows literal broadcasting —
-    e.g. 768-dim embeddings at 100k+ clusters — keep the centroids as a
-    DataFrame instead: broadcast-join docs × centroids and take the
-    row_number()-over-(sim DESC, cell DESC) winner; the ordering semantics
-    below are already defined to make that swap plan-only, not
-    semantic.)  Centroid coordinates are rounded to 9
-    decimals and similarities to 6 before the argmax so assignment ties
-    break identically everywhere (tie → larger cell id, matching the SQL
-    mirror's ``ORDER BY sim DESC, cell DESC``).
+    a Lloyd round.
+
+    assign_mode="literal": per round the shuffle carries only (cell, dim,
+    partial sum) scalars and the driver collects n_clusters × dim
+    aggregated doubles — at 64 dims × 64k clusters that is 4M scalars,
+    broadcast back as literals folded into one codegen'd ``array_max``
+    expression.  Best when k·d fits a literal expression tree.
+
+    assign_mode="join": fully distributed — the centroid table never
+    touches the driver.  Centroids stay a (cell, centroid) DataFrame,
+    assignment is a broadcast nested-loop join docs × centroids followed by
+    a map-side-combining ``max(struct(sim, cell))`` groupBy on id (the
+    partial aggregation collapses each task's n×k scored rows back to n
+    before the shuffle).  Use when k·d outgrows literal broadcasting —
+    e.g. 768-dim embeddings at 100k+ clusters, where the literal tree
+    would be tens of MB of plan.  Same rounding, same tie-break, same
+    result (parity-tested): the swap is plan-only, not semantic.
+
+    Centroid coordinates are rounded to 9 decimals and similarities to 6
+    before the argmax so assignment ties break identically everywhere
+    (tie → larger cell id, matching the SQL mirror's ``ORDER BY sim DESC,
+    cell DESC``).
     """
+    if assign_mode not in ("literal", "join"):
+        raise ValueError(f"unknown assign_mode {assign_mode!r}")
     base = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -447,12 +460,51 @@ def semdedup_assign(
     cur = base.withColumn("cell", _md5_cell(F.col("id"), n_clusters))
     out = None
     for _ in range(iters + 1):
-        cent_rows = (
+        cent_means = (
             cur.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
             .agg(F.round(F.avg("x"), 9).alias("mean_x"))
-            .collect()
         )
+        if assign_mode == "join":
+            cents = (
+                cent_means.groupBy("cell")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "mean_x"))
+                    ).alias("pairs")
+                )
+                .select(
+                    F.col("cell").alias("c_cell"),
+                    F.transform("pairs", lambda p: p["mean_x"]).alias(
+                        "centroid"
+                    ),
+                )
+            )
+            scored = base.crossJoin(F.broadcast(cents)).select(
+                "id",
+                "v",
+                F.struct(
+                    F.round(
+                        _safe_cos_guarded(F.col("v"), F.col("centroid")), 6
+                    ).alias("sim"),
+                    F.col("c_cell").cast("long").alias("cell"),
+                ).alias("cand"),
+            )
+            # max(struct) == array_max tie-break: max sim, then max cell.
+            # v is constant per id so first() is deterministic here.
+            out = (
+                scored.groupBy("id")
+                .agg(F.max("cand").alias("best"), F.first("v").alias("v"))
+                .select(
+                    "id",
+                    "v",
+                    F.col("best.cell").alias("cell"),
+                    F.col("best.sim").alias("centroid_sim"),
+                )
+            )
+            cur = out
+            continue
+        cent_rows = cent_means.collect()
         centroids: dict[int, dict[int, float]] = {}
         for r in cent_rows:
             centroids.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(
@@ -497,6 +549,7 @@ def semdedup(
     vec_col: str = "embedding",
     kernel: str = "join",
     max_cluster_size: int | None = None,
+    assign_mode: str = "literal",
 ) -> DataFrame:
     """SemDeDup keep/remove verdicts: (vec_id, cell, centroid_sim, kept).
 
@@ -515,6 +568,12 @@ def semdedup(
     The two kernels agree except on adversarial cosines within an ulp of
     the round-6 boundary (parity-tested in tests/test_similarity.py).
 
+    ``assign_mode`` picks the centroid-assignment plan (see
+    ``semdedup_assign``): "literal" collects k·d centroid scalars to the
+    driver and folds them into one codegen'd expression; "join" keeps the
+    centroids distributed (broadcast-join + map-side-combining argmax) for
+    very large centroid sets.  Identical results either way.
+
     ``max_cluster_size`` is the skew guard for the 100-TB path: k-means on
     web-scale corpora produces hot cells (boilerplate/SEO farms collapse
     into one cluster), and a hot cell is a single straggler task holding
@@ -525,7 +584,9 @@ def semdedup(
     one hot cell are missed — the documented SemDeDup-style approximation;
     size n_clusters so only pathological cells hit the cap.
     """
-    assign = semdedup_assign(embeddings, n_clusters, iters, id_col, vec_col)
+    assign = semdedup_assign(
+        embeddings, n_clusters, iters, id_col, vec_col, assign_mode
+    )
     if max_cluster_size is None:
         assign = assign.withColumn("prune_cell", F.col("cell"))
     else:

@@ -197,6 +197,31 @@ def test_semdedup_kernel_parity(spark, emb):
     assert any(v for v in pa.values())
 
 
+def test_semdedup_assign_mode_parity(spark, emb):
+    """The distributed join-based centroid assignment (centroids never
+    touch the driver) must reproduce the literal-broadcast assignment
+    exactly — cells, rounded sims, and final verdicts — including through
+    a Lloyd refinement round where assignment drift would compound."""
+    from mizzounewscrawler_spark.operators.similarity import (
+        semdedup,
+        semdedup_assign,
+    )
+
+    for iters in (0, 1):
+        lit = semdedup_assign(emb, n_clusters=8, iters=iters)
+        jn = semdedup_assign(
+            emb, n_clusters=8, iters=iters, assign_mode="join"
+        )
+        pl = {r["id"]: (r["cell"], r["centroid_sim"]) for r in lit.collect()}
+        pj = {r["id"]: (r["cell"], r["centroid_sim"]) for r in jn.collect()}
+        assert pl == pj
+    a = semdedup(emb, n_clusters=8, threshold=0.30)
+    b = semdedup(emb, n_clusters=8, threshold=0.30, assign_mode="join")
+    va = {r["vec_id"]: r["kept"] for r in a.collect()}
+    vb = {r["vec_id"]: r["kept"] for r in b.collect()}
+    assert va == vb
+
+
 def test_semdedup_planted_duplicates(spark):
     """Exact duplicate vectors land in one cluster and all but the
     earliest (lowest id at equal centroid_sim) are removed."""
