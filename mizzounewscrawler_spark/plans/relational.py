@@ -1587,6 +1587,52 @@ FROM scored s JOIN cuts c USING (lang)
 """
 
 
+def q_quality_classifier(spark, sf):
+    """Trained quality-filter gate (GPT-3 appendix A / LLaMA): fit the
+    difference-of-rates linear classifier with the English slice as the
+    high-quality class, score every document, keep score > 0
+    (operators/classifier.py — exact BIGINT weights and scores, so both
+    engines agree bit-for-bit)."""
+    from mizzounewscrawler_spark.operators.classifier import (
+        classifier_score,
+        classifier_weights,
+        quality_gate,
+    )
+
+    d = t(spark, sf, "documents")
+    w = classifier_weights(d, F.col("lang") == "en")
+    return quality_gate(classifier_score(d, w)).select(
+        "doc_id", "n_tokens", "score", "keep"
+    )
+
+
+SQL_QUALITY_CLASSIFIER = r"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS pos,
+         list_transform(regexp_split_to_array(trim(text), '\s+'),
+                        x -> lower(x)) AS tk
+  FROM documents WHERE trim(text) <> ''
+), words AS (SELECT doc_id, pos, unnest(tk) AS token FROM toks),
+counts AS (
+  SELECT token,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+         sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+  FROM words GROUP BY 1
+), tot AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg FROM counts),
+w AS (
+  SELECT token, CAST(c_pos * n_neg - c_neg * n_pos AS BIGINT) AS weight
+  FROM counts CROSS JOIN tot
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2
+)
+SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(sum(tf.tf * coalesce(w.weight, 0)) AS BIGINT) AS score,
+       CAST(sum(tf.tf * coalesce(w.weight, 0)) AS BIGINT) > 0 AS keep
+FROM tf LEFT JOIN w USING (token)
+GROUP BY 1
+"""
+
+
 def q_dsir_resample(spark, sf):
     """DSIR importance resampling (Xie et al. 2023): target LM = the
     corpus's English slice, raw LM = the whole corpus; per-doc importance
@@ -2999,6 +3045,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("gopher_quality", q_gopher_quality, SQL_GOPHER, "text ops (repetition gates)"),
     QuerySpec("ccnet_perplexity_buckets", q_ccnet_buckets, SQL_CCNET, "curation (CCNet LM quality buckets)"),
     QuerySpec("dsir_resample", q_dsir_resample, SQL_DSIR, "curation (DSIR importance resampling)"),
+    QuerySpec("quality_classifier", q_quality_classifier, SQL_QUALITY_CLASSIFIER, "curation (trained quality filter)"),
     QuerySpec("tfidf_keywords", q_tfidf_keywords, SQL_TFIDF, "text ops (keyword extraction)"),
     QuerySpec("heavy_hitter_terms", q_heavy_hitters, SQL_HEAVY_HITTERS, "sketch (MG + exact recount)"),
     QuerySpec("pagerank_hosts", q_pagerank_hosts, SQL_PAGERANK, "graph (host authority)"),
