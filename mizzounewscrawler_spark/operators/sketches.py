@@ -159,3 +159,97 @@ def heavy_hitters(
             "groupBy path"
         )
     return df.sparkSession.createDataFrame(rows, top.schema)
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct counting (Flajolet et al. 2007) — deterministic,
+# engine-mirrorable restatement.
+#
+# The scale problem: "how many distinct URLs has this 10^10-row frontier
+# seen" — COUNT(DISTINCT) shuffles one row per distinct key; HLL keeps
+# 2^p integer registers total.  Everything here is pinned to hex-string
+# arithmetic over md5 so Spark and DuckDB produce BIT-IDENTICAL registers
+# (no engine-private hash, no bit intrinsics):
+#
+# * bucket  = first p/4 hex chars of md5(key)           (p ∈ {4,8,12,16} bits)
+# * word    = next 12 hex chars (a 48-bit tail)
+# * rho     = leading-zero BITS of the word + 1 (all-zero word → 49),
+#             computed as 4·(leading '0' hex chars) + a 16-way CASE on the
+#             first non-zero hex digit — exact string/integer ops only.
+#
+# Registers merge by MAX — map-side combinable in one groupBy, and sketches
+# from different days/tables union-merge with the same groupBy(max), which
+# is the whole point at 100 TB: distinct-URL counts compose across
+# partitions, snapshots, and clusters without ever reshuffling raw keys.
+# The estimator (alpha_m · m² / Σ 2^-rho with the small-range linear
+# correction) is the only floating step, applied to integer registers both
+# engines agree on.  The 48-bit tail caps rho at 49 — irrelevant until
+# ~2^40 distinct keys per bucket; production p=14 gives the standard
+# ±1.04/√m ≈ 0.8% error.
+# --------------------------------------------------------------------------
+
+HLL_P = 12
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = HLL_P) -> DataFrame:
+    """The sketch: one row per occupied bucket, (bucket, rho) with
+    rho = max over the bucket's keys.  ``p`` must be a multiple of 4 (the
+    bucket is hex-aligned so the SQL mirror is exact)."""
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError("hll_registers: p must be in {4, 8, 12, 16}")
+    h = F.md5(F.col(key_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, p // 4), 16, 10).cast("long")
+    w = F.substring(h, p // 4 + 1, 12)
+    z = F.length(F.regexp_extract(w, "^0*", 0))
+    first = F.substr(w, z + F.lit(1), F.lit(1))
+    lz = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(z == 12, F.lit(49)).otherwise(z * 4 + lz + 1)
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union-merge register tables (same p): groupBy(bucket).max(rho)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
+    """One-row estimate from a register table: (n_buckets, zero_buckets,
+    est_distinct).  Standard HLL estimator with the small-range linear
+    counting correction; est rounded to 4 decimals.  Stays a DataFrame —
+    the aggregation is distributed, the formula is one scalar row."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("occupied"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+    )
+    v = F.lit(m) - F.col("occupied")
+    raw = F.lit(alpha * m * m) / (F.col("s") + v.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("n_buckets"),
+        v.cast("long").alias("zero_buckets"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def approx_distinct(df: DataFrame, key_col: str, p: int = HLL_P) -> DataFrame:
+    """Sketch + estimate in one call: one-row (n_buckets, zero_buckets,
+    est_distinct) for ``key_col``."""
+    return hll_estimate(hll_registers(df, key_col, p), p)

@@ -1587,6 +1587,63 @@ FROM scored s JOIN cuts c USING (lang)
 """
 
 
+def q_hll_distinct(spark, sf):
+    """HyperLogLog distinct counting (operators/sketches.py): 2^12
+    hex-pinned registers estimate distinct l_orderkey over lineitem, with
+    the exact count alongside for validation.  Registers are bit-identical
+    across engines (md5 hex-string arithmetic only); at 10^10 URLs this
+    replaces a distinct-key shuffle with 4096 integers that merge by
+    max() across partitions, snapshots, and days."""
+    from mizzounewscrawler_spark.operators.sketches import approx_distinct
+
+    li = t(spark, sf, "lineitem")
+    est = approx_distinct(li, "l_orderkey")
+    exact = li.agg(F.countDistinct("l_orderkey").alias("exact_distinct"))
+    return est.crossJoin(exact).select(
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        "zero_buckets",
+        "est_distinct",
+        "exact_distinct",
+    )
+
+
+SQL_HLL_DISTINCT = r"""
+WITH h AS (
+  SELECT substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 3) AS bh,
+         substring(md5(CAST(l_orderkey AS VARCHAR)), 4, 12) AS w
+  FROM lineitem WHERE l_orderkey IS NOT NULL
+), r AS (
+  SELECT CAST('0x' || bh AS BIGINT) AS bucket,
+         length(regexp_extract(w, '^0*')) AS z,
+         substring(w, length(regexp_extract(w, '^0*')) + 1, 1) AS d
+  FROM h
+), reg AS (
+  SELECT bucket,
+         max(CASE WHEN z = 12 THEN 49
+                  ELSE z * 4 + (CASE WHEN d = '1' THEN 3
+                                     WHEN d IN ('2','3') THEN 2
+                                     WHEN d IN ('4','5','6','7') THEN 1
+                                     ELSE 0 END) + 1 END) AS rho
+  FROM r GROUP BY 1
+), agg AS (
+  SELECT count(*) AS occupied, sum(pow(2.0, -rho)) AS s FROM reg
+), est AS (
+  SELECT occupied, 4096 - occupied AS v,
+         (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096
+           / (s + CAST(4096 - occupied AS DOUBLE)) AS raw
+  FROM agg
+)
+SELECT CAST(4096 AS BIGINT) AS n_buckets,
+       CAST(v AS BIGINT) AS zero_buckets,
+       round(CASE WHEN raw <= 2.5 * 4096 AND v > 0
+                  THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE))
+                  ELSE raw END, 4) AS est_distinct,
+       (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+         AS exact_distinct
+FROM est
+"""
+
+
 def q_quality_classifier(spark, sf):
     """Trained quality-filter gate (GPT-3 appendix A / LLaMA): fit the
     difference-of-rates linear classifier with the English slice as the
@@ -3048,6 +3105,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("quality_classifier", q_quality_classifier, SQL_QUALITY_CLASSIFIER, "curation (trained quality filter)"),
     QuerySpec("tfidf_keywords", q_tfidf_keywords, SQL_TFIDF, "text ops (keyword extraction)"),
     QuerySpec("heavy_hitter_terms", q_heavy_hitters, SQL_HEAVY_HITTERS, "sketch (MG + exact recount)"),
+    QuerySpec("hll_distinct", q_hll_distinct, SQL_HLL_DISTINCT, "sketch (HyperLogLog distinct)"),
     QuerySpec("pagerank_hosts", q_pagerank_hosts, SQL_PAGERANK, "graph (host authority)"),
     QuerySpec("multires_rollup", q_multires_rollup, SQL_MULTIRES, "A9/P13 (rollup cascade)"),
     QuerySpec("corpus_split", q_corpus_split, SQL_CORPUS_SPLIT, "sampling (hash split)"),

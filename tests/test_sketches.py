@@ -72,3 +72,87 @@ def test_mg_merge_never_undercounts_heavy_key():
         batch = pd.Series(stream[i : i + 100]).value_counts()
         counters = _mg_merge(counters, batch, capacity=64)
     assert counters.get("hh", 0) > 0  # 400 > 2400/65 ≈ 37 → must survive
+
+
+# ---------------------------- HyperLogLog ----------------------------
+
+
+def test_hll_registers_match_python_reference(spark):
+    """Every (bucket, rho) must equal the bit-level Python md5 reference."""
+    import hashlib
+
+    from mizzounewscrawler_spark.operators.sketches import hll_registers
+
+    keys = list(range(500))
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r["bucket"]: r["rho"] for r in hll_registers(df, "k").collect()}
+    want: dict = {}
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        bucket = int(h[:3], 16)
+        w = int(h[3:15], 16)
+        rho = 49 if w == 0 else (48 - w.bit_length()) + 1
+        want[bucket] = max(want.get(bucket, 0), rho)
+    assert got == want
+
+
+def test_hll_estimate_accuracy_and_null_skip(spark):
+    from mizzounewscrawler_spark.operators.sketches import approx_distinct
+
+    n = 20000
+    df = spark.createDataFrame(
+        [(f"url-{i % n}",) for i in range(2 * n)] + [(None,)], "k string"
+    )
+    row = approx_distinct(df, "k").collect()[0]
+    # p=12 → standard error 1.04/sqrt(4096) ≈ 1.6%; allow 5%
+    assert abs(row["est_distinct"] - n) / n < 0.05
+    assert row["n_buckets"] == 4096
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    from mizzounewscrawler_spark.operators.sketches import (
+        hll_merge,
+        hll_registers,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(500, 1500)], "k long")
+    merged = {
+        r["bucket"]: r["rho"]
+        for r in hll_merge(
+            hll_registers(a, "k"), hll_registers(b, "k")
+        ).collect()
+    }
+    direct = {
+        r["bucket"]: r["rho"]
+        for r in hll_registers(a.unionByName(b), "k").collect()
+    }
+    assert merged == direct
+
+
+def test_hll_catalog_oracle_parity(spark):
+    """hll_distinct catalog entry matches DuckDB register-for-register at
+    sf0.001 (value-exact through the floating estimator's round-4)."""
+    import duckdb
+
+    from mizzounewscrawler_spark.plans.relational import (
+        SQL_HLL_DISTINCT,
+        q_hll_distinct,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in q_hll_distinct(spark, sf).collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = [tuple(r) for r in con.sql(SQL_HLL_DISTINCT).fetchall()]
+    assert got == want
+
+
+def test_hll_bad_p_raises(spark):
+    import pytest as _pytest
+
+    from mizzounewscrawler_spark.operators.sketches import hll_registers
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError):
+        hll_registers(df, "k", p=10)
