@@ -305,3 +305,54 @@ def stream_neardup_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_hll_distinct(
+    spark: SparkSession,
+    in_dir: str,
+    registers_path: str,
+    checkpoint_dir: str,
+    key_col: str = "url",
+    schema: str = "url string",
+    p: int = 12,
+):
+    """Streaming twin of :func:`operators.sketches.approx_distinct`:
+    maintain the distinct-count register table over an unbounded key
+    stream.  Each micro-batch is sketched (``hll_registers``) and merged
+    into the persisted register parquet by max() — after any prefix of
+    the stream the table equals the one-shot sketch of every key seen
+    (invariant pinned in tests), and ``hll_estimate`` reads it at any
+    time for a live distinct-URL count.
+
+    Replay-safe WITHOUT batch-id bookkeeping: register merge is
+    idempotent (max of a max), so an at-least-once re-delivery of a
+    micro-batch is a no-op on the table — the one streaming sink here
+    that needs no snapshot guard.  The table is O(2^p) rows by
+    construction (sketch-sized), so the merge collects it driver-side and
+    rewrites — never a distributed overwrite racing its own scan."""
+    from mizzounewscrawler_spark.operators.sketches import (
+        hll_merge,
+        hll_registers,
+    )
+
+    raw = spark.readStream.schema(schema).parquet(in_dir)
+
+    def _merge(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        new = hll_registers(batch_df, key_col, p)
+        try:
+            cur = sess.read.parquet(registers_path)
+            merged = hll_merge(cur, new)
+        except Exception:
+            merged = new
+        rows = [(int(r["bucket"]), int(r["rho"])) for r in merged.collect()]
+        sess.createDataFrame(rows, "bucket long, rho int").coalesce(
+            1
+        ).write.mode("overwrite").parquet(registers_path)
+
+    return (
+        raw.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

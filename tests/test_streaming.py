@@ -205,3 +205,55 @@ def test_stream_neardup_maintenance_equals_batch_self_join(spark, tmpdirs):
     # ≥2 micro-batches actually ran (batch ids recorded per append)
     n_batches = pairs_t.read().select("batch_id").distinct().count()
     assert n_batches >= 2
+
+
+def test_stream_hll_distinct_equals_batch_sketch_and_replay_safe(
+    spark, tmpdirs
+):
+    """After draining a multi-file stream, the persisted registers equal
+    the one-shot batch sketch of every key; a replay of the same data
+    with a FRESH checkpoint leaves them unchanged (max-merge idempotence
+    — the at-least-once story needs no batch-id guard)."""
+    from mizzounewscrawler_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from mizzounewscrawler_spark.streaming.waves import stream_hll_distinct
+
+    in_dir = f"{tmpdirs}/in"
+    a = spark.createDataFrame(
+        [(f"https://h{i % 7}.test/p{i}",) for i in range(400)], "url string"
+    )
+    b = spark.createDataFrame(
+        [(f"https://h{i % 7}.test/p{i}",) for i in range(200, 600)],
+        "url string",
+    )
+    a.write.mode("append").parquet(in_dir)
+    b.write.mode("append").parquet(in_dir)
+
+    reg_path = f"{tmpdirs}/registers"
+    q = stream_hll_distinct(spark, in_dir, reg_path, f"{tmpdirs}/ckpt")
+    q.awaitTermination(120)
+
+    got = {
+        (r["bucket"], r["rho"])
+        for r in spark.read.parquet(reg_path).collect()
+    }
+    want = {
+        (r["bucket"], r["rho"])
+        for r in hll_registers(a.unionByName(b), "url").collect()
+    }
+    assert got == want
+
+    # live estimate within HLL error of the true 600 distinct urls
+    est = hll_estimate(spark.read.parquet(reg_path)).collect()[0]
+    assert abs(est["est_distinct"] - 600) / 600 < 0.05
+
+    # replay everything through a fresh checkpoint: registers unchanged
+    q2 = stream_hll_distinct(spark, in_dir, reg_path, f"{tmpdirs}/ckpt2")
+    q2.awaitTermination(120)
+    again = {
+        (r["bucket"], r["rho"])
+        for r in spark.read.parquet(reg_path).collect()
+    }
+    assert again == got
