@@ -112,21 +112,19 @@ def classifier_score(
     """Score documents under a trained weight table: (id_col, n_tokens,
     score) with ``score = sum tf*weight`` (exact BIGINT; tokens absent
     from the model contribute 0).  Empty docs are dropped — nothing to
-    score.  Plan: explode → map-side-combining tf groupBy on (id, token)
-    → broadcast join the vocabulary-sized model → one doc-keyed sum."""
-    tf = (
-        _doc_tokens(docs.select(id_col, text_col), [id_col], text_col)
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    score.  Plan: explode → broadcast-join the vocabulary-sized model →
+    ONE doc-keyed groupBy.  No per-(doc, token) tf stage: summing the
+    joined weight per occurrence is the same arithmetic, and the partial
+    aggregation collapses each task's exploded rows to one row per doc
+    before the single shuffle — a tf pre-aggregation would only add a
+    second exchange on the wider (doc, token) key."""
+    tok = _doc_tokens(docs.select(id_col, text_col), [id_col], text_col)
     return (
-        tf.join(F.broadcast(weights), "token", "left")
+        tok.join(F.broadcast(weights), "token", "left")
         .groupBy(id_col)
         .agg(
-            F.sum("tf").alias("n_tokens"),
-            F.sum(
-                F.col("tf") * F.coalesce(F.col("weight"), F.lit(0))
-            ).alias("score"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("weight"), F.lit(0))).alias("score"),
         )
     )
 
