@@ -122,3 +122,36 @@ def test_corpus_curation_two_exchanges_and_scan_filter(spark):
     formatted = _plan(df)
     pushed = formatted.split("PushedFilters: [")[1].split("]")[0]
     assert "EqualTo(lang,en)" in pushed
+
+
+def test_classifier_score_single_doc_exchange(spark):
+    """quality_classifier scoring: explode → broadcast model join → ONE
+    doc-keyed Exchange (plus the training side's token exchange); no
+    per-(doc, token) tf stage, no Python eval."""
+    import pyspark.sql.functions as F
+
+    from mizzounewscrawler_spark.operators.classifier import (
+        classifier_score,
+        classifier_weights,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    w = classifier_weights(d, F.col("lang") == "en")
+    plan = _plan(classifier_score(d, w), mode="simple")
+    # scoring + training = exactly 2 data exchanges; broadcast exchanges
+    # are separate operators and don't count
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hll_registers_single_bucket_exchange(spark):
+    """HLL sketching: one Exchange on the 2^p bucket key, partial max
+    map-side; whole pipeline JVM-native."""
+    from mizzounewscrawler_spark.operators.sketches import hll_registers
+
+    d = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = _plan(hll_registers(d, "l_orderkey"), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_max" in plan
+    assert "BatchEvalPython" not in plan and "EvalPython" not in plan
