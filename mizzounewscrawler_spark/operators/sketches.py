@@ -30,7 +30,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -253,3 +253,100 @@ def approx_distinct(df: DataFrame, key_col: str, p: int = HLL_P) -> DataFrame:
     """Sketch + estimate in one call: one-row (n_buckets, zero_buckets,
     est_distinct) for ``key_col``."""
     return hll_estimate(hll_registers(df, key_col, p), p)
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — deterministic,
+# engine-mirrorable restatement; the frequency companion to the HLL above.
+#
+# The scale problem: point-frequency estimates ("how often has this URL /
+# host / shingle appeared") over 10^12 rows without a per-distinct-key
+# shuffle.  The sketch is a d × w integer grid: row i increments column
+# md5(i ':' key) mod w; a key's estimate is the MIN over its d cells —
+# always ≥ the true count, within εN (ε = e/w) with probability 1−δ
+# (δ = e^−d).  Like the HLL registers, the grid is
+#
+# * integer-exact and hash-pinned (md5 hex arithmetic only) — Spark and
+#   DuckDB build BIT-IDENTICAL grids;
+# * mergeable by cell-wise SUM — map-side combinable in one groupBy, and
+#   grids from different days/tables/clusters add, so frequency state
+#   composes across snapshots exactly like the crawl's counters;
+# * O(d·w) total — broadcast-sized by construction, never keyed by the
+#   (unbounded) key domain.
+#
+# Unlike Misra-Gries above (which prunes candidates for an EXACT top-k
+# recount), the CMS answers arbitrary after-the-fact point queries
+# without rescanning — the two sketches cover different questions.
+# --------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 1024
+
+
+def _cms_col(key: Column, row: int, w: int) -> Column:
+    """Column index of ``key`` in sketch row ``row``: first 8 hex chars of
+    md5('<row>:'||key) mod w — 32 bits, exact in long arithmetic."""
+    h = F.md5(F.concat_ws(":", F.lit(str(row)), key.cast("string")))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(w))
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Build the grid: one output row per non-empty cell, (row, col, cnt).
+    One groupBy over d·n exploded cells with map-side partial sums — the
+    shuffle carries at most d·w rows per task."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _cms_col(F.col(key_col), i, w).alias("col"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of same-shape grids (the linearity property)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Point estimates for ``keys``: (key_col, est) with est = min over
+    the key's d cells (missing cell → 0).  The grid is O(d·w) and
+    broadcast; each key probes d cells via one broadcast join — no
+    shuffle of the key stream beyond its own distinct."""
+    probes = keys.select(key_col).distinct()
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _cms_col(F.col(key_col), i, w).alias("col"),
+            )
+            for i in range(d)
+        ]
+    )
+    exploded = probes.select(key_col, F.explode(cells).alias("c")).select(
+        key_col, F.col("c.row").alias("row"), F.col("c.col").alias("col")
+    )
+    return (
+        exploded.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

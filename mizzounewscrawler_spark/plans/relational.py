@@ -1644,6 +1644,72 @@ FROM est
 """
 
 
+def q_cms_frequencies(spark, sf):
+    """Count-min point-frequency estimates (operators/sketches.py): build
+    the 4×1024 md5-pinned grid over events.user_id, then estimate the 10
+    heaviest users and publish est vs exact with the CMS no-underestimate
+    guarantee as a checked column.  The grid is integer-exact in both
+    engines and merges by cell-wise sum — frequency state that composes
+    across snapshots without a per-distinct-key shuffle."""
+    from mizzounewscrawler_spark.operators.sketches import (
+        cms_query,
+        cms_sketch,
+    )
+
+    ev = t(spark, sf, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    sk = cms_sketch(ev, "k")
+    top = (
+        ev.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("k").asc())
+        .limit(10)
+    )
+    return (
+        top.join(cms_query(sk, top.select("k"), "k"), "k")
+        .select(
+            F.col("k").alias("user_key"),
+            "exact_cnt",
+            F.col("est").cast("long").alias("cms_est"),
+            (F.col("est") >= F.col("exact_cnt")).alias("no_underestimate"),
+        )
+    )
+
+
+SQL_CMS_FREQUENCIES = r"""
+WITH rows_d AS (
+  SELECT * FROM (VALUES ('0', 0), ('1', 1), ('2', 2), ('3', 3))
+    AS t(row_s, row_i)
+), grid AS (
+  SELECT row_i AS row, col, count(*) AS cnt FROM (
+    SELECT r.row_i,
+           CAST('0x' || substring(
+             md5(r.row_s || ':' || CAST(user_id AS VARCHAR)), 1, 8)
+             AS BIGINT) % 1024 AS col
+    FROM events CROSS JOIN rows_d r WHERE user_id IS NOT NULL
+  ) GROUP BY 1, 2
+), top10 AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS exact_cnt
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1 ORDER BY exact_cnt DESC, k LIMIT 10
+), probe AS (
+  SELECT t.k, t.exact_cnt, r.row_i,
+         CAST('0x' || substring(md5(r.row_s || ':' || t.k), 1, 8)
+              AS BIGINT) % 1024 AS col
+  FROM top10 t CROSS JOIN rows_d r
+), est AS (
+  SELECT k, exact_cnt, min(coalesce(g.cnt, 0)) AS est
+  FROM probe p LEFT JOIN grid g ON p.row_i = g.row AND p.col = g.col
+  GROUP BY 1, 2
+)
+SELECT k AS user_key, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(est AS BIGINT) AS cms_est,
+       est >= exact_cnt AS no_underestimate
+FROM est
+"""
+
+
 def q_quality_classifier(spark, sf):
     """Trained quality-filter gate (GPT-3 appendix A / LLaMA): fit the
     difference-of-rates linear classifier with the English slice as the
@@ -3106,6 +3172,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("tfidf_keywords", q_tfidf_keywords, SQL_TFIDF, "text ops (keyword extraction)"),
     QuerySpec("heavy_hitter_terms", q_heavy_hitters, SQL_HEAVY_HITTERS, "sketch (MG + exact recount)"),
     QuerySpec("hll_distinct", q_hll_distinct, SQL_HLL_DISTINCT, "sketch (HyperLogLog distinct)"),
+    QuerySpec("cms_frequencies", q_cms_frequencies, SQL_CMS_FREQUENCIES, "sketch (count-min point queries)"),
     QuerySpec("pagerank_hosts", q_pagerank_hosts, SQL_PAGERANK, "graph (host authority)"),
     QuerySpec("multires_rollup", q_multires_rollup, SQL_MULTIRES, "A9/P13 (rollup cascade)"),
     QuerySpec("corpus_split", q_corpus_split, SQL_CORPUS_SPLIT, "sampling (hash split)"),

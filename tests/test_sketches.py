@@ -156,3 +156,78 @@ def test_hll_bad_p_raises(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with _pytest.raises(ValueError):
         hll_registers(df, "k", p=10)
+
+
+# ---------------------------- Count-min ----------------------------
+
+
+def test_cms_grid_matches_python_reference(spark):
+    """Every non-empty cell equals the bit-level md5 Python reference."""
+    import hashlib
+
+    from mizzounewscrawler_spark.operators.sketches import cms_sketch
+
+    keys = [f"k{i % 50}" for i in range(300)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {(r["row"], r["col"]): r["cnt"]
+           for r in cms_sketch(df, "k", d=4, w=64).collect()}
+    want: dict = {}
+    for k in keys:
+        for row in range(4):
+            h = hashlib.md5(f"{row}:{k}".encode()).hexdigest()
+            col = int(h[:8], 16) % 64
+            want[(row, col)] = want.get((row, col), 0) + 1
+    assert got == want
+
+
+def test_cms_no_underestimate_and_accuracy(spark):
+    from mizzounewscrawler_spark.operators.sketches import (
+        cms_query,
+        cms_sketch,
+    )
+
+    rows = [(f"hot-{i % 5}",) for i in range(5000)] + [
+        (f"cold-{i}",) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k string")
+    sk = cms_sketch(df, "k")
+    exact = {r["k"]: r["cnt"]
+             for r in df.groupBy("k").count().withColumnRenamed("count", "cnt").collect()}
+    est = {r["k"]: r["est"]
+           for r in cms_query(sk, df.select("k"), "k").collect()}
+    n = len(rows)
+    for k, e in est.items():
+        assert e >= exact[k], k            # CMS never underestimates
+        assert e - exact[k] <= 3 * n / 1024  # within a few eps*N
+
+
+def test_cms_merge_equals_union_sketch(spark):
+    from mizzounewscrawler_spark.operators.sketches import (
+        cms_merge,
+        cms_sketch,
+    )
+
+    a = spark.createDataFrame([(f"x{i % 9}",) for i in range(200)], "k string")
+    b = spark.createDataFrame([(f"x{i % 13}",) for i in range(300)], "k string")
+    merged = {(r["row"], r["col"]): r["cnt"]
+              for r in cms_merge(cms_sketch(a, "k"), cms_sketch(b, "k")).collect()}
+    direct = {(r["row"], r["col"]): r["cnt"]
+              for r in cms_sketch(a.unionByName(b), "k").collect()}
+    assert merged == direct
+
+
+def test_cms_catalog_oracle_parity(spark):
+    import duckdb
+
+    from mizzounewscrawler_spark.plans.relational import (
+        SQL_CMS_FREQUENCIES,
+        q_cms_frequencies,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in q_cms_frequencies(spark, sf).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = sorted(tuple(r) for r in con.sql(SQL_CMS_FREQUENCIES).fetchall())
+    assert got == want
+    assert all(r[3] for r in got)  # no_underestimate everywhere
