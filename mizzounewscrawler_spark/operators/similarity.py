@@ -677,3 +677,112 @@ def semdedup(
     return out.select(
         F.col("id").alias(id_col), "cell", "centroid_sim", "kept"
     )
+
+
+def ivf_build_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the PERSISTED IVF index — the build-once / probe-many form of
+    :func:`ivf_candidates` (whose docstring promises exactly this at
+    100 TB).  Returns
+
+    * ``centroids``: (cell, centroid array<double>) — n_centroids rows,
+      a dimension-sized table;
+    * ``assigned``: (id_col, vec_col, cell) — every vector tagged with its
+      nearest-centroid cell, same quantizer and argmax tie-handling as
+      ivf_candidates (bit-identical assignment, parity-tested).
+
+    Write ``assigned`` with ``.write.partitionBy("cell")`` (or the lake's
+    partition spec): a probe then reads only nprobe/n_centroids of the
+    data via partition pruning — no index rebuild per query, which is
+    what makes repeated ANN queries cheap on a static corpus.  Rebuild
+    amortizes over appends the same way the near-dup band index does
+    (sketch the new batch, union, re-partition on compaction)."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    seeded = base.withColumn(
+        "cell_seed", F.pmod(F.xxhash64(F.col("id")), F.lit(n_centroids))
+    )
+    cent_rows = (
+        seeded.select("cell_seed", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cell_seed", "dim")
+        .agg(F.avg("x").alias("mean_x"))
+        .collect()
+    )
+    centroids: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        centroids.setdefault(int(r["cell_seed"]), {})[int(r["dim"])] = float(
+            r["mean_x"]
+        )
+    cells = sorted(centroids)
+
+    def _cent_arr(c: int):
+        return F.array(
+            *[F.lit(centroids[c][d]) for d in sorted(centroids[c])]
+        )
+
+    def _safe_cos(a: Column, b: Column) -> Column:
+        denom = norm_expr(a) * norm_expr(b)
+        return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(-2.0))
+
+    sims = F.array(
+        *[
+            F.struct(
+                _safe_cos(F.col("v"), _cent_arr(c)).alias("sim"),
+                F.lit(c).alias("cell"),
+            )
+            for c in cells
+        ]
+    )
+    assigned = base.withColumn("cell", F.array_max(sims)["cell"]).select(
+        F.col("id").alias(id_col),
+        F.col("v").alias(vec_col),
+        "cell",
+    )
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(c, [centroids[c][d] for d in sorted(centroids[c])]) for c in cells],
+        "cell int, centroid array<double>",
+    )
+    return cent_df, assigned
+
+
+def ivf_probe_index(
+    centroids: DataFrame,
+    assigned: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a PERSISTED index from
+    :func:`ivf_build_index`: rank the (dimension-sized) centroid table
+    against the query driver-side, filter ``assigned`` to the nprobe
+    nearest cells — a partition-pruned scan when the table was written
+    partitionBy("cell") — and run the exact codegen'd cosine top-k on the
+    survivors.  Same probe order as ivf_candidates (cosine desc, cell asc
+    on ties via sorted-input stability)."""
+    import math
+
+    cents = {
+        int(r["cell"]): [float(x) for x in r["centroid"]]
+        for r in centroids.collect()
+    }
+
+    def _cos(u, w):
+        d = sum(x * y for x, y in zip(u, w))
+        nu = math.sqrt(sum(x * x for x in u)) or 1.0
+        nw = math.sqrt(sum(x * x for x in w)) or 1.0
+        return d / (nu * nw)
+
+    probe = sorted(sorted(cents), key=lambda c: -_cos(query_vec, cents[c]))[
+        :nprobe
+    ]
+    cand = assigned.where(F.col("cell").isin(probe)).select(id_col, vec_col)
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -366,3 +366,41 @@ def test_semdedup_max_cluster_size_guard(spark, emb):
         kernel="pandas",
     ).collect()
     assert {r["vec_id"]: r["kept"] for r in out_p} == replay(20)
+
+
+def test_ivf_persisted_index_parity_and_partition_prune(spark, emb, qvec, tmp_path):
+    """Build-once/probe-many IVF: probing the persisted index returns
+    exactly what the per-query ivf_topk computes (same quantizer, same
+    probe order), and a probe against the partitionBy('cell') parquet
+    layout partition-prunes the scan."""
+    import contextlib
+    import io
+
+    from mizzounewscrawler_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_probe_index,
+        ivf_topk,
+    )
+
+    cents, assigned = ivf_build_index(emb, n_centroids=16)
+    direct = [tuple(r) for r in ivf_topk(
+        emb, qvec, k=10, n_centroids=16, nprobe=4
+    ).collect()]
+    via_index = [tuple(r) for r in ivf_probe_index(
+        cents, assigned, qvec, k=10, nprobe=4
+    ).collect()]
+    assert via_index == direct
+
+    # persist partitioned by cell; probe must partition-prune
+    path = str(tmp_path / "ivf_index")
+    assigned.write.partitionBy("cell").parquet(path)
+    persisted = spark.read.parquet(path)
+    probe_df = ivf_probe_index(cents, persisted, qvec, k=10, nprobe=4)
+    assert [tuple(r) for r in probe_df.collect()] == direct
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe_df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
