@@ -167,3 +167,102 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_matched"))
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", §3.1) —
+    the SLIDING-window complement to :func:`passage_dedup`'s
+    non-overlapping C4 windows: a repeated run of ≥ ``window`` tokens is
+    caught at ANY offset (cross-boundary repeats that fixed windows
+    miss), and every token covered by a cross-document repeat is removed.
+
+    The paper builds a suffix array; restated for Spark the same result
+    comes from hashed sliding windows — for each 1-based start i ≤
+    n−window+1, key = md5 of the space-joined window.  Exact token runs
+    hash equal, so a window key appearing in ≥ ``min_docs`` DISTINCT
+    documents marks its covered span [i, i+window) for removal in every
+    document carrying it.  (md5 collisions are the only approximation:
+    ~2⁻¹²⁸ per pair — below any practical concern, and the DuckDB mirror
+    hashes identically so parity is exact.)
+
+    Returns one row per non-empty document: ``(id_col, n_tokens,
+    n_removed, clean_text)`` — surviving tokens rejoined in order.
+    Documents shorter than ``window`` have no windows and survive whole.
+
+    Plan shape (every shuffle on a uniform high-entropy key): window keys
+    groupBy(md5) → hot-key set; flagged windows explode to covered token
+    positions (distinct (doc, pos) — only FLAGGED spans pay the ×window
+    fan-out); tokens left-join the removal mask on (doc, pos); one final
+    doc-keyed groupBy rebuilds the text.  Like the paper's MapReduce
+    deployment, total work is O(total tokens) rows with ~O(window) chars
+    hashed per row.
+    """
+    toks = tokens_expr(F.col(text_col))
+    base = df.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("id"), toks.alias("tk")
+    )
+    tokens = base.select(
+        "id", F.posexplode("tk").alias("pos0", "tok")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
+
+    def _grams(tk: Column) -> Column:
+        n = F.size(tk)
+        return F.when(
+            n >= window,
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(window - 1)),
+                lambda i: F.struct(
+                    i.alias("gpos"),
+                    F.md5(
+                        F.array_join(F.slice(tk, i, window), " ")
+                    ).alias("key"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<gpos:int,key:string>>"))
+
+    grams = base.select(
+        "id", F.explode(bind_once(F.col("tk"), _grams)).alias("g")
+    ).select("id", F.col("g.gpos").alias("gpos"), F.col("g.key").alias("key"))
+    hot = (
+        grams.groupBy("key")
+        .agg(F.countDistinct("id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("key")
+    )
+    removed = (
+        grams.join(hot, "key")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + F.lit(window - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    kept_struct = F.when(
+        F.col("_rm").isNull(), F.struct(F.col("pos"), F.col("tok"))
+    )
+    return (
+        tokens.join(removed, ["id", "pos"], "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_rm"), 1).otherwise(0)).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

@@ -1644,6 +1644,50 @@ FROM est
 """
 
 
+def q_exact_substring_dedup(spark, sf):
+    """ExactSubstr duplicate-span removal (Lee et al. 2021): sliding
+    8-token windows hashed with md5, spans repeated across ≥2 documents
+    removed from every document carrying them, survivors rejoined in
+    order (operators/passages.py — catches cross-boundary repeats the
+    fixed C4 windows of passage_dedup miss)."""
+    from mizzounewscrawler_spark.operators.passages import (
+        exact_substring_dedup,
+    )
+
+    d = t(spark, sf, "documents")
+    return exact_substring_dedup(d, "text", "doc_id", window=8, min_docs=2)
+
+
+SQL_EXACT_SUBSTRING = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents WHERE trim(text) <> ''
+), tokens AS (
+  SELECT doc_id, i AS pos, tk[i] AS tok
+  FROM base, unnest(generate_series(1, len(tk))) AS u(i)
+), grams AS (
+  SELECT doc_id, i AS gpos, md5(array_to_string(tk[i:i+7], ' ')) AS key
+  FROM base, unnest(generate_series(1, len(tk) - 7)) AS u(i)
+), hot AS (
+  SELECT key FROM (
+    SELECT key, count(DISTINCT doc_id) AS nd FROM grams GROUP BY 1
+  ) WHERE nd >= 2
+), removed AS (
+  SELECT DISTINCT g.doc_id, u.t AS pos
+  FROM grams g JOIN hot USING (key),
+       unnest(generate_series(g.gpos, g.gpos + 7)) AS u(t)
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       coalesce(string_agg(CASE WHEN r.pos IS NULL THEN t.tok END,
+                           ' ' ORDER BY t.pos), '') AS clean_text
+FROM tokens t
+LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.pos = r.pos
+GROUP BY 1
+"""
+
+
 def q_cms_frequencies(spark, sf):
     """Count-min point-frequency estimates (operators/sketches.py): build
     the 4×1024 md5-pinned grid over events.user_id, then estimate the 10
@@ -3182,6 +3226,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("warc_roundtrip", q_warc_roundtrip, SQL_WARC_ROUNDTRIP, "source (WARC ingestion)"),
     QuerySpec("stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE, "sampling (per-group cap)"),
     QuerySpec("passage_dedup", q_passage_dedup, SQL_PASSAGE_DEDUP, "dedup (C4 passage removal)"),
+    QuerySpec("exact_substring_dedup", q_exact_substring_dedup, SQL_EXACT_SUBSTRING, "dedup (ExactSubstr sliding spans)"),
     QuerySpec("benchmark_decontam", q_benchmark_decontam, SQL_DECONTAM, "dedup (benchmark decontamination)"),
     QuerySpec("mixture_sample", q_mixture_sample, SQL_MIXTURE, "sampling (mixture weights)"),
     QuerySpec("group_percentiles", q_group_percentiles, SQL_GROUP_PERCENTILES, "sketch (exact quantiles)"),

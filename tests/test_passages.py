@@ -104,3 +104,87 @@ def test_mixture_sample_monotone_and_deterministic(spark):
     assert again == lo  # partitioning-independent
     n_a = sum(1 for i in lo if i % 2 == 0)
     assert 0.18 <= n_a / 1000 <= 0.32  # ~25% of the 1000 'a' rows
+
+
+# ----------------------- ExactSubstr sliding spans -----------------------
+
+
+def test_exact_substring_dedup_cross_boundary_span(spark):
+    """A 10-token run shared at DIFFERENT offsets (crossing any fixed
+    window boundary) is removed from both docs; unique text survives."""
+    from mizzounewscrawler_spark.operators.passages import (
+        exact_substring_dedup,
+    )
+
+    run = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        (1, f"alpha beta {run} gamma"),
+        (2, f"{run} delta epsilon zeta"),
+        (3, "totally different text with no repeats at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(
+            df, "text", "doc_id", window=10, min_docs=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[1]["n_removed"] == 10
+    assert out[2]["clean_text"] == "delta epsilon zeta"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == rows[2][1]
+
+
+def test_exact_substring_dedup_short_docs_survive_whole(spark):
+    from mizzounewscrawler_spark.operators.passages import (
+        exact_substring_dedup,
+    )
+
+    rows = [(1, "same short text"), (2, "same short text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_substring_dedup(
+        df, "text", "doc_id", window=10, min_docs=2
+    ).collect()
+    assert all(r["n_removed"] == 0 for r in out)
+    assert all(r["clean_text"] == "same short text" for r in out)
+
+
+def test_exact_substring_dedup_within_doc_repeat_not_removed(spark):
+    """min_docs counts DISTINCT documents: a run repeated twice inside ONE
+    doc is not cross-document boilerplate and must survive."""
+    from mizzounewscrawler_spark.operators.passages import (
+        exact_substring_dedup,
+    )
+
+    run = " ".join(f"r{i}" for i in range(6))
+    df = spark.createDataFrame(
+        [(1, f"{run} mid {run}"), (2, "unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in exact_substring_dedup(
+        df, "text", "doc_id", window=6, min_docs=2
+    ).collect()}
+    assert out[1]["n_removed"] == 0
+
+
+def test_exact_substring_catalog_oracle_parity(spark):
+    import duckdb
+
+    from mizzounewscrawler_spark.plans.relational import (
+        SQL_EXACT_SUBSTRING,
+        q_exact_substring_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in q_exact_substring_dedup(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.sql(SQL_EXACT_SUBSTRING).fetchall())
+    assert got == want
+    # the fixture's near-dup docs must actually trigger span removal
+    assert any(r[2] > 0 for r in got)
