@@ -234,7 +234,12 @@ def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
     alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = registers.agg(
         F.count(F.lit(1)).alias("occupied"),
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        # coalesce: an EMPTY register table (no keys seen yet) sums to
+        # NULL — pin s=0 so the linear-counting branch yields est=0
+        # instead of a NULL estimate
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))), F.lit(0.0)
+        ).alias("s"),
     )
     v = F.lit(m) - F.col("occupied")
     raw = F.lit(alpha * m * m) / (F.col("s") + v.cast("double"))
@@ -332,7 +337,7 @@ def cms_query(
     the key's d cells (missing cell → 0).  The grid is O(d·w) and
     broadcast; each key probes d cells via one broadcast join — no
     shuffle of the key stream beyond its own distinct."""
-    probes = keys.select(key_col).distinct()
+    probes = keys.select(key_col).where(F.col(key_col).isNotNull()).distinct()
     cells = F.array(
         *[
             F.struct(

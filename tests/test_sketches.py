@@ -231,3 +231,12 @@ def test_cms_catalog_oracle_parity(spark):
     want = sorted(tuple(r) for r in con.sql(SQL_CMS_FREQUENCIES).fetchall())
     assert got == want
     assert all(r[3] for r in got)  # no_underestimate everywhere
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    from mizzounewscrawler_spark.operators.sketches import approx_distinct
+
+    df = spark.createDataFrame([], "k string")
+    row = approx_distinct(df, "k").collect()[0]
+    assert row["est_distinct"] == 0.0
+    assert row["zero_buckets"] == 4096
