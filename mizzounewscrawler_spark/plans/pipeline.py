@@ -65,3 +65,118 @@ def run_pipeline(
         "entities": entities,
         "report": report,
     }
+
+
+def build_training_corpus(
+    articles: DataFrame,
+    min_tokens: int = 20,
+    min_quality: float = 0.35,
+    chunk_size: int = 400,
+    chunk_overlap: int = 40,
+    pack_budget: int = 1200,
+    classifier_weights: DataFrame | None = None,
+    classifier_threshold: int = 0,
+) -> dict[str, DataFrame]:
+    """Crawl output → training-ready packed sequences, one lazy chain —
+    the bridge between the engine's two halves: the crawl/extraction
+    parity surface produces ``articles``; this composes the curation
+    operators into the corpus a pretraining run would consume.
+
+    Stages (each returned for inspection, all lazy):
+
+    1. ``eligible`` — fetched rows with extractable text
+       (``coalesce(text_clean, text)``), the reference's
+       status-gating restated as a predicate;
+    2. ``gated`` — length + heuristic quality gates (JVM expressions on
+       the scan), plus the trained GPT-3-style classifier gate when a
+       weight table from ``operators.classifier`` is supplied;
+    3. ``deduped`` — exact content dedup, keep lowest url_hash per
+       sha256 (one window over the uniform hash key);
+    4. ``chunks`` — overlapping ``chunk_size``-char training windows;
+    5. ``packed`` — deterministic next-fit packing into sequences of
+       ≤ ``pack_budget`` chars;
+    6. ``stats`` — one-row corpus summary (docs kept/dropped per stage,
+       chunk and sequence counts) for the run report.
+
+    At 100 TB every stage is scan-shaped or keyed on a uniform hash; the
+    only sequential unit is pack_sequences' data-derived bucket.
+    """
+    from pyspark.sql import Window
+
+    from mizzounewscrawler_spark.functions.text import (
+        content_hash_expr,
+        quality_score_expr,
+        token_count_expr,
+    )
+    from mizzounewscrawler_spark.operators.chunking import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    txt = F.coalesce(F.col("text_clean"), F.col("text"))
+    eligible = (
+        articles.withColumn("_txt", txt)
+        .where(F.col("_txt").isNotNull() & (F.trim(F.col("_txt")) != ""))
+    )
+    gated = eligible.where(
+        (token_count_expr(F.col("_txt")) >= min_tokens)
+        & (quality_score_expr(F.col("_txt")) >= min_quality)
+    )
+    if classifier_weights is not None:
+        from mizzounewscrawler_spark.operators.classifier import (
+            classifier_score,
+        )
+
+        scored = classifier_score(
+            gated.select("url_hash", "_txt"),
+            classifier_weights,
+            id_col="url_hash",
+            text_col="_txt",
+        ).where(F.col("score") > classifier_threshold)
+        gated = gated.join(scored.select("url_hash"), "url_hash", "left_semi")
+    w = Window.partitionBy("_chash").orderBy(F.col("url_hash").asc())
+    deduped = (
+        gated.withColumn("_chash", content_hash_expr(F.col("_txt")))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    chunks = chunk_documents(
+        deduped.select("url_hash", F.col("_txt").alias("chunk_text")),
+        "chunk_text",
+        size=chunk_size,
+        overlap=chunk_overlap,
+        id_cols=["url_hash"],
+    ).withColumn("n_chars", F.length("chunk"))
+    packed = pack_sequences(
+        chunks.select(
+            F.concat_ws("#", "url_hash", "chunk_id").alias("item_id"),
+            "n_chars",
+        ),
+        id_col="item_id",
+        weight_col="n_chars",
+        budget=pack_budget,
+    )
+    stats = (
+        eligible.agg(F.count(F.lit(1)).alias("eligible_docs"))
+        .crossJoin(gated.agg(F.count(F.lit(1)).alias("gated_docs")))
+        .crossJoin(deduped.agg(F.count(F.lit(1)).alias("unique_docs")))
+        .crossJoin(chunks.agg(F.count(F.lit(1)).alias("chunks")))
+        .crossJoin(
+            packed.agg(
+                # one row per packed sequence; seq_id is per-bucket
+                F.count(F.lit(1)).alias("sequences"),
+                F.coalesce(F.sum("total_weight"), F.lit(0)).alias(
+                    "total_chars"
+                ),
+            )
+        )
+    )
+    return {
+        "eligible": eligible.drop("_txt"),
+        "gated": gated.drop("_txt"),
+        "deduped": deduped.drop("_txt", "_chash"),
+        "chunks": chunks,
+        "packed": packed,
+        "stats": stats,
+    }
