@@ -222,6 +222,40 @@ def _cmd_curate(args) -> int:
     return 0
 
 
+def _cmd_corpus(args) -> int:
+    """build_training_corpus over an articles table: gates → exact
+    dedup → chunks → packed sequences; writes chunks/ and packed/ under
+    --output and prints the one-row stats as JSON.  ``--input`` may be a
+    crawl lake dir (reads its articles table), a single LakeTable dir,
+    or a plain parquet path — autodetected by layout."""
+    import os
+
+    from mizzounewscrawler_spark.lake import LakeTable
+    from mizzounewscrawler_spark.plans.pipeline import build_training_corpus
+
+    spark = _spark("mnc-corpus")
+    if os.path.isdir(os.path.join(args.input, "articles", "snapshots")):
+        arts = LakeTable(spark, os.path.join(args.input, "articles")).read()
+    elif os.path.isdir(os.path.join(args.input, "snapshots")):
+        arts = LakeTable(spark, args.input).read()
+    else:
+        arts = spark.read.parquet(args.input)
+    if "text_clean" not in arts.columns:
+        arts = arts.withColumn("text_clean", F.lit(None).cast("string"))
+    out = build_training_corpus(
+        arts,
+        min_tokens=args.min_tokens,
+        min_quality=args.min_quality,
+        chunk_size=args.chunk_size,
+        chunk_overlap=args.chunk_overlap,
+        pack_budget=args.pack_budget,
+    )
+    out["chunks"].write.mode("overwrite").parquet(f"{args.output}/chunks")
+    out["packed"].write.mode("overwrite").parquet(f"{args.output}/packed")
+    print(json.dumps(out["stats"].collect()[0].asDict()))
+    return 0
+
+
 def _cmd_load_sources(args) -> int:
     """Reference load_sources.py: validate the publinks CSV (required
     columns; duplicate url_news; duplicate normalized hosts) and write the
@@ -431,6 +465,26 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--min-quality", type=float, default=0.15, dest="min_quality")
     q.add_argument("--id-column", default="doc_id", dest="id_column")
     q.set_defaults(fn=_cmd_curate)
+
+    cp = sub.add_parser(
+        "corpus",
+        help="articles -> gated+deduped chunks packed into training "
+        "sequences (build_training_corpus)",
+    )
+    cp.add_argument("--input", required=True)
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--min-tokens", type=int, default=20, dest="min_tokens")
+    cp.add_argument(
+        "--min-quality", type=float, default=0.35, dest="min_quality"
+    )
+    cp.add_argument("--chunk-size", type=int, default=400, dest="chunk_size")
+    cp.add_argument(
+        "--chunk-overlap", type=int, default=40, dest="chunk_overlap"
+    )
+    cp.add_argument(
+        "--pack-budget", type=int, default=1200, dest="pack_budget"
+    )
+    cp.set_defaults(fn=_cmd_corpus)
 
     ls = sub.add_parser(
         "load-sources", help="validate + normalize publinks CSV (load_sources.py)"

@@ -215,3 +215,21 @@ def test_cli_requeue_unsees_and_readmits(lake, spark, capsys):
     refetched = arts.where(arts["url_hash"] == art["url_hash"]).collect()
     waves = sorted(r["wave"] for r in refetched)
     assert len(waves) == 2 and waves[0] == art["wave"] and waves[1] > art["wave"]
+
+
+def test_cli_corpus_packs_crawl_articles(lake, spark, capsys):
+    """`corpus` over the fixture crawl's articles table: gates + dedup +
+    chunk + pack end-to-end, stats JSON printed, outputs written."""
+    rc = cli.main([
+        "corpus",
+        "--input", f"{lake}/crawl",
+        "--output", f"{lake}/corpus",
+        "--min-tokens", "5", "--min-quality", "0.0",
+        "--chunk-size", "200", "--pack-budget", "600",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["eligible_docs"] > 0
+    assert stats["sequences"] > 0
+    packed = spark.read.parquet(f"{lake}/corpus/packed")
+    assert packed.count() == stats["sequences"]
