@@ -355,3 +355,105 @@ def cms_query(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+# --------------------------------------------------------------------------
+# Log-binned quantile sketch (HDR-histogram / DDSketch shape) — the
+# mergeable quantile companion to the MG / HLL / CMS sketches above.
+#
+# The scale problem: quantiles over 10^12 values need a full sort per
+# group via the exact path (exact_group_quantiles).  The sketch bins each
+# positive integer value by (exponent, top mantissa bits):
+#
+#   e     = floor(log2 v)  — computed as length(bin(v)) − 1, a STRING
+#           length, so both engines agree exactly (no floating log);
+#   shift = max(e − m, 0)
+#   top   = floor(v / 2^shift)  (the top m+1 significant bits)
+#
+# Bucket counts merge by SUM (map-side combinable; grids from different
+# days/partitions add), and the bucket lower bound (top << shift)
+# under-estimates any member by a factor < 1 + 2^−m — DDSketch's
+# relative-error guarantee with γ = 2^(2^−m), from integer/string ops
+# only.  All arithmetic is exact for v < 2^53 (the float floor-div is
+# used because Spark's shiftright binds its distance at plan time;
+# 2^53 covers any count/latency/price domain by orders of magnitude).
+# Values are the caller's job to make positive integers (scale cents,
+# micros, token counts); rows with NULL or v < 1 are dropped.
+# --------------------------------------------------------------------------
+
+HDR_MANTISSA_BITS = 3
+
+
+def log_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    mantissa_bits: int = HDR_MANTISSA_BITS,
+) -> DataFrame:
+    """The sketch: (group_cols..., e, top, cnt) per occupied bucket."""
+    g = group_cols or []
+    v = F.col(value_col).cast("long")
+    e = (F.length(F.bin(v)) - 1).cast("int")
+    shift = F.greatest(e - F.lit(mantissa_bits), F.lit(0))
+    top = F.floor(v / F.pow(F.lit(2.0), shift)).cast("long")
+    return (
+        df.where(v >= 1)
+        .select(*g, e.alias("e"), top.alias("top"))
+        .groupBy(*g, "e", "top")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def log_histogram_merge(*hists: DataFrame) -> DataFrame:
+    """Union-merge sketches with identical grouping/mantissa: bucket sum."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    p: int,
+    group_cols: list[str] | None = None,
+    mantissa_bits: int = HDR_MANTISSA_BITS,
+) -> DataFrame:
+    """Quantile estimate from a log_histogram: per group, the LOWER BOUND
+    of the bucket holding the discrete-lower rank ``(n−1)·p div 100 + 1``
+    (same rank convention as ``exact_group_quantiles``, so sketch and
+    exact answers are directly comparable).  Returns (group_cols..., p,
+    n, est) with ``est ≤ true ≤ est·(1 + 2^−mantissa_bits)``.  One keyed
+    window over the (tiny) bucket table — the data was never sorted."""
+    g = group_cols or []
+    part = Window.partitionBy(*g) if g else Window.partitionBy(F.lit(1))
+    order = part.orderBy("e", "top")
+    cum = F.sum("cnt").over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = F.sum("cnt").over(part)
+    shift = F.greatest(F.col("e") - F.lit(mantissa_bits), F.lit(0))
+    lo = (
+        F.col("top") * F.pow(F.lit(2.0), shift)
+    ).cast("long")
+    ranked = hist.select(
+        *g,
+        "cnt",
+        cum.alias("_cum"),
+        tot.alias("_n"),
+        lo.alias("_lo"),
+    ).withColumn(
+        "_rank", ((F.col("_n") - 1) * F.lit(p) / F.lit(100)).cast("long") + 1
+    )
+    return (
+        ranked.where(
+            (F.col("_cum") >= F.col("_rank"))
+            & (F.col("_cum") - F.col("cnt") < F.col("_rank"))
+        )
+        .select(
+            *g,
+            F.lit(p).alias("p"),
+            F.col("_n").alias("n"),
+            F.col("_lo").alias("est"),
+        )
+    )

@@ -1587,6 +1587,91 @@ FROM scored s JOIN cuts c USING (lang)
 """
 
 
+def q_quantile_sketch(spark, sf):
+    """HDR/DDSketch-style quantile estimates (operators/sketches.py):
+    log₂-binned histogram over lineitem extended-price cents, p50/p90/p99
+    read from bucket cumsums, published next to the exact discrete-lower
+    quantiles with the ≤ 1+2⁻³ relative-error guarantee as an
+    integer-checked column.  Buckets merge by sum — quantile state
+    composes across partitions/days without ever sorting the data."""
+    from pyspark.sql import Window as W
+
+    from mizzounewscrawler_spark.operators.sketches import (
+        histogram_quantile,
+        log_histogram,
+    )
+
+    li = t(spark, sf, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    ).where(F.col("cents") >= 1)
+    hist = log_histogram(li, "cents")
+    est = None
+    for p in (50, 90, 99):
+        part = histogram_quantile(hist, p)
+        est = part if est is None else est.unionByName(part)
+    ranked = li.withColumn(
+        "_rn", F.row_number().over(W.orderBy(F.col("cents").asc()))
+    )
+    tot = li.agg(F.count(F.lit(1)).alias("_tn"))
+    ex = None
+    for p in (50, 90, 99):
+        rank = ((F.col("_tn") - 1) * F.lit(p) / F.lit(100)).cast("long") + 1
+        part = (
+            ranked.crossJoin(F.broadcast(tot))
+            .where(F.col("_rn") == rank)
+            .select(F.lit(p).alias("p"), F.col("cents").alias("exact"))
+        )
+        ex = part if ex is None else ex.unionByName(part)
+    return est.join(ex, "p").select(
+        "p",
+        "n",
+        "est",
+        "exact",
+        (
+            (F.col("est") <= F.col("exact"))
+            & (F.lit(8) * F.col("exact") < F.lit(9) * F.col("est"))
+        ).alias("within_bound"),
+    )
+
+
+SQL_QUANTILE_SKETCH = r"""
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), b AS (
+  SELECT cents, length(bin(cents)) - 1 AS e FROM v WHERE cents >= 1
+), bk AS (
+  SELECT e, cents >> (CASE WHEN e > 3 THEN e - 3 ELSE 0 END) AS top,
+         count(*) AS cnt
+  FROM b GROUP BY 1, 2
+), ranked AS (
+  SELECT e, top, cnt,
+         sum(cnt) OVER (ORDER BY e, top ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER () AS n,
+         top << (CASE WHEN e > 3 THEN e - 3 ELSE 0 END) AS lo
+  FROM bk
+), ps AS (SELECT unnest([50, 90, 99]) AS p),
+est AS (
+  SELECT p.p, r.n, r.lo AS est
+  FROM ranked r CROSS JOIN ps p
+  WHERE r.cum >= (r.n - 1) * p.p // 100 + 1
+    AND r.cum - r.cnt < (r.n - 1) * p.p // 100 + 1
+), sorted AS (
+  SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+         count(*) OVER () AS n
+  FROM b
+), ex AS (
+  SELECT p.p, s.cents AS exact
+  FROM sorted s CROSS JOIN ps p
+  WHERE s.rn = (s.n - 1) * p.p // 100 + 1
+)
+SELECT e.p, CAST(e.n AS BIGINT) AS n, CAST(e.est AS BIGINT) AS est,
+       CAST(x.exact AS BIGINT) AS exact,
+       (e.est <= x.exact AND 8 * x.exact < 9 * e.est) AS within_bound
+FROM est e JOIN ex x USING (p)
+"""
+
+
 def q_hll_distinct(spark, sf):
     """HyperLogLog distinct counting (operators/sketches.py): 2^12
     hex-pinned registers estimate distinct l_orderkey over lineitem, with
@@ -3217,6 +3302,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("heavy_hitter_terms", q_heavy_hitters, SQL_HEAVY_HITTERS, "sketch (MG + exact recount)"),
     QuerySpec("hll_distinct", q_hll_distinct, SQL_HLL_DISTINCT, "sketch (HyperLogLog distinct)"),
     QuerySpec("cms_frequencies", q_cms_frequencies, SQL_CMS_FREQUENCIES, "sketch (count-min point queries)"),
+    QuerySpec("quantile_sketch", q_quantile_sketch, SQL_QUANTILE_SKETCH, "sketch (log-binned HDR quantiles)"),
     QuerySpec("pagerank_hosts", q_pagerank_hosts, SQL_PAGERANK, "graph (host authority)"),
     QuerySpec("multires_rollup", q_multires_rollup, SQL_MULTIRES, "A9/P13 (rollup cascade)"),
     QuerySpec("corpus_split", q_corpus_split, SQL_CORPUS_SPLIT, "sampling (hash split)"),

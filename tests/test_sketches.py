@@ -240,3 +240,80 @@ def test_hll_empty_input_estimates_zero(spark):
     row = approx_distinct(df, "k").collect()[0]
     assert row["est_distinct"] == 0.0
     assert row["zero_buckets"] == 4096
+
+
+# ----------------------- log-binned quantile sketch -----------------------
+
+
+def test_log_histogram_bounds_and_skew(spark):
+    """On a skewed value set every sketch quantile lower-bounds the true
+    value within the 1+2^-3 relative-error guarantee."""
+    from mizzounewscrawler_spark.operators.sketches import (
+        histogram_quantile,
+        log_histogram,
+    )
+
+    vals = [int(1.5 ** i) + 1 for i in range(30) for _ in range(i + 1)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    hist = log_histogram(df, "v")
+    sv = sorted(vals)
+    n = len(sv)
+    for p in (10, 50, 90, 99):
+        est = histogram_quantile(hist, p).collect()[0]["est"]
+        exact = sv[(n - 1) * p // 100]
+        assert est <= exact < est * (1 + 2 ** -3) + 1, (p, est, exact)
+
+
+def test_log_histogram_merge_equals_union(spark):
+    from mizzounewscrawler_spark.operators.sketches import (
+        log_histogram,
+        log_histogram_merge,
+    )
+
+    a = spark.createDataFrame([(i % 97 + 1,) for i in range(500)], "v long")
+    b = spark.createDataFrame([(i % 31 + 5,) for i in range(400)], "v long")
+    merged = {
+        (r["e"], r["top"]): r["cnt"]
+        for r in log_histogram_merge(
+            log_histogram(a, "v"), log_histogram(b, "v")
+        ).collect()
+    }
+    direct = {
+        (r["e"], r["top"]): r["cnt"]
+        for r in log_histogram(a.unionByName(b), "v").collect()
+    }
+    assert merged == direct
+
+
+def test_log_histogram_grouped_quantiles(spark):
+    from mizzounewscrawler_spark.operators.sketches import (
+        histogram_quantile,
+        log_histogram,
+    )
+
+    rows = [("a", i + 1) for i in range(100)] + [
+        ("b", (i + 1) * 1000) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    hist = log_histogram(df, "v", group_cols=["g"])
+    out = {r["g"]: r["est"]
+           for r in histogram_quantile(hist, 50, group_cols=["g"]).collect()}
+    assert out["a"] <= 51 < out["a"] * 1.126
+    assert out["b"] <= 26000 < out["b"] * 1.126
+
+
+def test_quantile_sketch_catalog_oracle_parity(spark):
+    import duckdb
+
+    from mizzounewscrawler_spark.plans.relational import (
+        SQL_QUANTILE_SKETCH,
+        q_quantile_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in q_quantile_sketch(spark, sf).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = sorted(tuple(r) for r in con.sql(SQL_QUANTILE_SKETCH).fetchall())
+    assert got == want
+    assert len(got) == 3 and all(r[4] for r in got)  # within_bound everywhere
