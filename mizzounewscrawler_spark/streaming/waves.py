@@ -356,3 +356,59 @@ def stream_hll_distinct(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_cms_maintenance(
+    spark: SparkSession,
+    in_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    key_col: str = "url",
+    schema: str = "url string",
+    d: int = 4,
+    w: int = 1024,
+):
+    """Streaming maintenance of a count-min grid over an unbounded key
+    stream — the replay-semantics COUNTERPOINT to
+    :func:`stream_hll_distinct`: CMS merges by cell-wise SUM, which is
+    NOT idempotent, so a re-delivered micro-batch would double-count.
+    The grid therefore lives in a LakeTable and each merge commits with
+    the ``batch_id`` guard (same contract as :func:`stream_into_laketable`):
+    a retried batch sees its id already in the latest snapshot summary
+    and skips.  After any stream prefix the table equals the one-shot
+    ``cms_sketch`` of every key seen (pinned in tests).  The grid is
+    O(d·w) rows, so the merge collects driver-side and overwrites — a
+    snapshot per micro-batch, with time travel back through the sketch's
+    history for free."""
+    from mizzounewscrawler_spark.lake import LakeTable
+    from mizzounewscrawler_spark.operators.sketches import (
+        cms_merge,
+        cms_sketch,
+    )
+
+    table = LakeTable(spark, table_path)
+    raw = spark.readStream.schema(schema).parquet(in_dir)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        snap = table.current_snapshot()
+        last = snap.summary.get("batch_id", -1) if snap is not None else -1
+        if isinstance(last, int) and last >= batch_id:
+            return  # retried micro-batch: sum-merge must not re-apply
+        sess = batch_df.sparkSession
+        new = cms_sketch(batch_df, key_col, d, w)
+        merged = cms_merge(table.read(), new) if snap is not None else new
+        rows = [
+            (int(r["row"]), int(r["col"]), int(r["cnt"]))
+            for r in merged.collect()
+        ]
+        table.overwrite(
+            sess.createDataFrame(rows, "row int, col long, cnt long"),
+            {"batch_id": batch_id, "streaming": True},
+        )
+
+    return (
+        raw.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

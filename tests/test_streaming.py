@@ -257,3 +257,49 @@ def test_stream_hll_distinct_equals_batch_sketch_and_replay_safe(
         for r in spark.read.parquet(reg_path).collect()
     }
     assert again == got
+
+
+def test_stream_cms_maintenance_equals_batch_and_guards_replay(
+    spark, tmpdirs
+):
+    """After draining the stream the CMS LakeTable equals the one-shot
+    batch sketch; a manual re-run of an already-committed batch_id is a
+    no-op (sum-merge is not idempotent — the batch-id guard carries
+    exactly-once)."""
+    from mizzounewscrawler_spark.lake import LakeTable
+    from mizzounewscrawler_spark.operators.sketches import cms_sketch
+    from mizzounewscrawler_spark.streaming.waves import stream_cms_maintenance
+
+    in_dir = f"{tmpdirs}/in"
+    a = spark.createDataFrame(
+        [(f"https://h{i % 11}.test/p{i % 40}",) for i in range(300)],
+        "url string",
+    )
+    b = spark.createDataFrame(
+        [(f"https://h{i % 5}.test/p{i % 17}",) for i in range(200)],
+        "url string",
+    )
+    a.write.mode("append").parquet(in_dir)
+    b.write.mode("append").parquet(in_dir)
+
+    tbl = f"{tmpdirs}/cms_table"
+    q = stream_cms_maintenance(spark, in_dir, tbl, f"{tmpdirs}/ckpt")
+    q.awaitTermination(120)
+
+    table = LakeTable(spark, tbl)
+    got = {(r["row"], r["col"]): r["cnt"] for r in table.read().collect()}
+    want = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cms_sketch(a.unionByName(b), "url").collect()
+    }
+    assert got == want
+
+    # replay guard: a FRESH checkpoint re-delivers the same data with
+    # batch ids restarting at 0 — every batch id is <= the committed one,
+    # so the guard must skip them all and the grid must NOT double-count
+    last = table.current_snapshot().summary["batch_id"]
+    q2 = stream_cms_maintenance(spark, in_dir, tbl, f"{tmpdirs}/ckpt2")
+    q2.awaitTermination(120)
+    after = {(r["row"], r["col"]): r["cnt"] for r in table.read().collect()}
+    assert after == got
+    assert table.current_snapshot().summary["batch_id"] == last
