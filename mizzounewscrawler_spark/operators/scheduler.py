@@ -485,3 +485,55 @@ def update_host_state(
         feed_retry.alias("feed_retry_until"),
         src_due.alias("source_next_due"),
     )
+
+
+def quality_yield_priority(
+    frontier: DataFrame,
+    articles: DataFrame,
+    quality_pass: Column,
+    host_col: str = "host",
+    neutral_bp: int = 5000,
+) -> DataFrame:
+    """Focused-crawl re-prioritization (Chakrabarti et al. 1999's focused
+    crawling, restated as one join): re-rank pending frontier URLs by how
+    much TRAINING-USABLE text their host has historically yielded —
+    curation feeding back into the crawl.
+
+    Per host, ``yield_bp = passed · 10000 div fetched`` (basis points of
+    already-extracted articles satisfying ``quality_pass``); hosts with
+    no fetch history get ``neutral_bp`` so exploitation never starves
+    exploration of unseen hosts.  The combined rank is the integer
+
+        priority2 = priority · 100000 + yield_bp
+
+    — base priority (feeds-first etc.) still dominates, quality yield
+    breaks ties inside a band, url_hash remains the final deterministic
+    tie-break.  All-integer arithmetic: identical ordering on any engine
+    or partitioning.
+
+    This is deliberately NOT wired into ``build_wave``: the engine's
+    crawl order is a pure function of the URL for reference parity — this
+    operator is the opt-in focused-crawl alternative frontier ordering.
+    Plan: one aggregation over articles (host-keyed, map-side
+    combinable) broadcast into the frontier scan."""
+    stats = articles.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("fetched"),
+        F.sum(F.when(quality_pass, 1).otherwise(0)).alias("passed"),
+    )
+    joined = frontier.join(F.broadcast(stats), host_col, "left")
+    yield_bp = F.when(
+        F.col("fetched").isNull(), F.lit(neutral_bp)
+    ).otherwise(F.expr("passed * 10000 div fetched").cast("long"))
+    return (
+        # yield first: the null-history guard reads the PRE-coalesce
+        # fetched (coalescing to 0 first would turn the guard's otherwise
+        # branch into an ANSI divide-by-zero)
+        joined.withColumn("yield_bp", yield_bp)
+        .withColumn("fetched", F.coalesce("fetched", F.lit(0)))
+        .withColumn("passed", F.coalesce("passed", F.lit(0)))
+        .withColumn(
+            "priority2",
+            F.col("priority").cast("long") * F.lit(100000)
+            + F.col("yield_bp"),
+        )
+    )

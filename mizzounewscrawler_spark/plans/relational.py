@@ -1587,6 +1587,60 @@ FROM scored s JOIN cuts c USING (lang)
 """
 
 
+def q_quality_yield_priority(spark, sf):
+    """Focused-crawl frontier re-ranking (operators/scheduler.py
+    quality_yield_priority): per-host training-usable yield (fetched docs
+    with n_chars ≥ 300) re-ranks pending URLs inside their priority band;
+    unseen hosts get the neutral exploration boost.  Fixture: documents
+    with doc_id % 5 == 0 are the pending frontier, the rest are the fetch
+    history."""
+    from mizzounewscrawler_spark.operators.scheduler import (
+        quality_yield_priority,
+    )
+
+    d = t(spark, sf, "documents")
+    arts = d.where(F.col("doc_id") % 5 != 0).select(
+        F.col("source").alias("host"), "n_chars"
+    )
+    frontier = d.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("url_hash"),
+        F.col("source").alias("host"),
+        (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("priority"),
+    )
+    return quality_yield_priority(
+        frontier, arts, F.col("n_chars") >= 300
+    ).select(
+        "url_hash", "host", "priority", "fetched", "passed", "yield_bp",
+        "priority2",
+    )
+
+
+SQL_QUALITY_YIELD = r"""
+WITH arts AS (
+  SELECT source AS host, n_chars FROM documents WHERE doc_id % 5 <> 0
+), stats AS (
+  SELECT host, count(*) AS fetched,
+         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS passed
+  FROM arts GROUP BY 1
+), frontier AS (
+  SELECT doc_id AS url_hash, source AS host,
+         CAST(1 + doc_id % 2 AS INT) AS priority
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT f.url_hash, f.host, f.priority,
+       CAST(coalesce(s.fetched, 0) AS BIGINT) AS fetched,
+       CAST(coalesce(s.passed, 0) AS BIGINT) AS passed,
+       CAST(CASE WHEN s.fetched IS NULL THEN 5000
+                 ELSE s.passed * 10000 // s.fetched END AS BIGINT)
+         AS yield_bp,
+       CAST(f.priority AS BIGINT) * 100000
+         + CAST(CASE WHEN s.fetched IS NULL THEN 5000
+                     ELSE s.passed * 10000 // s.fetched END AS BIGINT)
+         AS priority2
+FROM frontier f LEFT JOIN stats s USING (host)
+"""
+
+
 def q_quantile_sketch(spark, sf):
     """HDR/DDSketch-style quantile estimates (operators/sketches.py):
     log₂-binned histogram over lineitem extended-price cents, p50/p90/p99
@@ -3303,6 +3357,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("hll_distinct", q_hll_distinct, SQL_HLL_DISTINCT, "sketch (HyperLogLog distinct)"),
     QuerySpec("cms_frequencies", q_cms_frequencies, SQL_CMS_FREQUENCIES, "sketch (count-min point queries)"),
     QuerySpec("quantile_sketch", q_quantile_sketch, SQL_QUANTILE_SKETCH, "sketch (log-binned HDR quantiles)"),
+    QuerySpec("quality_yield_priority", q_quality_yield_priority, SQL_QUALITY_YIELD, "scheduler (focused-crawl re-rank)"),
     QuerySpec("pagerank_hosts", q_pagerank_hosts, SQL_PAGERANK, "graph (host authority)"),
     QuerySpec("multires_rollup", q_multires_rollup, SQL_MULTIRES, "A9/P13 (rollup cascade)"),
     QuerySpec("corpus_split", q_corpus_split, SQL_CORPUS_SPLIT, "sampling (hash split)"),

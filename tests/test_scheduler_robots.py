@@ -185,3 +185,56 @@ Disallow: /drafts/
         "test,a)/news/z": True,
         "test,b)/anything": True,
     }
+
+
+def test_quality_yield_priority_ordering_and_exploration(spark):
+    """Within a priority band, higher-yield hosts rank first; hosts with
+    no history get the neutral boost; base priority still dominates."""
+    from pyspark.sql import functions as F
+
+    from mizzounewscrawler_spark.operators.scheduler import (
+        quality_yield_priority,
+    )
+
+    arts = spark.createDataFrame(
+        [("good.test", 500)] * 9 + [("good.test", 10)]
+        + [("bad.test", 10)] * 9 + [("bad.test", 500)],
+        "host string, n_chars int",
+    )
+    frontier = spark.createDataFrame(
+        [
+            (1, "good.test", 1),
+            (2, "bad.test", 1),
+            (3, "new.test", 1),
+            (4, "bad.test", 2),   # higher band beats any yield below
+        ],
+        "url_hash long, host string, priority int",
+    )
+    out = {r["url_hash"]: r for r in quality_yield_priority(
+        frontier, arts, F.col("n_chars") >= 300
+    ).collect()}
+    assert out[1]["yield_bp"] == 9000
+    assert out[2]["yield_bp"] == 1000
+    assert out[3]["yield_bp"] == 5000 and out[3]["fetched"] == 0
+    ranked = sorted(out, key=lambda k: (-out[k]["priority2"], k))
+    assert ranked == [4, 1, 3, 2]
+
+
+def test_quality_yield_catalog_oracle_parity(spark):
+    import duckdb
+
+    from mizzounewscrawler_spark.plans.relational import (
+        SQL_QUALITY_YIELD,
+        q_quality_yield_priority,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in q_quality_yield_priority(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.sql(SQL_QUALITY_YIELD).fetchall())
+    assert got == want
