@@ -720,11 +720,36 @@ def ivf_build_index(
             r["mean_x"]
         )
     cells = sorted(centroids)
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(c, [centroids[c][d] for d in sorted(centroids[c])]) for c in cells],
+        "cell int, centroid array<double>",
+    )
+    return cent_df, ivf_assign(cent_df, embeddings, id_col, vec_col)
 
-    def _cent_arr(c: int):
-        return F.array(
-            *[F.lit(centroids[c][d]) for d in sorted(centroids[c])]
-        )
+
+def ivf_assign(
+    centroids: DataFrame,
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to EXISTING centroids — the incremental-append path
+    of the persisted IVF index: new embedding batches are assigned
+    against the frozen centroid table and appended (partitionBy("cell"))
+    without touching prior assignments, exactly like the near-dup band
+    index absorbs new batches.  Same argmax/tie semantics as the build
+    (a row assigned during build or during a later append lands in the
+    same cell — parity-tested).  Re-clustering (fresh ivf_build_index)
+    amortizes over many appends when centroid drift degrades recall."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cents = {
+        int(r["cell"]): [float(x) for x in r["centroid"]]
+        for r in centroids.collect()
+    }
 
     def _safe_cos(a: Column, b: Column) -> Column:
         denom = norm_expr(a) * norm_expr(b)
@@ -733,23 +758,19 @@ def ivf_build_index(
     sims = F.array(
         *[
             F.struct(
-                _safe_cos(F.col("v"), _cent_arr(c)).alias("sim"),
+                _safe_cos(
+                    F.col("v"), F.array(*[F.lit(x) for x in cents[c]])
+                ).alias("sim"),
                 F.lit(c).alias("cell"),
             )
-            for c in cells
+            for c in sorted(cents)
         ]
     )
-    assigned = base.withColumn("cell", F.array_max(sims)["cell"]).select(
+    return base.withColumn("cell", F.array_max(sims)["cell"]).select(
         F.col("id").alias(id_col),
         F.col("v").alias(vec_col),
         "cell",
     )
-    spark = embeddings.sparkSession
-    cent_df = spark.createDataFrame(
-        [(c, [centroids[c][d] for d in sorted(centroids[c])]) for c in cells],
-        "cell int, centroid array<double>",
-    )
-    return cent_df, assigned
 
 
 def ivf_probe_index(

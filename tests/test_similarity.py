@@ -404,3 +404,31 @@ def test_ivf_persisted_index_parity_and_partition_prune(spark, emb, qvec, tmp_pa
     assert "PartitionFilters" in plan and "cell" in plan.split(
         "PartitionFilters"
     )[1].split("]")[0]
+
+
+def test_ivf_incremental_append_matches_full_build(spark, emb, qvec):
+    """Assigning a new batch against the frozen centroid table (the
+    append path) puts each row in exactly the cell a full rebuild's
+    assignment step would — so index appends never change probe
+    results vs assigning everything at once."""
+    from mizzounewscrawler_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build_index,
+        ivf_probe_index,
+    )
+
+    old = emb.where(F.col("vec_id") % 3 != 0)
+    new = emb.where(F.col("vec_id") % 3 == 0)
+    cents, assigned_old = ivf_build_index(old, n_centroids=16)
+    appended = assigned_old.unionByName(ivf_assign(cents, new))
+    full_assign = ivf_assign(cents, emb)
+    a = {r["vec_id"]: r["cell"] for r in appended.collect()}
+    b = {r["vec_id"]: r["cell"] for r in full_assign.collect()}
+    assert a == b
+    pa = [tuple(r) for r in ivf_probe_index(
+        cents, appended, qvec, k=10, nprobe=4
+    ).collect()]
+    pb = [tuple(r) for r in ivf_probe_index(
+        cents, full_assign, qvec, k=10, nprobe=4
+    ).collect()]
+    assert pa == pb
