@@ -256,6 +256,36 @@ def _cmd_corpus(args) -> int:
     return 0
 
 
+def _cmd_sql(args) -> int:
+    """Ad-hoc Spark SQL over the engine's tables: every LakeTable under
+    --out registers as a temp view (frontier, articles, url_seen, …), and
+    every parquet table under --data registers by file stem (the
+    TPC-H-ish harness tables).  Prints one JSON line per row (capped by
+    --limit) — the reference's psql-against-the-DB workflow without the
+    DB."""
+    import glob
+    import os
+
+    spark = _spark("mnc-sql")
+    if args.out:
+        from mizzounewscrawler_spark.crawl import open_tables
+
+        t = open_tables(spark, args.out)
+        for name in ("frontier", "url_seen", "articles", "host_state",
+                     "order_log", "fetch_events"):
+            tbl = getattr(t, name, None)
+            if tbl is not None and tbl.exists():
+                tbl.read().createOrReplaceTempView(name)
+    if args.data:
+        for p in sorted(glob.glob(os.path.join(args.data, "*.parquet"))):
+            stem = os.path.splitext(os.path.basename(p))[0]
+            spark.read.parquet(p).createOrReplaceTempView(stem)
+    df = spark.sql(args.query)
+    for row in df.limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def _cmd_load_sources(args) -> int:
     """Reference load_sources.py: validate the publinks CSV (required
     columns; duplicate url_news; duplicate normalized hosts) and write the
@@ -485,6 +515,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--pack-budget", type=int, default=1200, dest="pack_budget"
     )
     cp.set_defaults(fn=_cmd_corpus)
+
+    sq = sub.add_parser(
+        "sql", help="ad-hoc Spark SQL over lake tables and/or parquet dirs"
+    )
+    sq.add_argument("query", help="SQL text")
+    sq.add_argument("--out", help="crawl lake dir: registers its tables")
+    sq.add_argument(
+        "--data", help="parquet dir: registers each file by stem"
+    )
+    sq.add_argument("--limit", type=int, default=1000)
+    sq.set_defaults(fn=_cmd_sql)
 
     ls = sub.add_parser(
         "load-sources", help="validate + normalize publinks CSV (load_sources.py)"

@@ -233,3 +233,26 @@ def test_cli_corpus_packs_crawl_articles(lake, spark, capsys):
     assert stats["sequences"] > 0
     packed = spark.read.parquet(f"{lake}/corpus/packed")
     assert packed.count() == stats["sequences"]
+
+
+def test_cli_sql_over_lake_and_data(lake, capsys):
+    """`sql` registers lake tables and parquet-dir stems as views and
+    streams JSON rows."""
+    rc = cli.main([
+        "sql",
+        "SELECT status, count(*) AS n FROM articles GROUP BY status",
+        "--out", f"{lake}/crawl",
+    ])
+    assert rc == 0
+    rows = [json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()]
+    assert rows and all("status" in r and r["n"] > 0 for r in rows)
+
+    rc = cli.main([
+        "sql",
+        "SELECT count(*) AS n, count(DISTINCT source) AS s FROM documents",
+        "--data", "/root/testdata/sf0.001",
+    ])
+    assert rc == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["n"] > 0 and row["s"] > 0
