@@ -203,3 +203,53 @@ def dsir_resample(
     return w.crossJoin(F.broadcast(cut)).select(
         *weights.columns, "score", (F.col("score") > F.col("_cut")).alias("kept")
     )
+
+
+def token_chi2_by_slice(
+    docs: DataFrame, slice_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-mixture diagnostic: per slice (source, dump, language…),
+    the χ² statistic of its unigram distribution against the pooled
+    corpus — "which slice's token mix deviates most", the check a
+    mixture re-weighting (``mixture_sample``) or a new dump ingest runs
+    before training.
+
+    Algebra keeps the plan sparse: with o = count(token in slice),
+    c = pooled count, n_s = slice total, n = corpus total, the full
+    χ² = Σ_t (o − e)²/e over EVERY token (absent ones included, e =
+    c·n_s/n) collapses to
+
+        χ²(s) = (n / n_s) · Σ_present o² / c  −  n_s
+
+    because Σo = Σe = n_s — so only (slice, token) pairs that actually
+    occur are ever materialized: one token-keyed groupBy for pooled
+    counts, one (slice, token) groupBy, a broadcast-joined ratio sum.
+    Returns (slice_col, n_tokens, chi2, chi2_per_token); higher = more
+    divergent from the pool.  χ² is rounded to 4 decimals (the ratio
+    sum is the one floating step; all counts are exact)."""
+    tok = docs.where(F.trim(F.col(text_col)) != "").select(
+        F.col(slice_col).alias("_slice"),
+        F.explode(
+            F.transform(tokens_expr(F.col(text_col)), lambda t: F.lower(t))
+        ).alias("token"),
+    )
+    pooled = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    per_slice = tok.groupBy("_slice", "token").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    n_total = tok.count()
+    ratio = (F.col("o") * F.col("o")).cast("double") / F.col("c")
+    agg = (
+        per_slice.join(F.broadcast(pooled), "token")
+        .groupBy("_slice")
+        .agg(F.sum("o").alias("n_tokens"), F.sum(ratio).alias("_r"))
+    )
+    chi2 = (F.lit(float(n_total)) / F.col("n_tokens")) * F.col("_r") - F.col(
+        "n_tokens"
+    )
+    return agg.select(
+        F.col("_slice").alias(slice_col),
+        "n_tokens",
+        F.round(chi2, 4).alias("chi2"),
+        F.round(chi2 / F.col("n_tokens"), 6).alias("chi2_per_token"),
+    )

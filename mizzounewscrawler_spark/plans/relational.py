@@ -1587,6 +1587,42 @@ FROM scored s JOIN cuts c USING (lang)
 """
 
 
+def q_slice_divergence(spark, sf):
+    """Per-language token-distribution χ² against the pooled corpus
+    (operators/lm.py token_chi2_by_slice) — the mixture diagnostic run
+    before re-weighting or ingesting a new dump.  Sparse algebra: only
+    observed (slice, token) pairs are materialized."""
+    from mizzounewscrawler_spark.operators.lm import token_chi2_by_slice
+
+    return token_chi2_by_slice(t(spark, sf, "documents"), "lang")
+
+
+SQL_SLICE_DIVERGENCE = r"""
+WITH tok AS (
+  SELECT lang AS s, lower(t.tk) AS token
+  FROM documents,
+       unnest(regexp_split_to_array(trim(text), '\s+')) AS t(tk)
+  WHERE trim(text) <> ''
+), pooled AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY 1
+), per_slice AS (
+  SELECT s, token, count(*) AS o FROM tok GROUP BY 1, 2
+), n AS (SELECT count(*) AS n_total FROM tok),
+agg AS (
+  SELECT p.s, sum(p.o) AS n_tokens,
+         sum(CAST(p.o AS DOUBLE) * p.o / g.c) AS r
+  FROM per_slice p JOIN pooled g USING (token)
+  GROUP BY 1
+)
+SELECT a.s AS lang, CAST(a.n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(n.n_total AS DOUBLE) / a.n_tokens * a.r - a.n_tokens, 4)
+         AS chi2,
+       round((CAST(n.n_total AS DOUBLE) / a.n_tokens * a.r - a.n_tokens)
+             / a.n_tokens, 6) AS chi2_per_token
+FROM agg a CROSS JOIN n
+"""
+
+
 def q_quality_yield_priority(spark, sf):
     """Focused-crawl frontier re-ranking (operators/scheduler.py
     quality_yield_priority): per-host training-usable yield (fetched docs
@@ -3358,6 +3394,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("cms_frequencies", q_cms_frequencies, SQL_CMS_FREQUENCIES, "sketch (count-min point queries)"),
     QuerySpec("quantile_sketch", q_quantile_sketch, SQL_QUANTILE_SKETCH, "sketch (log-binned HDR quantiles)"),
     QuerySpec("quality_yield_priority", q_quality_yield_priority, SQL_QUALITY_YIELD, "scheduler (focused-crawl re-rank)"),
+    QuerySpec("slice_divergence", q_slice_divergence, SQL_SLICE_DIVERGENCE, "curation (mixture χ² diagnostic)"),
     QuerySpec("pagerank_hosts", q_pagerank_hosts, SQL_PAGERANK, "graph (host authority)"),
     QuerySpec("multires_rollup", q_multires_rollup, SQL_MULTIRES, "A9/P13 (rollup cascade)"),
     QuerySpec("corpus_split", q_corpus_split, SQL_CORPUS_SPLIT, "sampling (hash split)"),

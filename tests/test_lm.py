@@ -136,3 +136,39 @@ def test_dsir_weights_and_deterministic_resample(spark):
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
     kept = {r["doc_id"] for r in out1 if r["kept"]}
     assert len(kept) == 1  # ~50% of 2 docs, ties excluded at the cut
+
+
+def test_token_chi2_identical_slices_near_zero(spark):
+    """Two slices with identical token distributions diverge ~0 from the
+    pool; a skewed third slice dominates the statistic."""
+    from mizzounewscrawler_spark.operators.lm import token_chi2_by_slice
+
+    rows = [("a", "x y z x y z"), ("b", "x y z x y z"),
+            ("c", "q q q q q q")]
+    out = {r["s"]: r for r in token_chi2_by_slice(
+        spark.createDataFrame(rows, "s string, text string"), "s"
+    ).collect()}
+    assert abs(out["a"]["chi2"] - out["b"]["chi2"]) < 1e-9
+    assert out["c"]["chi2"] > out["a"]["chi2"]
+    # hand check slice c: o=6 on token q, pooled c=6, n=18, n_s=6:
+    # chi2 = 18/6 * 36/6 - 6 = 12
+    assert out["c"]["chi2"] == 12.0
+
+
+def test_token_chi2_catalog_oracle_parity(spark):
+    import duckdb
+
+    from mizzounewscrawler_spark.plans.relational import (
+        SQL_SLICE_DIVERGENCE,
+        q_slice_divergence,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in q_slice_divergence(spark, sf).collect())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.sql(SQL_SLICE_DIVERGENCE).fetchall())
+    assert got == want
+    assert all(r[2] >= 0 for r in got)
