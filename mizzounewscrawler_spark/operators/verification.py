@@ -241,3 +241,51 @@ def verify_urls(
     return out.withColumn(
         "verify_status", verify_status_expr(F.col(url_col), exc_re, inc_re)
     )
+
+
+def mine_url_traps(
+    urls: DataFrame,
+    url_col: str = "url",
+    max_per_template: int = 20,
+) -> DataFrame:
+    """Crawler-trap miner — the PRODUCER for the F4 dynamic
+    url_path_filters table (the reference ships the table and its
+    application, `src/models/__init__.py` url_path_filters +
+    url_verification.py:253-329, but populates it by hand; at 10^10-URL
+    scale the trap patterns have to be mined from the frontier itself).
+
+    Every URL's path collapses to a template: lowercase, long hex runs →
+    'H' (session ids, cache-buster hashes), digit runs → 'N' (calendar
+    years/days, pagination), query string → a bare '?Q' marker.  A
+    (host, template) pair carrying more than ``max_per_template``
+    DISTINCT URLs is a trap suspect — calendar pages, faceted search,
+    session-id explosions — exactly the URL families that balloon a
+    frontier without yielding articles.  Returns one row per (host,
+    template): ``n_urls``, ``trap`` flag, ``example_url`` (min — the
+    row a human audits), ready to feed ``apply_dynamic_filters`` /
+    ``build_wave`` as an exclusion dim.
+
+    Plan: pure column expressions riding the scan + one groupBy on the
+    uniform (host, template) key with map-side distinct-count partials.
+    """
+    host = _host_expr(F.col(url_col))
+    path = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[a-zA-Z]+://[^/]+(/[^?#]*)", 1)
+    )
+    tmpl = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-f]{16,}", "H"), r"[0-9]+", "N"
+    )
+    q = F.when(F.col(url_col).contains("?"), F.lit("?Q")).otherwise(F.lit(""))
+    return (
+        urls.select(
+            host.alias("host"),
+            F.concat(tmpl, q).alias("template"),
+            F.col(url_col).alias("_u"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.countDistinct("_u").alias("n_urls"),
+            F.min("_u").alias("example_url"),
+        )
+        .withColumn("trap", F.col("n_urls") > F.lit(max_per_template))
+    )

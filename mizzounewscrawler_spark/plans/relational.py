@@ -1587,6 +1587,58 @@ FROM scored s JOIN cuts c USING (lang)
 """
 
 
+def q_url_trap_mining(spark, sf):
+    """Crawler-trap mining (operators/verification.py mine_url_traps):
+    URL paths collapse to digit/hex-normalized templates; (host,
+    template) pairs with > 20 distinct URLs are trap suspects.  Fixture:
+    src0 is a calendar trap (one template, a distinct URL per doc), every
+    other source publishes one-off story slugs."""
+    from mizzounewscrawler_spark.operators.verification import (
+        mine_url_traps,
+    )
+
+    d = t(spark, sf, "documents")
+    slug = F.regexp_replace(F.substring(F.col("text"), 1, 12), "[^a-z]", "-")
+    url = F.when(
+        F.col("source") == "src0",
+        F.concat(
+            F.lit("https://www."), F.col("source"),
+            F.lit(".test/calendar/2024/"),
+            (F.col("doc_id") % 500).cast("string"),
+            F.lit("?day="), F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".test/stories/"),
+            slug, F.lit("-"), F.col("doc_id").cast("string"),
+        )
+    )
+    return mine_url_traps(d.select(url.alias("url")))
+
+
+SQL_URL_TRAPS = r"""
+WITH u AS (
+  SELECT CASE WHEN source = 'src0'
+    THEN 'https://www.' || source || '.test/calendar/2024/'
+         || CAST(doc_id % 500 AS VARCHAR) || '?day=' || CAST(doc_id AS VARCHAR)
+    ELSE 'https://www.' || source || '.test/stories/'
+         || regexp_replace(substring(text, 1, 12), '[^a-z]', '-', 'g')
+         || '-' || CAST(doc_id AS VARCHAR)
+  END AS url FROM documents
+), parts AS (
+  SELECT lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS host,
+         regexp_replace(regexp_replace(
+           lower(regexp_extract(url, '^[a-zA-Z]+://[^/]+(/[^?#]*)', 1)),
+           '[0-9a-f]{16,}', 'H', 'g'), '[0-9]+', 'N', 'g')
+         || CASE WHEN contains(url, '?') THEN '?Q' ELSE '' END AS template,
+         url FROM u
+)
+SELECT host, template, CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+       min(url) AS example_url, count(DISTINCT url) > 20 AS trap
+FROM parts GROUP BY 1, 2
+"""
+
+
 def q_slice_divergence(spark, sf):
     """Per-language token-distribution χ² against the pooled corpus
     (operators/lm.py token_chi2_by_slice) — the mixture diagnostic run
@@ -3395,6 +3447,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("quantile_sketch", q_quantile_sketch, SQL_QUANTILE_SKETCH, "sketch (log-binned HDR quantiles)"),
     QuerySpec("quality_yield_priority", q_quality_yield_priority, SQL_QUALITY_YIELD, "scheduler (focused-crawl re-rank)"),
     QuerySpec("slice_divergence", q_slice_divergence, SQL_SLICE_DIVERGENCE, "curation (mixture χ² diagnostic)"),
+    QuerySpec("url_trap_mining", q_url_trap_mining, SQL_URL_TRAPS, "F4 producer (crawler-trap templates)"),
     QuerySpec("pagerank_hosts", q_pagerank_hosts, SQL_PAGERANK, "graph (host authority)"),
     QuerySpec("multires_rollup", q_multires_rollup, SQL_MULTIRES, "A9/P13 (rollup cascade)"),
     QuerySpec("corpus_split", q_corpus_split, SQL_CORPUS_SPLIT, "sampling (hash split)"),

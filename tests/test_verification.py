@@ -118,3 +118,48 @@ def test_site_spec_skip(spark):
     assert "https://www.paper.test/coupons/week12" not in urls
     assert "https://www.paper.test/news/real-story" in urls
     assert "https://www.other.test/coupons/week12" in urls
+
+
+def test_mine_url_traps_flags_calendar_and_session_patterns(spark):
+    from mizzounewscrawler_spark.operators.verification import mine_url_traps
+
+    rows = (
+        [(f"https://trap.test/calendar/2024/{i}?day={i}",) for i in range(30)]
+        + [(f"https://trap.test/sess/{'ab12cd34' * 3}{i:08d}/page",)
+           for i in range(25)]
+        + [(f"https://ok.test/stories/story-{chr(97 + i)}",) for i in range(30)]
+        + [("https://ok.test/about",)]
+    )
+    df = spark.createDataFrame(rows, "url string")
+    out = {(r["host"], r["template"]): r
+           for r in mine_url_traps(df, max_per_template=20).collect()}
+    cal = out[("trap.test", "/calendar/N/N?Q")]
+    assert cal["trap"] and cal["n_urls"] == 30
+    # 24-char hex+digit run collapses to H (then trailing digits to N)
+    sess = [k for k in out if k[0] == "trap.test" and "/sess/" in k[1]]
+    assert len(sess) == 1 and out[sess[0]]["trap"]
+    # one-off story slugs never aggregate into a trap
+    assert all(
+        not v["trap"] for (h, t), v in out.items() if h == "ok.test"
+    )
+    assert cal["example_url"].startswith("https://trap.test/calendar/")
+
+
+def test_mine_url_traps_catalog_oracle_parity(spark):
+    import duckdb
+
+    from mizzounewscrawler_spark.plans.relational import (
+        SQL_URL_TRAPS,
+        q_url_trap_mining,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in q_url_trap_mining(spark, sf).collect())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.sql(SQL_URL_TRAPS).fetchall())
+    assert got == want
+    traps = [r for r in got if r[4]]
+    assert len(traps) == 1 and traps[0][0] == "www.src0.test"
