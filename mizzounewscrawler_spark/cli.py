@@ -256,6 +256,39 @@ def _cmd_corpus(args) -> int:
     return 0
 
 
+def _cmd_history(args) -> int:
+    """Snapshot lineage per lake table (Iceberg table.history() analog),
+    and optionally the keyed diff between two snapshots of one table —
+    'what did wave N admit/retract' without rewriting anything."""
+    from mizzounewscrawler_spark.crawl import open_tables
+
+    spark = _spark("mnc-history")
+    t = open_tables(spark, args.out)
+    if args.table and args.diff:
+        tbl = getattr(t, args.table)
+        frm, to = (int(x) for x in args.diff.split(":", 1))
+        d = tbl.read(frm)
+        key = args.key or ("url_hash" if "url_hash" in d.columns else None)
+        changes = tbl.diff(frm, to, key_col=key)
+        counts = {
+            r["_change"]: r["n"]
+            for r in changes.groupBy("_change")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        print(json.dumps({"table": args.table, "from": frm, "to": to,
+                          "key": key, "changes": counts}))
+        return 0
+    out = {}
+    for name in ("frontier", "url_seen", "articles", "host_state",
+                 "order_log", "fetch_events"):
+        tbl = getattr(t, name, None)
+        if tbl is not None and tbl.exists():
+            out[name] = tbl.history()
+    print(json.dumps(out))
+    return 0
+
+
 def _cmd_sql(args) -> int:
     """Ad-hoc Spark SQL over the engine's tables: every LakeTable under
     --out registers as a temp view (frontier, articles, url_seen, …), and
@@ -526,6 +559,17 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sq.add_argument("--limit", type=int, default=1000)
     sq.set_defaults(fn=_cmd_sql)
+
+    hi = sub.add_parser(
+        "history",
+        help="snapshot lineage per table; --table X --diff A:B for a "
+        "keyed between-snapshots diff",
+    )
+    hi.add_argument("--out", required=True)
+    hi.add_argument("--table")
+    hi.add_argument("--diff", help="FROM:TO snapshot versions")
+    hi.add_argument("--key", help="diff key column (default url_hash)")
+    hi.set_defaults(fn=_cmd_history)
 
     ls = sub.add_parser(
         "load-sources", help="validate + normalize publinks CSV (load_sources.py)"

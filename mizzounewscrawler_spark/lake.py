@@ -549,3 +549,52 @@ class LakeTable:
             )
             df = df.join(F.broadcast(dk), on=snap.delete_key_col, how="left_anti")
         return df
+
+
+    def history(self) -> list[dict[str, Any]]:
+        """Snapshot lineage, oldest first — the Iceberg ``table.history()``
+        analog: version, parent, commit counters from the summary, and the
+        per-commit file lineage sizes.  Pure manifest reads — no data I/O."""
+        out = []
+        for s in self.snapshots():
+            out.append(
+                {
+                    "version": s.version,
+                    "parent": s.parent,
+                    "summary": dict(s.summary),
+                    "files": len(s.files),
+                    "rows_committed": sum(
+                        int(f.get("rows", 0)) for f in s.files
+                    ),
+                    "delete_files": len(s.delete_files),
+                }
+            )
+        return out
+
+    def diff(
+        self,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+        key_col: str | None = None,
+    ) -> DataFrame:
+        """Rows that changed between two snapshots, as one DataFrame with a
+        ``_change`` column ('added' / 'removed') — the time-travel audit
+        query ("what did wave N admit / retract?").
+
+        With ``key_col`` (the usual case — every engine table is keyed):
+        two broadcast-free anti-joins on the uniform key.  Without it,
+        whole-row ``exceptAll`` both ways (exact multiset difference —
+        heavier, for keyless tables).  Reads ONLY the two snapshots'
+        live versions; nothing is rewritten."""
+        from pyspark.sql import functions as F
+        a = self.read(from_snapshot)
+        b = self.read(to_snapshot)
+        if key_col is not None:
+            added = b.join(a.select(key_col), key_col, "left_anti")
+            removed = a.join(b.select(key_col), key_col, "left_anti")
+        else:
+            added = b.exceptAll(a)
+            removed = a.exceptAll(b)
+        return added.withColumn("_change", F.lit("added")).unionByName(
+            removed.withColumn("_change", F.lit("removed"))
+        )

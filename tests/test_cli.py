@@ -256,3 +256,42 @@ def test_cli_sql_over_lake_and_data(lake, capsys):
     assert rc == 0
     row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert row["n"] > 0 and row["s"] > 0
+
+
+def test_cli_history_and_diff(lake, spark, capsys):
+    """`history` lists snapshot lineage; --diff counts keyed adds/removes
+    between two article snapshots."""
+    rc = cli.main(["history", "--out", f"{lake}/crawl"])
+    assert rc == 0
+    hist = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "articles" in hist and len(hist["articles"]) >= 1
+    assert all("version" in s for s in hist["articles"])
+
+    versions = [s["version"] for s in hist["articles"]]
+    if len(versions) >= 2:
+        frm, to = versions[0], versions[-1]
+        rc = cli.main(["history", "--out", f"{lake}/crawl",
+                       "--table", "articles", "--diff", f"{frm}:{to}"])
+        assert rc == 0
+        d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert d["key"] == "url_hash"
+        assert d["changes"].get("added", 0) >= 0
+
+
+def test_laketable_diff_keyed(spark, tmp_path):
+    from mizzounewscrawler_spark.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    s1 = t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "url_hash long, v string"))
+    s2 = t.merge(
+        appends=spark.createDataFrame([(3, "c")], "url_hash long, v string"),
+        delete_keys=spark.createDataFrame([(1,)], "url_hash long"),
+        key_col="url_hash",
+    )
+    changes = {(r["_change"], r["url_hash"])
+               for r in t.diff(s1.version, s2.version, "url_hash").collect()}
+    assert changes == {("added", 3), ("removed", 1)}
+    hist = t.history()
+    assert [h["version"] for h in hist] == [s1.version, s2.version]
+    assert hist[1]["parent"] == s1.version
