@@ -188,6 +188,17 @@ class CrawlConfig:
     # block on cache-fill locks while holding slots.  Measured A/B lives in
     # BENCH/BASELINE.md; the default follows the measurement.
     stage_heavy_first: bool = False
+    # Crawler-trap guard (F4 producer wired into admission): when > 0, each
+    # wave mines (host, path-template) counts over the pending frontier ∪
+    # this wave's candidates (operators/verification.mine_url_traps) and
+    # anti-joins candidates whose template already carries more than this
+    # many distinct URLs — calendar pages, session-id explosions, faceted
+    # search stop inflating the frontier at the cap instead of at 10^10.
+    # Blocked URLs never enter url_seen, so a later cap raise (or template
+    # falling back under the cap) lets them through.  0 = off (default —
+    # one extra wave-sized groupBy per wave, and reference-order parity
+    # requires admission be a pure function of the URL).
+    trap_guard_max: int = 0
 
 
 @session_memo
@@ -667,6 +678,35 @@ def run_crawl(
             results, allowed_hosts, robots, cfg.max_depth, host_rules=host_rules,
             proxy_rows=proxy_rows,
         )
+        if cfg.trap_guard_max:
+            from mizzounewscrawler_spark.operators.verification import (
+                mine_url_traps,
+                url_template_expr,
+            )
+
+            # host+template recomputed from the URL on BOTH sides (the
+            # candidate `host` column is the canonical form — the miner's
+            # raw netloc may differ)
+            traps = (
+                mine_url_traps(
+                    cand.select("url").unionByName(frontier.select("url")),
+                    max_per_template=cfg.trap_guard_max,
+                )
+                .where(F.col("trap"))
+                .select(
+                    F.col("host").alias("_t_host"),
+                    F.col("template").alias("_t_tmpl"),
+                )
+            )
+            cand = (
+                cand.withColumn(
+                    "_t_host",
+                    F.lower(F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)),
+                )
+                .withColumn("_t_tmpl", url_template_expr(F.col("url")))
+                .join(F.broadcast(traps), ["_t_host", "_t_tmpl"], "left_anti")
+                .drop("_t_host", "_t_tmpl")
+            )
         if bloom is not None and shard_dir is not None:
             _flag_sharded = (
                 cuckoo_flag_sharded

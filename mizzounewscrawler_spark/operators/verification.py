@@ -243,6 +243,20 @@ def verify_urls(
     )
 
 
+def url_template_expr(url: Column) -> Column:
+    """The trap-mining path template of a URL: lowercase path, long hex
+    runs → 'H', digit runs → 'N', any query string → a bare '?Q' marker.
+    Shared by :func:`mine_url_traps` (the counter) and the crawl's
+    trap-guard anti-join (the enforcement) so both sides collapse a URL
+    identically."""
+    path = F.lower(F.regexp_extract(url, r"^[a-zA-Z]+://[^/]+(/[^?#]*)", 1))
+    tmpl = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-f]{16,}", "H"), r"[0-9]+", "N"
+    )
+    q = F.when(url.contains("?"), F.lit("?Q")).otherwise(F.lit(""))
+    return F.concat(tmpl, q)
+
+
 def mine_url_traps(
     urls: DataFrame,
     url_col: str = "url",
@@ -268,18 +282,10 @@ def mine_url_traps(
     Plan: pure column expressions riding the scan + one groupBy on the
     uniform (host, template) key with map-side distinct-count partials.
     """
-    host = _host_expr(F.col(url_col))
-    path = F.lower(
-        F.regexp_extract(F.col(url_col), r"^[a-zA-Z]+://[^/]+(/[^?#]*)", 1)
-    )
-    tmpl = F.regexp_replace(
-        F.regexp_replace(path, r"[0-9a-f]{16,}", "H"), r"[0-9]+", "N"
-    )
-    q = F.when(F.col(url_col).contains("?"), F.lit("?Q")).otherwise(F.lit(""))
     return (
         urls.select(
-            host.alias("host"),
-            F.concat(tmpl, q).alias("template"),
+            _host_expr(F.col(url_col)).alias("host"),
+            url_template_expr(F.col(url_col)).alias("template"),
             F.col(url_col).alias("_u"),
         )
         .groupBy("host", "template")
