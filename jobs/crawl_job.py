@@ -57,6 +57,9 @@ def parse_args(argv):
     ap.add_argument("--recrawl-sources", action="store_true",
                     help="perpetual mode: cadence-gated source re-fetch")
     ap.add_argument("--seed-frontier", help="optional parquet of raw seed urls (column: url)")
+    ap.add_argument("--trap-guard", type=int, default=0,
+                    help="block URL path-templates carrying more than this "
+                    "many distinct URLs (0 = off)")
     return ap.parse_args(argv)
 
 
@@ -98,6 +101,7 @@ def main(argv=None) -> int:
         bloom_shard_bits=args.shard_bits,
         with_order_log=args.order_log,
         recrawl_sources=args.recrawl_sources,
+        trap_guard_max=args.trap_guard,
     )
     initial = (
         spark.read.parquet(args.seed_frontier) if args.seed_frontier else None

@@ -62,7 +62,8 @@ def _cmd_crawl(args) -> int:
         robots = spark.read.parquet(args.robots)
     stats = run_crawl(
         spark, pages, seeds, robots, args.out,
-        CrawlConfig(max_waves=args.waves, max_per_host=args.max_per_host),
+        CrawlConfig(max_waves=args.waves, max_per_host=args.max_per_host,
+                    trap_guard_max=args.trap_guard),
     )
     print(json.dumps({k: v for k, v in stats.items() if not k.startswith("_")}))
     return 0
@@ -485,6 +486,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--synthetic", help="H:P:SEED fixture web instead of tables")
     c.add_argument("--waves", type=int, default=10)
     c.add_argument("--max-per-host", type=int, default=3, dest="max_per_host")
+    c.add_argument("--trap-guard", type=int, default=0, dest="trap_guard",
+                   help="block URL templates over this distinct-URL cap")
     c.set_defaults(fn=_cmd_crawl)
 
     s = sub.add_parser("status", help="lake + pipeline status (discovery_status.py)")
