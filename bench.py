@@ -49,6 +49,21 @@ HEADLINE = [
     "hourly_rollup",
 ]
 
+# BENCH_EXTENDED=1 additionally times the round-4 curation/sketch family.
+# Kept OUT of the default headline set (and out of `value`) so the
+# headline numbers stay comparable across rounds; extended timings land
+# in a separate "extended_queries" field.
+EXTENDED = [
+    "semdedup",
+    "quality_classifier",
+    "exact_substring_dedup",
+    "hll_distinct",
+    "cms_frequencies",
+    "quantile_sketch",
+    "slice_divergence",
+    "ccnet_perplexity_buckets",
+]
+
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 
 
@@ -234,9 +249,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     query's whole sample."""
     specs = {s.name: s for s in CATALOG}
     reps = int(os.environ.get("BENCH_QUERY_REPS", "3"))
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    names = list(HEADLINE)
+    if os.environ.get("BENCH_EXTENDED"):
+        names += EXTENDED
+    samples: dict[str, list[float]] = {name: [] for name in names}
     for _ in range(reps):
-        for name in HEADLINE:
+        for name in names:
             fn = specs[name].spark_fn
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -311,6 +329,9 @@ def main() -> None:
     queries = (
         {} if os.environ.get("BENCH_SKIP_QUERIES") else bench_queries(spark, sf_dir)
     )
+    # extended entries report separately and never touch `value` — the
+    # headline stays comparable across rounds
+    extended = {k: queries.pop(k) for k in list(queries) if k not in HEADLINE}
     total = round(time.time() - t_all, 2)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     # "value" = ONE representative run (best-rep crawl + headline queries),
@@ -324,6 +345,7 @@ def main() -> None:
         "value": value,
         "unit": "sec",
         "queries": {**queries, "crawl_total": frontier.get("crawl_sec")},
+        **({"extended_queries": extended} if extended else {}),
         "sf": sf,
         "cores": cores,
         "frontier_throughput_urls_per_sec": frontier.get("throughput_urls_per_sec"),
