@@ -247,3 +247,4 @@ def extract_publish_date(html_text: str, structured: dict | None = None):
         )
         raw = tm.group(1) if tm else ""
     return guard_future(parse_date(raw))
+

@@ -52,6 +52,78 @@ DEFAULT_CALLSIGN_ROWS: list[tuple] = [
 
 DATELINE_RE = r"\(([A-Z]{3,5})\)\s*[—–-]"
 
+# Known wire-service domains for the canonical-cross-domain syndication
+# check (transcribed public config map, reference _WIRE_SERVICE_DOMAINS,
+# /root/reference/src/crawler/__init__.py:220-239)
+WIRE_SERVICE_DOMAINS: dict[str, str] = {
+    "apnews.com": "The Associated Press",
+    "ap.org": "The Associated Press",
+    "reuters.com": "Reuters",
+    "bloomberg.com": "Bloomberg",
+    "afp.com": "Agence France-Presse",
+    "usatoday.com": "USA Today",
+    "cnn.com": "CNN",
+    "foxnews.com": "Fox News",
+    "nbcnews.com": "NBC News",
+    "abcnews.go.com": "ABC News",
+    "cbsnews.com": "CBS News",
+    "healthday.com": "HealthDay",
+    "upi.com": "UPI",
+    "npr.org": "NPR",
+    "pbs.org": "PBS",
+    "washingtonpost.com": "Washington Post",
+    "nytimes.com": "New York Times",
+    "latimes.com": "Los Angeles Times",
+}
+
+
+def canonical_url_expr(html: Column) -> Column:
+    """``<link rel="canonical">`` href, NULL when absent — both attribute
+    orders (rel-then-href and href-then-rel), mirroring the reference's
+    _CANONICAL_LINK_RE / _CANONICAL_LINK_ALT_RE pair
+    (/root/reference/src/crawler/__init__.py:183-190)."""
+    a = F.regexp_extract(
+        html,
+        r'(?i)<link\s+[^>]*rel\s*=\s*["\']canonical["\'][^>]*href\s*=\s*["\']([^"\']+)["\']',
+        1,
+    )
+    b = F.regexp_extract(
+        html,
+        r'(?i)<link\s+[^>]*href\s*=\s*["\']([^"\']+)["\'][^>]*rel\s*=\s*["\']canonical["\']',
+        1,
+    )
+    pick = F.when(a != "", a).otherwise(F.when(b != "", b))
+    return F.trim(pick)
+
+
+def canonical_syndication_expr(url: Column, canonical: Column) -> Column:
+    """struct(is_syndicated, wire_name) from a page's URL and its
+    ``<link rel=canonical>`` target — the reference's check #2 inside wire
+    detection (canonical_cross_domain, crawler/__init__.py:4258-4313): a
+    canonical pointing at a DIFFERENT registrable host marks syndication;
+    the wire name is the known-domain map hit (exact, then subdomain
+    suffix, e.g. consumer.healthday.com), else the canonical domain
+    itself (unknown syndicators — Hearst-style station networks).  Pure
+    column expressions; the domain map folds into one when-chain."""
+
+    def _dom(u: Column) -> Column:
+        d = F.lower(F.regexp_extract(u, r"^https?://([^/]+)", 1))
+        return F.regexp_replace(d, r"^www\.", "")
+
+    cd, ad = _dom(canonical), _dom(url)
+    cross = canonical.isNotNull() & (cd != "") & (ad != "") & (cd != ad)
+    name: Column = None
+    for dom, wire in WIRE_SERVICE_DOMAINS.items():
+        hit = (cd == dom) | cd.endswith("." + dom)
+        name = F.when(hit, F.lit(wire)) if name is None else name.when(
+            hit, F.lit(wire)
+        )
+    name = name.otherwise(cd)
+    return F.struct(
+        cross.alias("is_syndicated"),
+        F.when(cross, name).alias("wire_name"),
+    )
+
 
 def dateline_wire_marker_expr(
     text: Column, url: Column, callsign_rows: list[tuple] | None = None
@@ -283,8 +355,14 @@ def detect_content_type(
     title_col: str = "title",
     author_col: str = "author",
     text_col: str = "text",
+    canonical_col: str | None = None,
 ) -> DataFrame:
-    """Add (content_type, content_confidence, byline struct) columns."""
+    """Add (content_type, content_confidence, byline struct) columns.
+
+    ``canonical_col`` (a ``<link rel=canonical>`` href column, e.g. from
+    ``functions.html.canonical_url_expr``) enables the reference's
+    canonical-cross-domain syndication check as a wire stage between the
+    byline and title panels (its check #2 inside wire detection)."""
     byline = clean_byline_expr(F.col(author_col))
     url = F.coalesce(F.col(url_col), F.lit(""))
     title = F.coalesce(F.col(title_col), F.lit(""))
@@ -307,6 +385,12 @@ def detect_content_type(
         stage(url.rlike(pat), label, c)
     # stage 2: wire byline (reference stage-2, extraction.py:1427)
     stage(byline["is_wire"], "wire", 0.90)
+    # stage 2b: canonical cross-domain syndication (reference wire check
+    # #2, crawler/__init__.py:4258-4313) — only when a canonical column
+    # is supplied
+    if canonical_col is not None:
+        synd = canonical_syndication_expr(url, F.col(canonical_col))
+        stage(synd["is_syndicated"], "wire", 0.88)
     # stage 3: title patterns
     for label, pat, c in TITLE_PANELS:
         stage(title.rlike(pat), label, c)

@@ -385,3 +385,57 @@ def test_bmp_decoder_rejects_garbage(spark):
     assert _decode_bmp(None)["ok"] is False
     assert _decode_bmp(b"BM too short")["ok"] is False
     assert _decode_bmp(b"MMF1" + b"x" * 60)["ok"] is False
+
+
+def test_canonical_cross_domain_syndication(spark):
+    """Reference wire check #2: a <link rel=canonical> pointing at a
+    different domain marks wire — known wire domains by name (exact and
+    subdomain), unknown cross-domain canonicals by their domain; a
+    same-domain canonical (www-insensitive) is NOT syndication."""
+    from pyspark.sql import functions as F
+
+    from mizzounewscrawler_spark.operators.content_type import (
+        canonical_syndication_expr,
+        canonical_url_expr,
+    )
+
+    rows = [
+        (1, "https://local.news/a",
+         '<link rel="canonical" href="https://apnews.com/article/x">'),
+        (2, "https://local.news/b",
+         '<link href="https://consumer.healthday.com/y" rel="canonical">'),
+        (3, "https://local.news/c",
+         '<link rel="canonical" href="https://www.local.news/c">'),
+        (4, "https://local.news/d",
+         '<link rel="canonical" href="https://sister-station.tv/d">'),
+        (5, "https://local.news/e", "<html>no canonical</html>"),
+    ]
+    df = spark.createDataFrame(rows, "id int, url string, html string")
+    out = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id",
+            canonical_syndication_expr(
+                F.col("url"), canonical_url_expr(F.col("html"))
+            ).alias("s"),
+        ).collect()
+    }
+    assert out[1]["is_syndicated"] and out[1]["wire_name"] == "The Associated Press"
+    assert out[2]["is_syndicated"] and out[2]["wire_name"] == "HealthDay"
+    assert not out[3]["is_syndicated"]
+    assert out[4]["is_syndicated"] and out[4]["wire_name"] == "sister-station.tv"
+    assert not out[5]["is_syndicated"]
+
+    # cascade integration: the syndication stage fires between byline and
+    # title panels, and URL panels still win over it
+    cas = spark.createDataFrame(
+        [("https://local.news/a", "T", "Jane Doe", "body",
+          "https://apnews.com/article/x"),
+         ("https://local.news/opinion/z", "T", "Jane Doe", "body",
+          "https://apnews.com/article/z")],
+        "url string, title string, author string, text string, canon string",
+    )
+    got = [r["content_type"] for r in detect_content_type(
+        cas, canonical_col="canon"
+    ).collect()]
+    assert got == ["wire", "opinion"]
