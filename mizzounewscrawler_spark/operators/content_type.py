@@ -77,6 +77,43 @@ WIRE_SERVICE_DOMAINS: dict[str, str] = {
 }
 
 
+def _meta_property_expr(html: Column, prop: str) -> Column:
+    """content of ``<meta property="{prop}" content="...">`` in either
+    attribute order, '' when absent."""
+    a = F.regexp_extract(
+        html,
+        r'(?i)<meta\s+[^>]*property\s*=\s*["\']' + prop
+        + r'["\'][^>]*content\s*=\s*["\']([^"\']+)["\']',
+        1,
+    )
+    b = F.regexp_extract(
+        html,
+        r'(?i)<meta\s+[^>]*content\s*=\s*["\']([^"\']+)["\'][^>]*'
+        r'property\s*=\s*["\']' + prop + r'["\']',
+        1,
+    )
+    return F.when(a != "", a).otherwise(b)
+
+
+def distributor_wire_expr(html: Column) -> Column:
+    """struct(is_wire, wire_name) from OpenGraph distributor meta tags —
+    the reference's wire check #1 (og_distributor_category,
+    crawler/__init__.py:4230-4256; Gray-TV-style CMS markup):
+    ``article:distributor_category`` ∈ wires/wire/syndicated/syndication
+    is the strong signal, ``article:distributor_name`` carries the
+    service name.  Both attribute orders handled, like the reference's
+    RE/ALT_RE pairs."""
+    cat = F.lower(
+        F.trim(_meta_property_expr(html, "article:distributor_category"))
+    )
+    name = F.trim(_meta_property_expr(html, "article:distributor_name"))
+    is_wire = cat.isin("wires", "wire", "syndicated", "syndication")
+    return F.struct(
+        is_wire.alias("is_wire"),
+        F.when(is_wire & (name != ""), name).alias("wire_name"),
+    )
+
+
 def canonical_url_expr(html: Column) -> Column:
     """``<link rel="canonical">`` href, NULL when absent — both attribute
     orders (rel-then-href and href-then-rel), mirroring the reference's
@@ -356,13 +393,16 @@ def detect_content_type(
     author_col: str = "author",
     text_col: str = "text",
     canonical_col: str | None = None,
+    html_col: str | None = None,
 ) -> DataFrame:
     """Add (content_type, content_confidence, byline struct) columns.
 
-    ``canonical_col`` (a ``<link rel=canonical>`` href column, e.g. from
-    ``functions.html.canonical_url_expr``) enables the reference's
-    canonical-cross-domain syndication check as a wire stage between the
-    byline and title panels (its check #2 inside wire detection)."""
+    ``html_col`` (raw html text) enables the reference's wire check #1 —
+    OpenGraph ``article:distributor_category`` meta (stage 2a).
+    ``canonical_col`` (a ``<link rel=canonical>`` href column, from
+    ``canonical_url_expr``) enables its check #2 — cross-domain canonical
+    syndication (stage 2b).  Both sit between the byline and title
+    panels, preserving the cascade's first-hit-wins parity order."""
     byline = clean_byline_expr(F.col(author_col))
     url = F.coalesce(F.col(url_col), F.lit(""))
     title = F.coalesce(F.col(title_col), F.lit(""))
@@ -385,6 +425,12 @@ def detect_content_type(
         stage(url.rlike(pat), label, c)
     # stage 2: wire byline (reference stage-2, extraction.py:1427)
     stage(byline["is_wire"], "wire", 0.90)
+    # stage 2a: OG distributor meta (reference wire check #1,
+    # crawler/__init__.py:4230-4256) — only when raw html is supplied
+    if html_col is not None:
+        stage(
+            distributor_wire_expr(F.col(html_col))["is_wire"], "wire", 0.92
+        )
     # stage 2b: canonical cross-domain syndication (reference wire check
     # #2, crawler/__init__.py:4258-4313) — only when a canonical column
     # is supplied

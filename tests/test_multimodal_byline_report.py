@@ -439,3 +439,42 @@ def test_canonical_cross_domain_syndication(spark):
         cas, canonical_col="canon"
     ).collect()]
     assert got == ["wire", "opinion"]
+
+
+def test_og_distributor_wire_detection(spark):
+    """Reference wire check #1: article:distributor_category='wires' meta
+    (either attribute order) marks wire with the distributor name; other
+    categories and absent tags do not."""
+    from pyspark.sql import functions as F
+
+    from mizzounewscrawler_spark.operators.content_type import (
+        detect_content_type,
+        distributor_wire_expr,
+    )
+
+    rows = [
+        (1, '<meta property="article:distributor_category" content="wires"/>'
+            '<meta property="article:distributor_name" content="AP National"/>'),
+        (2, '<meta content="syndicated" '
+            'property="article:distributor_category"/>'),
+        (3, '<meta property="article:distributor_category" '
+            'content="original"/>'),
+        (4, "<html>nothing</html>"),
+    ]
+    df = spark.createDataFrame(rows, "id int, html string")
+    out = {r["id"]: r["s"] for r in df.select(
+        "id", distributor_wire_expr(F.col("html")).alias("s")
+    ).collect()}
+    assert out[1]["is_wire"] and out[1]["wire_name"] == "AP National"
+    assert out[2]["is_wire"] and out[2]["wire_name"] is None
+    assert not out[3]["is_wire"] and not out[4]["is_wire"]
+
+    cas = spark.createDataFrame(
+        [("https://local.news/a", "T", "Jane Doe", "body", rows[0][1]),
+         ("https://local.news/b", "T", "Jane Doe", "body", rows[3][1])],
+        "url string, title string, author string, text string, html string",
+    )
+    got = [r["content_type"] for r in detect_content_type(
+        cas, html_col="html"
+    ).collect()]
+    assert got == ["wire", "news"]
