@@ -114,6 +114,109 @@ def distributor_wire_expr(html: Column) -> Column:
     )
 
 
+def _wire_name_for_url(u: Column) -> Column:
+    """Wire-service name when any known wire domain appears as a substring
+    of ``u`` (lowercased) — the reference's loose `domain in value` check
+    used by its jsonld_isBasedOn / jsonld_mainEntity / datalayer_origin
+    signals; NULL when none match."""
+    lo = F.lower(u)
+    name: Column = None
+    for dom, wire in WIRE_SERVICE_DOMAINS.items():
+        hit = lo.contains(dom)
+        name = F.when(hit, F.lit(wire)) if name is None else name.when(
+            hit, F.lit(wire)
+        )
+    return name
+
+
+def syndication_signals_expr(html: Column) -> Column:
+    """struct(is_wire, wire_name, method) from the reference's deeper
+    CMS/JSON-LD syndication signals (crawler/__init__.py:4333-4470),
+    first hit wins in its order:
+
+    - ``jsonld_isBasedOn``: JSON-LD ``isBasedOn`` URL on a known wire
+      domain;
+    - ``jsonld_mainEntity``: ``mainEntityOfPage.@id`` on a wire domain;
+    - ``jsonld_contentSourceCode``: Gannett embedded-metadata
+      ``contentSourceCode == "USAT"`` (the metadata field is a
+      JSON-encoded string, so the quotes arrive escaped);
+    - ``datalayer_syndication``: TownNews ``tncms.syndication.source`` /
+      ``townnews.content.source`` value (names the external source);
+    - ``datalayer_origin``: ``tncms.syndication.origin`` URL on a wire
+      domain.
+
+    Pure regexp_extract + when-chains — the reference walks JSON blocks
+    in Python per row; the flat-regex form accepts the same markup (the
+    fields are CMS-emitted, not adversarial)."""
+    based = F.regexp_extract(
+        html, r'(?i)"isBasedOn"\s*:\s*"([^"]+)"', 1
+    )
+    main_id = F.regexp_extract(
+        html,
+        r'(?i)"mainEntityOfPage"\s*:\s*\{[^}]*"@id"\s*:\s*"([^"]+)"',
+        1,
+    )
+    gannett = F.regexp_extract(
+        html, r'(?i)\\?"contentSourceCode\\?"\s*:\s*\\?"(USAT)\\?"', 1
+    )
+    tn_src = F.regexp_extract(
+        html,
+        r'(?i)["\']?(?:tncms\.syndication\.source|townnews\.content\.source)'
+        r'["\']?\s*[=:]\s*["\']([^"\']+)["\']',
+        1,
+    )
+    tn_origin = F.regexp_extract(
+        html,
+        r'(?i)["\']?tncms\.syndication\.origin["\']?\s*[=:]\s*["\']([^"\']+)["\']',
+        1,
+    )
+    based_name = _wire_name_for_url(based)
+    main_name = _wire_name_for_url(main_id)
+    origin_name = _wire_name_for_url(tn_origin)
+    picked = (
+        F.when(
+            (based != "") & based_name.isNotNull(),
+            F.struct(
+                based_name.alias("wire_name"),
+                F.lit("jsonld_isBasedOn").alias("method"),
+            ),
+        )
+        .when(
+            (main_id != "") & main_name.isNotNull(),
+            F.struct(
+                main_name.alias("wire_name"),
+                F.lit("jsonld_mainEntity").alias("method"),
+            ),
+        )
+        .when(
+            gannett == "USAT",
+            F.struct(
+                F.lit("USA Today").alias("wire_name"),
+                F.lit("jsonld_contentSourceCode").alias("method"),
+            ),
+        )
+        .when(
+            tn_src != "",
+            F.struct(
+                F.trim(tn_src).alias("wire_name"),
+                F.lit("datalayer_syndication").alias("method"),
+            ),
+        )
+        .when(
+            (tn_origin != "") & origin_name.isNotNull(),
+            F.struct(
+                origin_name.alias("wire_name"),
+                F.lit("datalayer_origin").alias("method"),
+            ),
+        )
+    )
+    return F.struct(
+        picked.isNotNull().alias("is_wire"),
+        picked["wire_name"].alias("wire_name"),
+        picked["method"].alias("method"),
+    )
+
+
 def canonical_url_expr(html: Column) -> Column:
     """``<link rel="canonical">`` href, NULL when absent — both attribute
     orders (rel-then-href and href-then-rel), mirroring the reference's
@@ -430,6 +533,13 @@ def detect_content_type(
     if html_col is not None:
         stage(
             distributor_wire_expr(F.col(html_col))["is_wire"], "wire", 0.92
+        )
+        # stage 2a': deeper CMS/JSON-LD syndication signals (isBasedOn,
+        # mainEntityOfPage, Gannett contentSourceCode, TownNews dataLayer)
+        stage(
+            syndication_signals_expr(F.col(html_col))["is_wire"],
+            "wire",
+            0.85,
         )
     # stage 2b: canonical cross-domain syndication (reference wire check
     # #2, crawler/__init__.py:4258-4313) — only when a canonical column

@@ -478,3 +478,43 @@ def test_og_distributor_wire_detection(spark):
         cas, html_col="html"
     ).collect()]
     assert got == ["wire", "news"]
+
+
+def test_cms_jsonld_syndication_signals(spark):
+    """Reference wire checks #4: isBasedOn / mainEntityOfPage / Gannett
+    contentSourceCode / TownNews dataLayer, first hit wins."""
+    from pyspark.sql import functions as F
+
+    from mizzounewscrawler_spark.operators.content_type import (
+        syndication_signals_expr,
+    )
+
+    rows = [
+        (1, '<script type="application/ld+json">'
+            '{"isBasedOn": "https://apnews.com/article/abc"}</script>'),
+        (2, '<script type="application/ld+json">{"mainEntityOfPage": '
+            '{"@type": "WebPage", "@id": "https://www.cnn.com/x"}}</script>'),
+        (3, '<script type="application/ld+json">{"metadata": '
+            '"{\\"contentSourceCode\\":\\"USAT\\"}"}</script>'),
+        (4, "<script>dataLayer.push({'tncms.syndication.source': "
+            "'The Associated Press'});</script>"),
+        (5, '<script>tncms.syndication.origin = '
+            '"https://content.ap.org/story/9";</script>'),
+        (6, '<script type="application/ld+json">'
+            '{"isBasedOn": "https://local.news/orig"}</script>'),
+        (7, "<html>plain page</html>"),
+    ]
+    df = spark.createDataFrame(rows, "id int, html string")
+    out = {r["id"]: r["s"] for r in df.select(
+        "id", syndication_signals_expr(F.col("html")).alias("s")
+    ).collect()}
+    assert out[1]["is_wire"] and out[1]["wire_name"] == "The Associated Press"
+    assert out[1]["method"] == "jsonld_isBasedOn"
+    assert out[2]["is_wire"] and out[2]["wire_name"] == "CNN"
+    assert out[3]["is_wire"] and out[3]["wire_name"] == "USA Today"
+    assert out[4]["is_wire"] and out[4]["wire_name"] == "The Associated Press"
+    assert out[4]["method"] == "datalayer_syndication"
+    assert out[5]["is_wire"] and out[5]["wire_name"] == "The Associated Press"
+    # isBasedOn pointing at a non-wire domain is NOT a wire signal
+    assert not out[6]["is_wire"]
+    assert not out[7]["is_wire"]
