@@ -187,12 +187,15 @@ _RE_WIRE_PROVIDER = re.compile(
 )
 
 
-def extract_structured(html_text: str) -> dict:
+def extract_structured(html_text: str, url: str = "") -> dict:
     """JSON-LD + og/meta structured data (reference
     /root/reference/src/mcmetadata/structured_data.py:106-487): returns
     {title, author, date (raw string), provider, is_wire} with JSON-LD
     taking precedence over og/meta tags.  Tolerant of malformed JSON (the
-    reference swallows parse errors the same way)."""
+    reference swallows parse errors the same way).  ``url`` (the page's
+    own URL) additionally enables the deeper syndication checks
+    (:func:`syndication_signals` — distributor meta, cross-domain
+    canonical, CMS dataLayer) feeding ``is_wire``."""
     import json as _json
 
     out = {"title": "", "author": "", "date": "", "provider": "", "is_wire": False}
@@ -227,6 +230,13 @@ def extract_structured(html_text: str) -> dict:
         _RE_WIRE_PROVIDER.search(out["provider"])
         or _RE_WIRE_PROVIDER.search(metas.get("article:provider", ""))
     )
+    if not out["is_wire"]:
+        # reference wire checks #1/#2/#4 (distributor meta, cross-domain
+        # canonical, CMS/JSON-LD syndication fields)
+        w, name = syndication_signals(html_text, url)
+        if w:
+            out["is_wire"] = True
+            out["provider"] = out["provider"] or name
     return out
 
 
@@ -248,3 +258,126 @@ def extract_publish_date(html_text: str, structured: dict | None = None):
         raw = tm.group(1) if tm else ""
     return guard_future(parse_date(raw))
 
+
+
+# Reference wire checks #1/#2/#4 (crawler/__init__.py:183-215, 4230-4470) —
+# Python twins of the column expressions in operators/content_type.py
+# (distributor_wire_expr / canonical_syndication_expr /
+# syndication_signals_expr), applied at extraction time so the crawl's
+# sd_is_wire carries the same signals the standalone cascade checks.
+_RE_DIST_CAT = re.compile(
+    r'<meta\s+[^>]*property\s*=\s*["\']article:distributor_category["\']'
+    r'[^>]*content\s*=\s*["\']([^"\']+)["\']',
+    re.IGNORECASE,
+)
+_RE_DIST_CAT_ALT = re.compile(
+    r'<meta\s+[^>]*content\s*=\s*["\']([^"\']+)["\'][^>]*'
+    r'property\s*=\s*["\']article:distributor_category["\']',
+    re.IGNORECASE,
+)
+_RE_DIST_NAME = re.compile(
+    r'<meta\s+[^>]*property\s*=\s*["\']article:distributor_name["\']'
+    r'[^>]*content\s*=\s*["\']([^"\']+)["\']',
+    re.IGNORECASE,
+)
+_RE_DIST_NAME_ALT = re.compile(
+    r'<meta\s+[^>]*content\s*=\s*["\']([^"\']+)["\'][^>]*'
+    r'property\s*=\s*["\']article:distributor_name["\']',
+    re.IGNORECASE,
+)
+_RE_CANON = re.compile(
+    r'<link\s+[^>]*rel\s*=\s*["\']canonical["\'][^>]*href\s*=\s*["\']([^"\']+)["\']',
+    re.IGNORECASE,
+)
+_RE_CANON_ALT = re.compile(
+    r'<link\s+[^>]*href\s*=\s*["\']([^"\']+)["\'][^>]*rel\s*=\s*["\']canonical["\']',
+    re.IGNORECASE,
+)
+_RE_ISBASEDON = re.compile(r'"isBasedOn"\s*:\s*"([^"]+)"', re.IGNORECASE)
+_RE_MAINENTITY = re.compile(
+    r'"mainEntityOfPage"\s*:\s*\{[^}]*"@id"\s*:\s*"([^"]+)"', re.IGNORECASE
+)
+_RE_GANNETT = re.compile(
+    r'\\?"contentSourceCode\\?"\s*:\s*\\?"(USAT)\\?"', re.IGNORECASE
+)
+_RE_TN_SRC = re.compile(
+    r'["\']?(?:tncms\.syndication\.source|townnews\.content\.source)["\']?'
+    r'\s*[=:]\s*["\']([^"\']+)["\']',
+    re.IGNORECASE,
+)
+_RE_TN_ORIGIN = re.compile(
+    r'["\']?tncms\.syndication\.origin["\']?\s*[=:]\s*["\']([^"\']+)["\']',
+    re.IGNORECASE,
+)
+
+
+def _first(html_text: str, *res) -> str:
+    for r in res:
+        m = r.search(html_text)
+        if m:
+            return m.group(1).strip()
+    return ""
+
+
+def _wire_name_for(value: str) -> str:
+    from mizzounewscrawler_spark.operators.content_type import (
+        WIRE_SERVICE_DOMAINS,
+    )
+
+    lo = value.lower()
+    for dom, wire in WIRE_SERVICE_DOMAINS.items():
+        if dom in lo:
+            return wire
+    return ""
+
+
+def _strip_www(netloc: str) -> str:
+    return netloc[4:] if netloc.startswith("www.") else netloc
+
+
+def syndication_signals(html_text: str, url: str = "") -> tuple[bool, str]:
+    """(is_wire, wire_name) from the reference's wire checks #1/#2/#4 in
+    its order: OG distributor meta → cross-domain canonical → JSON-LD
+    isBasedOn / mainEntityOfPage / Gannett contentSourceCode → TownNews
+    dataLayer.  ``url`` enables the canonical check (cross-DOMAIN is the
+    signal)."""
+    cat = _first(html_text, _RE_DIST_CAT, _RE_DIST_CAT_ALT).lower()
+    if cat in ("wires", "wire", "syndicated", "syndication"):
+        return True, _first(html_text, _RE_DIST_NAME, _RE_DIST_NAME_ALT)
+    canon = _first(html_text, _RE_CANON, _RE_CANON_ALT)
+    if canon and url:
+        m_c = re.match(r"^https?://([^/]+)", canon)
+        m_a = re.match(r"^https?://([^/]+)", url)
+        if m_c and m_a:
+            cd = _strip_www(m_c.group(1).lower())
+            ad = _strip_www(m_a.group(1).lower())
+            if cd and ad and cd != ad:
+                from mizzounewscrawler_spark.operators.content_type import (
+                    WIRE_SERVICE_DOMAINS,
+                )
+
+                for dom, wire in WIRE_SERVICE_DOMAINS.items():
+                    if cd == dom or cd.endswith("." + dom):
+                        return True, wire
+                return True, cd
+    based = _first(html_text, _RE_ISBASEDON)
+    if based:
+        w = _wire_name_for(based)
+        if w:
+            return True, w
+    main_id = _first(html_text, _RE_MAINENTITY)
+    if main_id:
+        w = _wire_name_for(main_id)
+        if w:
+            return True, w
+    if _RE_GANNETT.search(html_text):
+        return True, "USA Today"
+    tn = _first(html_text, _RE_TN_SRC)
+    if tn:
+        return True, tn
+    origin = _first(html_text, _RE_TN_ORIGIN)
+    if origin:
+        w = _wire_name_for(origin)
+        if w:
+            return True, w
+    return False, ""

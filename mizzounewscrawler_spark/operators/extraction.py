@@ -98,7 +98,7 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             pub, sd, fmeth = None, {"provider": "", "is_wire": False}, {}
         else:
             text, method = extract_text(doc)
-            sd = extract_structured(doc)
+            sd = extract_structured(doc, url=url or "")
             # U3 per-field ordered coalesce across extraction methods, with
             # per-field method tracking (reference _merge_extraction_results,
             # __init__.py:2012-2060); C7 strips site suffixes from the title

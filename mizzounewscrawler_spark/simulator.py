@@ -219,7 +219,7 @@ def simulate_crawl(
                     text, status = "", "feed"
                 else:
                     text, _method = extract_text(doc)
-                    sd = extract_structured(doc)
+                    sd = extract_structured(doc, url=url or "")
                     author = extract_author(doc) or sd["author"]
                     if is_challenge_page(doc):
                         status = "proxy_blocked"

@@ -254,3 +254,65 @@ def test_compression_ratio_signal(spark):
     assert got[2] == expect(noisy)
     assert got[3] is None and got[4] is None
     assert got[1] < 0.05 < 0.5 < got[2]
+
+
+def test_syndication_signals_python_twin_matches_exprs(spark):
+    """The extraction-time Python twin (functions.html.syndication_signals)
+    and the column expressions (operators/content_type) must agree on
+    every signal family — the crawl's sd_is_wire and the standalone
+    cascade check the same markup."""
+    import pyspark.sql.functions as F
+
+    from mizzounewscrawler_spark.functions.html import syndication_signals
+    from mizzounewscrawler_spark.operators.content_type import (
+        canonical_syndication_expr,
+        canonical_url_expr,
+        distributor_wire_expr,
+        syndication_signals_expr,
+    )
+
+    cases = [
+        ("https://local.news/a",
+         '<meta property="article:distributor_category" content="wires"/>'
+         '<meta property="article:distributor_name" content="AP National"/>'),
+        ("https://local.news/b",
+         '<link rel="canonical" href="https://apnews.com/article/x">'),
+        ("https://local.news/c",
+         '<link rel="canonical" href="https://www.local.news/c">'),
+        ("https://local.news/d",
+         '<script type="application/ld+json">'
+         '{"isBasedOn": "https://reuters.com/z"}</script>'),
+        ("https://local.news/e",
+         "<script>dataLayer.push({'tncms.syndication.source': 'UPI'});"
+         "</script>"),
+        ("https://local.news/f", "<html>plain</html>"),
+    ]
+    df = spark.createDataFrame(cases, "url string, html string")
+    rows = df.select(
+        "url",
+        distributor_wire_expr(F.col("html"))["is_wire"].alias("d"),
+        canonical_syndication_expr(
+            F.col("url"), canonical_url_expr(F.col("html"))
+        )["is_syndicated"].alias("c"),
+        syndication_signals_expr(F.col("html"))["is_wire"].alias("j"),
+    ).collect()
+    expr_verdict = {
+        r["url"]: bool(r["d"] or r["c"] or r["j"]) for r in rows
+    }
+    for url, html in cases:
+        py_wire, _ = syndication_signals(html, url)
+        assert py_wire == expr_verdict[url], url
+
+
+def test_extract_structured_carries_syndication(spark):
+    from mizzounewscrawler_spark.functions.html import extract_structured
+
+    html = ('<html><meta property="article:distributor_category" '
+            'content="wires"/><meta property="article:distributor_name" '
+            'content="AP National"/><p>body</p></html>')
+    sd = extract_structured(html, url="https://local.news/x")
+    assert sd["is_wire"] and sd["provider"] == "AP National"
+    # canonical cross-domain needs the page URL; without it, no flag
+    chtml = '<link rel="canonical" href="https://apnews.com/a">'
+    assert extract_structured(chtml)["is_wire"] is False
+    assert extract_structured(chtml, url="https://local.news/y")["is_wire"]
