@@ -340,11 +340,21 @@ def syndication_signals(html_text: str, url: str = "") -> tuple[bool, str]:
     its order: OG distributor meta → cross-domain canonical → JSON-LD
     isBasedOn / mainEntityOfPage / Gannett contentSourceCode → TownNews
     dataLayer.  ``url`` enables the canonical check (cross-DOMAIN is the
-    signal)."""
-    cat = _first(html_text, _RE_DIST_CAT, _RE_DIST_CAT_ALT).lower()
-    if cat in ("wires", "wire", "syndicated", "syndication"):
-        return True, _first(html_text, _RE_DIST_NAME, _RE_DIST_NAME_ALT)
-    canon = _first(html_text, _RE_CANON, _RE_CANON_ALT)
+    signal).
+
+    Each regex scan is gated on a cheap substring membership test (the
+    reference's own `'application/ld+json' in html_text` idiom) — this
+    sits in the extraction hot path, and the common page carries none of
+    these markers."""
+    if "article:distributor_category" in html_text:
+        cat = _first(html_text, _RE_DIST_CAT, _RE_DIST_CAT_ALT).lower()
+        if cat in ("wires", "wire", "syndicated", "syndication"):
+            return True, _first(html_text, _RE_DIST_NAME, _RE_DIST_NAME_ALT)
+    canon = (
+        _first(html_text, _RE_CANON, _RE_CANON_ALT)
+        if "canonical" in html_text
+        else ""
+    )
     if canon and url:
         m_c = re.match(r"^https?://([^/]+)", canon)
         m_a = re.match(r"^https?://([^/]+)", url)
@@ -360,24 +370,27 @@ def syndication_signals(html_text: str, url: str = "") -> tuple[bool, str]:
                     if cd == dom or cd.endswith("." + dom):
                         return True, wire
                 return True, cd
-    based = _first(html_text, _RE_ISBASEDON)
-    if based:
-        w = _wire_name_for(based)
-        if w:
-            return True, w
-    main_id = _first(html_text, _RE_MAINENTITY)
-    if main_id:
-        w = _wire_name_for(main_id)
-        if w:
-            return True, w
-    if _RE_GANNETT.search(html_text):
+    if "isBasedOn" in html_text:
+        based = _first(html_text, _RE_ISBASEDON)
+        if based:
+            w = _wire_name_for(based)
+            if w:
+                return True, w
+    if "mainEntityOfPage" in html_text:
+        main_id = _first(html_text, _RE_MAINENTITY)
+        if main_id:
+            w = _wire_name_for(main_id)
+            if w:
+                return True, w
+    if "contentSourceCode" in html_text and _RE_GANNETT.search(html_text):
         return True, "USA Today"
-    tn = _first(html_text, _RE_TN_SRC)
-    if tn:
-        return True, tn
-    origin = _first(html_text, _RE_TN_ORIGIN)
-    if origin:
-        w = _wire_name_for(origin)
-        if w:
-            return True, w
+    if "tncms" in html_text or "townnews" in html_text:
+        tn = _first(html_text, _RE_TN_SRC)
+        if tn:
+            return True, tn
+        origin = _first(html_text, _RE_TN_ORIGIN)
+        if origin:
+            w = _wire_name_for(origin)
+            if w:
+                return True, w
     return False, ""
