@@ -250,6 +250,7 @@ def _cmd_corpus(args) -> int:
         chunk_size=args.chunk_size,
         chunk_overlap=args.chunk_overlap,
         pack_budget=args.pack_budget,
+        neardup=args.neardup,
     )
     out["chunks"].write.mode("overwrite").parquet(f"{args.output}/chunks")
     out["packed"].write.mode("overwrite").parquet(f"{args.output}/packed")
@@ -549,6 +550,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cp.add_argument(
         "--pack-budget", type=int, default=1200, dest="pack_budget"
+    )
+    cp.add_argument(
+        "--neardup", action="store_true",
+        help="MinHash-LSH fuzzy dedup after exact dedup",
     )
     cp.set_defaults(fn=_cmd_corpus)
 

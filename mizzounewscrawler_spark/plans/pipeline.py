@@ -76,6 +76,9 @@ def build_training_corpus(
     pack_budget: int = 1200,
     classifier_weights: DataFrame | None = None,
     classifier_threshold: int = 0,
+    neardup: bool = False,
+    neardup_num_hashes: int = 32,
+    neardup_bands: int = 8,
 ) -> dict[str, DataFrame]:
     """Crawl output → training-ready packed sequences, one lazy chain —
     the bridge between the engine's two halves: the crawl/extraction
@@ -91,7 +94,10 @@ def build_training_corpus(
        the scan), plus the trained GPT-3-style classifier gate when a
        weight table from ``operators.classifier`` is supplied;
     3. ``deduped`` — exact content dedup, keep lowest url_hash per
-       sha256 (one window over the uniform hash key);
+       sha256 (one window over the uniform hash key); with
+       ``neardup=True`` a MinHash-LSH fuzzy pass follows (banded bucket
+       join → connected components → keep-lowest-id), the published
+       pipelines' fuzzy-dedup stage on the exact-dedup survivors;
     4. ``chunks`` — overlapping ``chunk_size``-char training windows;
     5. ``packed`` — deterministic next-fit packing into sequences of
        ≤ ``pack_budget`` chars;
@@ -141,6 +147,26 @@ def build_training_corpus(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    if neardup:
+        from mizzounewscrawler_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            resolve_neardup_clusters,
+        )
+
+        nd_in = deduped.select("url_hash", F.col("_txt").alias("_nd_text"))
+        pairs = minhash_lsh_pairs(
+            nd_in,
+            "url_hash",
+            "_nd_text",
+            num_hashes=neardup_num_hashes,
+            bands=neardup_bands,
+        )
+        verdicts = resolve_neardup_clusters(nd_in, pairs, id_col="url_hash")
+        deduped = deduped.join(
+            verdicts.where(F.col("is_kept")).select("url_hash"),
+            "url_hash",
+            "left_semi",
+        )
     chunks = chunk_documents(
         deduped.select("url_hash", F.col("_txt").alias("chunk_text")),
         "chunk_text",

@@ -85,3 +85,29 @@ def test_partitioning_invariance(spark):
     ka = sorted(tuple(r) for r in a.collect())
     kb = sorted(tuple(r) for r in b.collect())
     assert ka == kb
+
+
+def test_neardup_stage_drops_fuzzy_duplicates(spark):
+    """With neardup=True the MinHash pass removes near-identical docs that
+    exact dedup keeps (one word changed); the lowest url_hash survives."""
+    body = ("the quick brown fox jumps over the lazy dog and keeps going "
+            "through the quiet town while neighbors watch from porches "
+            "and talk about the news of the day with interest") * 2
+    rows = [
+        ("a1", body, None),
+        ("a2", body.replace("quiet", "sleepy"), None),  # near-dup of a1
+        ("b1", "completely different text " * 20, None),
+    ]
+    arts = spark.createDataFrame(
+        rows, "url_hash string, text string, text_clean string"
+    )
+    exact_only = build_training_corpus(arts, min_tokens=5, min_quality=0.0)
+    kept_exact = {r["url_hash"]
+                  for r in exact_only["deduped"].select("url_hash").collect()}
+    assert kept_exact == {"a1", "a2", "b1"}  # exact dedup keeps both
+    fuzzy = build_training_corpus(
+        arts, min_tokens=5, min_quality=0.0, neardup=True
+    )
+    kept = {r["url_hash"]
+            for r in fuzzy["deduped"].select("url_hash").collect()}
+    assert kept == {"a1", "b1"}
