@@ -431,19 +431,37 @@ def _cmd_requeue(args) -> int:
     fingerprint removal) and re-admit them to the frontier as discovered
     rows, so the next crawl run refetches them.  The operational verb for
     the deletable URL-seen variant (north star: cuckoo filter for
-    retraction); use after a bad extraction batch or a site-wide fix."""
+    retraction); use after a bad extraction batch or a site-wide fix.
+
+    ``--before-wave`` is the sliding-window-membership form (the
+    time-windowed seen-set): every URL whose LATEST fetch wave is older
+    than the cutoff expires from the seen set and refetches on the next
+    run — recrawl-after-expiry content freshness, built on the same
+    retraction machinery.  Composable with ``--url-pattern``."""
     from mizzounewscrawler_spark.crawl import FRONTIER_COLS, open_tables
     from mizzounewscrawler_spark.operators.dedup import (
         build_cuckoo,
         requeue_seen,
     )
 
+    if args.url_pattern is None and args.before_wave is None:
+        print(json.dumps({"error": "need --url-pattern and/or --before-wave"}))
+        return 1
     spark = _spark("mnc-requeue")
     t = open_tables(spark, args.out)
+    arts = t.articles.read()
+    if args.before_wave is not None:
+        latest = arts.groupBy("url_hash").agg(F.max("wave").alias("_lw"))
+        arts = (
+            arts.join(latest, "url_hash")
+            .where(F.col("wave") == F.col("_lw"))
+            .where(F.col("_lw") < args.before_wave)
+            .drop("_lw")
+        )
+    if args.url_pattern is not None:
+        arts = arts.where(F.col("url").rlike(args.url_pattern))
     match = (
-        t.articles.read()
-        .where(F.col("url").rlike(args.url_pattern))
-        .select("url", "url_surt", "url_hash", "host", "depth")
+        arts.select("url", "url_surt", "url_hash", "host", "depth")
         .dropDuplicates(["url_hash"])
         .cache()
     )
@@ -601,8 +619,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="un-see URLs (cuckoo + url_seen delete) and readmit to frontier",
     )
     rq.add_argument("--out", required=True)
-    rq.add_argument("--url-pattern", required=True,
+    rq.add_argument("--url-pattern",
                     help="regex over the article url")
+    rq.add_argument("--before-wave", type=int, dest="before_wave",
+                    help="sliding-window expiry: requeue every URL whose "
+                    "LATEST fetch wave is older than this")
     rq.set_defaults(fn=_cmd_requeue)
 
     nd = sub.add_parser(

@@ -295,3 +295,36 @@ def test_laketable_diff_keyed(spark, tmp_path):
     hist = t.history()
     assert [h["version"] for h in hist] == [s1.version, s2.version]
     assert hist[1]["parent"] == s1.version
+
+
+def test_cli_requeue_before_wave_expires_and_refetches(spark, capsys):
+    """Sliding-window seen expiry: --before-wave requeues every URL whose
+    latest fetch is older than the cutoff; a follow-up crawl run
+    refetches exactly those."""
+    import tempfile
+
+    from mizzounewscrawler_spark.crawl import open_tables
+
+    out = tempfile.mkdtemp(prefix="cli_expiry_")
+    assert cli.main(["crawl", "--out", f"{out}/crawl",
+                     "--synthetic", "3:90:11", "--waves", "2",
+                     "--max-per-host", "20"]) == 0
+    capsys.readouterr()
+    t = open_tables(spark, f"{out}/crawl")
+    arts = t.articles.read()
+    waves = sorted(r["wave"] for r in arts.select("wave").distinct().collect())
+    assert len(waves) >= 2
+    cutoff = waves[-1]  # expire everything fetched before the last wave
+    import pyspark.sql.functions as F
+    latest = arts.groupBy("url_hash").agg(F.max("wave").alias("w"))
+    expected = latest.where(F.col("w") < cutoff).count()
+    assert expected > 0
+    rc = cli.main(["requeue", "--out", f"{out}/crawl",
+                   "--before-wave", str(cutoff)])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["requeued"] == expected
+    assert res["readmitted"] == expected
+    # the expired urls are back in the frontier as discovered rows
+    fr = t.frontier.read().where(F.col("status") == "discovered")
+    assert fr.count() >= expected
