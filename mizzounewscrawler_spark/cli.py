@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark.sql import SparkSession
@@ -251,6 +252,7 @@ def _cmd_corpus(args) -> int:
         chunk_overlap=args.chunk_overlap,
         pack_budget=args.pack_budget,
         neardup=args.neardup,
+        cache_intermediates=True,  # 3 actions below share the dedup prefix
     )
     out["chunks"].write.mode("overwrite").parquet(f"{args.output}/chunks")
     out["packed"].write.mode("overwrite").parquet(f"{args.output}/packed")
@@ -346,8 +348,12 @@ def _cmd_load_sources(args) -> int:
             .collect()
         ]
         if dupes:
+            # NULLs group together too (empty url_news cells, or hosts the
+            # normalizer rejected) — render them as '<null>' instead of
+            # letting sorted() raise TypeError on None-vs-str
+            shown = sorted("<null>" if v is None else v for v in dupes)
             errors.append(
-                f"Duplicate {label} entries detected: {sorted(dupes)}. "
+                f"Duplicate {label} entries detected: {shown}. "
                 "Remove duplicates before retrying."
             )
     if errors:
@@ -440,7 +446,7 @@ def _cmd_requeue(args) -> int:
     retraction machinery.  Composable with ``--url-pattern``."""
     from mizzounewscrawler_spark.crawl import FRONTIER_COLS, open_tables
     from mizzounewscrawler_spark.operators.dedup import (
-        build_cuckoo,
+        delete_from_cuckoo_shards,
         requeue_seen,
     )
 
@@ -469,9 +475,18 @@ def _cmd_requeue(args) -> int:
     if n == 0:
         print(json.dumps({"requeued": 0, "readmitted": 0}))
         return 0
-    seen = t.url_seen.read()
-    cf = build_cuckoo(seen, "url_hash", max(2 * seen.count(), 1000))
-    requeue_seen(t.url_seen, cf, match)
+    # O(batch) retraction: the in-memory filter is rebuilt from url_seen
+    # at every crawl start, so only PERSISTED filter state needs the
+    # fingerprint delete — never build a corpus-sized filter here just to
+    # throw it away.  Sharded crawls keep their cuckoo state on disk;
+    # delete from exactly the shards this batch routes to.
+    shard_dir = os.path.join(args.out, "cuckoo_shards")
+    if os.path.isdir(shard_dir):
+        hashes = [
+            r["url_hash"] for r in match.select("url_hash").collect()
+        ]
+        delete_from_cuckoo_shards(shard_dir, hashes)
+    requeue_seen(t.url_seen, None, match)
     # materialize the frontier's accumulated tombstones first: IceLite
     # equality-deletes are not sequence-numbered, so the crawl's old
     # tombstone for these url_hashes would mask the re-append below

@@ -38,6 +38,7 @@ from mizzounewscrawler_spark.functions.urls import surt_expr, url_hash_expr
 from mizzounewscrawler_spark.lake import LakeTable
 from mizzounewscrawler_spark.operators.dedup import (
     CuckooFilter,
+    CuckooFullError,
     PartitionedCuckoo,
     _bloom_params,
     add_hashes,
@@ -1003,14 +1004,30 @@ def run_crawl(
             if isinstance(bloom, (CuckooFilter, PartitionedCuckoo)):
                 # deletable variant: in-place driver insert of the wave's
                 # new hashes (kick chains are sequential — no merge form);
-                # sharded form persists only the shards the insert touched
-                touched = bloom.insert_many(
-                    t.url_seen.staged_column(staged_seen, "url_hash")
-                )
-                if shard_dir is not None and isinstance(
-                    bloom, PartitionedCuckoo
-                ):
-                    save_cuckoo_shards(bloom, shard_dir, touched)
+                # sharded form persists only the shards the insert touched.
+                # On CuckooFullError, rebuild at doubled capacity from the
+                # just-committed url_seen (the authoritative set) — an
+                # amortized O(seen) rebuild instead of a mid-wave crash;
+                # the Bloom merely degrades to a higher FPR here.
+                try:
+                    touched = bloom.insert_many(
+                        t.url_seen.staged_column(staged_seen, "url_hash")
+                    )
+                    if shard_dir is not None and isinstance(
+                        bloom, PartitionedCuckoo
+                    ):
+                        save_cuckoo_shards(bloom, shard_dir, touched)
+                except CuckooFullError:
+                    bloom = build_cuckoo(
+                        seen, "url_hash", bloom.capacity * 2,
+                        shard_bits=(
+                            cfg.bloom_shard_bits if cfg.bloom_sharded else 0
+                        ),
+                    )
+                    if shard_dir is not None and isinstance(
+                        bloom, PartitionedCuckoo
+                    ):
+                        save_cuckoo_shards(bloom, shard_dir)  # full rewrite
             elif discovered_new <= cfg.bloom_driver_increment_max:
                 new_hashes = t.url_seen.staged_column(staged_seen, "url_hash")
                 bloom = add_hashes(bloom, new_hashes)

@@ -534,19 +534,25 @@ def detect_content_type(
         stage(
             distributor_wire_expr(F.col(html_col))["is_wire"], "wire", 0.92
         )
-        # stage 2a': deeper CMS/JSON-LD syndication signals (isBasedOn,
-        # mainEntityOfPage, Gannett contentSourceCode, TownNews dataLayer)
+    # stage 2b: canonical cross-domain syndication (reference wire check
+    # #2, crawler/__init__.py:4258-4313) — only when a canonical column
+    # is supplied.  Checked BEFORE the JSON-LD/CMS signals: the reference
+    # cascade is #1 → #2 → #4, and the extraction-time Python twin
+    # (functions/html.syndication_signals) follows the same order — a
+    # page carrying both a cross-domain canonical and a JSON-LD isBasedOn
+    # must resolve identically on both paths
+    if canonical_col is not None:
+        synd = canonical_syndication_expr(url, F.col(canonical_col))
+        stage(synd["is_syndicated"], "wire", 0.88)
+    # stage 2c: deeper CMS/JSON-LD syndication signals (reference wire
+    # check #4 — isBasedOn, mainEntityOfPage, Gannett contentSourceCode,
+    # TownNews dataLayer)
+    if html_col is not None:
         stage(
             syndication_signals_expr(F.col(html_col))["is_wire"],
             "wire",
             0.85,
         )
-    # stage 2b: canonical cross-domain syndication (reference wire check
-    # #2, crawler/__init__.py:4258-4313) — only when a canonical column
-    # is supplied
-    if canonical_col is not None:
-        synd = canonical_syndication_expr(url, F.col(canonical_col))
-        stage(synd["is_syndicated"], "wire", 0.88)
     # stage 3: title patterns
     for label, pat, c in TITLE_PANELS:
         stage(title.rlike(pat), label, c)

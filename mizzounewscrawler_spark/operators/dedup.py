@@ -490,6 +490,18 @@ def filter_unseen_flagged(
 # --------------------------------------------------------------------------
 
 
+class CuckooFullError(RuntimeError):
+    """A cuckoo insert ran out of kicks — the table is at load capacity.
+
+    Unlike a Bloom (which degrades to a higher FPR), a full cuckoo table
+    cannot accept the fingerprint at all, and it cannot grow in place
+    (bucket indices depend on the original 64-bit hash, which the table
+    does not store — only the 16-bit fingerprint).  The caller must
+    REBUILD from the authoritative url_seen table at a larger capacity;
+    ``crawl.run_crawl`` does exactly that (doubling) so a cuckoo crawl
+    degrades to an amortized rebuild instead of dying mid-wave."""
+
+
 class CuckooFilter:
     """Bucketized cuckoo filter (4-way, 16-bit fingerprints) over signed-64
     hashes; supports delete for frontier retraction (SURVEY.md §7 risk 3).
@@ -502,12 +514,25 @@ class CuckooFilter:
     MAX_KICKS = 500
 
     def __init__(self, capacity: int, seed: int = 42):
+        self.capacity = capacity  # requested, for rebuild-doubling on full
         nbuckets = 1
         while nbuckets * self.BUCKET < capacity * 1.1:
             nbuckets <<= 1
         self.nbuckets = nbuckets
         self.table = np.zeros((nbuckets, self.BUCKET), dtype=np.uint16)
         self._rng = np.random.default_rng(seed)  # deterministic kick choice
+
+    @classmethod
+    def from_table(cls, table: np.ndarray, seed: int = 42) -> "CuckooFilter":
+        """Wrap a persisted raw (nbuckets, BUCKET) uint16 table — fp/bucket
+        math depends only on nbuckets, so a loaded shard probes and
+        deletes identically to the filter that wrote it."""
+        cf = cls.__new__(cls)
+        cf.capacity = table.shape[0] * cls.BUCKET
+        cf.nbuckets = table.shape[0]
+        cf.table = table
+        cf._rng = np.random.default_rng(seed)
+        return cf
 
     def _fp_and_buckets(self, h: int) -> tuple[int, int, int]:
         hu = h & ((1 << 64) - 1)
@@ -566,9 +591,10 @@ class CuckooFilter:
         present are skipped — a fingerprint collision then leaves the item
         answering "maybe seen", which the exact backstop corrects, exactly
         like a Bloom FP.  Driver-side Python loop over the wave's NEW URLs
-        only (anti-joined before insert, so wave-sized).  Raises when the
-        table is full — the caller must rebuild with a larger capacity.
-        Returns the number actually inserted."""
+        only (anti-joined before insert, so wave-sized).  Raises
+        :class:`CuckooFullError` when the table is full — the caller must
+        rebuild with a larger capacity (``run_crawl`` doubles and rebuilds
+        from url_seen).  Returns the number actually inserted."""
         arr = np.asarray(hashes, dtype=np.int64)
         if len(arr) == 0:
             return 0
@@ -576,8 +602,9 @@ class CuckooFilter:
         n = 0
         for h in todo:
             if not self.insert(int(h)):
-                raise RuntimeError(
-                    "cuckoo filter full — rebuild with larger capacity"
+                raise CuckooFullError(
+                    f"cuckoo filter full at ~{self.nbuckets * self.BUCKET} "
+                    "slots — rebuild with larger capacity"
                 )
             n += 1
         return n
@@ -620,6 +647,7 @@ class PartitionedCuckoo:
     writer) persists only the shards a wave's insert touched."""
 
     def __init__(self, capacity: int, shard_bits: int = 0, seed: int = 42):
+        self.capacity = capacity  # requested, for rebuild-doubling on full
         self.shard_bits = shard_bits
         n = 1 << shard_bits
         per = max(1, capacity // n)
@@ -696,6 +724,46 @@ def save_cuckoo_shards(
         os.replace(tmp, p)
 
 
+def delete_from_cuckoo_shards(shard_dir: str, hashes) -> list[int]:
+    """O(batch) on-disk retraction: remove fingerprints from the PERSISTED
+    cuckoo shard files, touching only the shards the batch routes to.
+
+    This is the between-runs form of :meth:`PartitionedCuckoo.delete_many`
+    — the operational requeue verb must NOT rebuild a corpus-sized filter
+    just to forget a handful of URLs (the in-memory filter is rebuilt from
+    url_seen at every crawl start anyway; only the persisted shard files
+    carry state across runs).  Loads each touched shard (~21 MB at the
+    design shard_bits), zeroes the matching fingerprint slots, and writes
+    it back tmp+rename atomic.  Returns the touched shard ids."""
+    arr = np.asarray(list(hashes), dtype=np.int64)
+    if len(arr) == 0:
+        return []
+    with open(os.path.join(shard_dir, "params.json")) as f:
+        params = json.load(f)
+    shard_bits, nbuckets = params["shard_bits"], params["nbuckets"]
+    if shard_bits:
+        sids = (arr.view(np.uint64) >> np.uint64(64 - shard_bits)).astype(int)
+    else:
+        sids = np.zeros(len(arr), dtype=int)
+    touched: list[int] = []
+    for sid in np.unique(sids):
+        p = os.path.join(shard_dir, f"shard_{int(sid):05d}.bin")
+        if not os.path.exists(p):
+            continue
+        with open(p, "rb") as f:
+            table = np.frombuffer(f.read(), dtype=np.uint16).reshape(
+                nbuckets, CuckooFilter.BUCKET
+            ).copy()
+        shell = CuckooFilter.from_table(table)
+        shell.delete_many(arr[sids == sid])
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(shell.table.tobytes())
+        os.replace(tmp, p)
+        touched.append(int(sid))
+    return touched
+
+
 def cuckoo_flag_sharded(
     candidates: DataFrame,
     shard_dir: str,
@@ -766,21 +834,31 @@ def build_cuckoo(
     one broadcastable :class:`CuckooFilter`; ``shard_bits>0`` returns the
     :class:`PartitionedCuckoo` whose per-shard files the shard-aligned
     probe loads (no whole-filter broadcast — the same fix as the sharded
-    Bloom, see the memory math on both classes)."""
-    if shard_bits > 0:
-        pc = PartitionedCuckoo(max(capacity, 1), shard_bits, seed=seed)
-        pdf = df.select(F.col(hash_col).cast("long").alias("h")).toPandas()
-        pc.insert_many(pdf["h"].to_numpy(dtype=np.int64))
-        return pc
-    cf = CuckooFilter(max(capacity, 1), seed=seed)
+    Bloom, see the memory math on both classes).
+
+    ``capacity`` is a FLOOR, not a hard limit: if the seen set does not
+    fit (kick chains exhaust), the build doubles and retries until it
+    does — the bulk build must never fail on an undersized config, and
+    the one collect is reused across retries."""
     pdf = df.select(F.col(hash_col).cast("long").alias("h")).toPandas()
-    cf.insert_many(pdf["h"].to_numpy(dtype=np.int64))
-    return cf
+    arr = pdf["h"].to_numpy(dtype=np.int64)
+    cap = max(capacity, 1)
+    while True:
+        try:
+            if shard_bits > 0:
+                pc = PartitionedCuckoo(cap, shard_bits, seed=seed)
+                pc.insert_many(arr)
+                return pc
+            cf = CuckooFilter(cap, seed=seed)
+            cf.insert_many(arr)
+            return cf
+        except CuckooFullError:
+            cap *= 2
 
 
 def requeue_seen(
     url_seen_table,
-    cuckoo: CuckooFilter,
+    cuckoo: CuckooFilter | None,
     retract: DataFrame,
     hash_col: str = "url_hash",
 ) -> int:
@@ -798,9 +876,16 @@ def requeue_seen(
     Compaction is O(table); on Iceberg proper, sequence numbers (a newer
     append beats an older delete) make this O(batch).  Requeue is a rare
     operational verb — the cost is acceptable and amortizes like any other
-    compaction.  Returns the batch size."""
+    compaction.  Returns the batch size.
+
+    ``cuckoo`` may be None when no LIVE filter object exists (the CLI
+    verb between crawl runs): the in-memory filter is rebuilt from
+    url_seen at every ``run_crawl`` start, so only PERSISTED filter state
+    needs retraction there — see :func:`delete_from_cuckoo_shards` for
+    the O(batch) on-disk form."""
     pdf = retract.select(F.col(hash_col).cast("long").alias("h")).toPandas()
-    cuckoo.delete_many(pdf["h"].to_numpy(dtype=np.int64))
+    if cuckoo is not None:
+        cuckoo.delete_many(pdf["h"].to_numpy(dtype=np.int64))
     keys = retract.select(hash_col).distinct()
     url_seen_table.merge(None, keys, hash_col, {"requeue": len(pdf)})
     url_seen_table.compact({"requeue_compaction": True})
@@ -872,6 +957,14 @@ def minhash_band_postings(
 
     Pass ``sig_col`` to band precomputed signatures (fixture/SQL-mirror
     path); otherwise signatures are computed from ``text_col`` in-flight.
+
+    Documents too short to shingle (fewer than ``shingle_k`` tokens) have
+    an all-null signature and emit NO postings: banding them would skip
+    the nulls in the bucket key and collapse every tiny doc into one
+    shared (band, '') bucket — unrelated two-word docs would be paired as
+    near-dups AND m short docs would form one O(m²) mega-bucket.  Short
+    docs still participate in exact dedup; MinHash similarity is simply
+    undefined below the shingle size.
     """
     if (text_col is None) == (sig_col is None):
         raise ValueError("exactly one of text_col / sig_col required")
@@ -880,11 +973,14 @@ def minhash_band_postings(
         if sig_col is not None
         else minhash_signature_expr(F.col(text_col), num_hashes, shingle_k)
     )
-    postings = _band_postings_expr(
-        sig, bands, num_hashes // bands, hashed_buckets
+    base = df.select(F.col(id_col).alias("id"), sig.alias("_sig")).where(
+        F.element_at(F.col("_sig"), 1).isNotNull()
     )
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(postings).alias("bb")
+    postings = _band_postings_expr(
+        F.col("_sig"), bands, num_hashes // bands, hashed_buckets
+    )
+    return base.select(
+        "id", F.explode(postings).alias("bb")
     ).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
@@ -940,7 +1036,11 @@ def probe_band_index(probe: DataFrame, index: DataFrame) -> DataFrame:
         n.join(
             c,
             (F.col("n.band") == F.col("c.band"))
-            & (F.col("n.bucket") == F.col("c.bucket")),
+            & (F.col("n.bucket") == F.col("c.bucket"))
+            # an id can legitimately sit on BOTH sides (a requeued URL
+            # refetched after retraction already has postings in the
+            # index) — never pair a document with itself
+            & (F.col("n.id") != F.col("c.id")),
         )
         .select(
             F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id")

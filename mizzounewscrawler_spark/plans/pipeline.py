@@ -79,6 +79,7 @@ def build_training_corpus(
     neardup: bool = False,
     neardup_num_hashes: int = 32,
     neardup_bands: int = 8,
+    cache_intermediates: bool = False,
 ) -> dict[str, DataFrame]:
     """Crawl output → training-ready packed sequences, one lazy chain —
     the bridge between the engine's two halves: the crawl/extraction
@@ -167,6 +168,14 @@ def build_training_corpus(
             "url_hash",
             "left_semi",
         )
+    if cache_intermediates:
+        # a caller that materializes several outputs (the corpus CLI verb
+        # writes chunks AND packed AND collects stats) would otherwise
+        # re-run the gate + dedup (+ MinHash/connected-components) prefix
+        # once per action — cache the expensive frontier of the DAG so the
+        # fan-out computes it once; the lazy default stays for callers
+        # that pick one output
+        deduped = deduped.cache()
     chunks = chunk_documents(
         deduped.select("url_hash", F.col("_txt").alias("chunk_text")),
         "chunk_text",
@@ -174,6 +183,8 @@ def build_training_corpus(
         overlap=chunk_overlap,
         id_cols=["url_hash"],
     ).withColumn("n_chars", F.length("chunk"))
+    if cache_intermediates:
+        chunks = chunks.cache()
     packed = pack_sequences(
         chunks.select(
             F.concat_ws("#", "url_hash", "chunk_id").alias("item_id"),

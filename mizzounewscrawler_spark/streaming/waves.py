@@ -326,29 +326,37 @@ def stream_hll_distinct(
 
     Replay-safe WITHOUT batch-id bookkeeping: register merge is
     idempotent (max of a max), so an at-least-once re-delivery of a
-    micro-batch is a no-op on the table — the one streaming sink here
-    that needs no snapshot guard.  The table is O(2^p) rows by
-    construction (sketch-sized), so the merge collects it driver-side and
-    rewrites — never a distributed overwrite racing its own scan."""
+    micro-batch re-commits an identical snapshot — the one streaming sink
+    here that needs no batch-id guard.  The registers live in a LakeTable
+    (NOT a plain ``mode("overwrite")`` parquet dir): a plain overwrite is
+    delete-then-write, so a crash mid-rewrite would leave the path absent
+    or partial and the next batch would silently restart the sketch from
+    scratch; the LakeTable's manifest rename is atomic, so a reader — and
+    the replayed batch itself — always merges against the last COMMITTED
+    registers.  The table is O(2^p) rows by construction (sketch-sized),
+    so the merge collects it driver-side and rewrites — never a
+    distributed overwrite racing its own scan."""
+    from mizzounewscrawler_spark.lake import LakeTable
     from mizzounewscrawler_spark.operators.sketches import (
         hll_merge,
         hll_registers,
     )
 
+    table = LakeTable(spark, registers_path)
     raw = spark.readStream.schema(schema).parquet(in_dir)
 
     def _merge(batch_df, batch_id: int) -> None:
         sess = batch_df.sparkSession
         new = hll_registers(batch_df, key_col, p)
-        try:
-            cur = sess.read.parquet(registers_path)
-            merged = hll_merge(cur, new)
-        except Exception:
+        if table.exists():
+            merged = hll_merge(table.read(), new)
+        else:
             merged = new
         rows = [(int(r["bucket"]), int(r["rho"])) for r in merged.collect()]
-        sess.createDataFrame(rows, "bucket long, rho int").coalesce(
-            1
-        ).write.mode("overwrite").parquet(registers_path)
+        table.overwrite(
+            sess.createDataFrame(rows, "bucket long, rho int").coalesce(1),
+            {"batch_id": batch_id, "streaming": True},
+        )
 
     return (
         raw.writeStream.foreachBatch(_merge)

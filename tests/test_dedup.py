@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyspark.sql.functions as F
+import pytest
 
 from mizzounewscrawler_spark.operators.dedup import (
     CuckooFilter,
@@ -416,6 +417,131 @@ def test_crawl_with_cuckoo_filter_matches_bloom(spark, web_spark):
         )
     assert results["cuckoo"] == results["bloom"]
     assert len(results["cuckoo"]) > 10
+
+
+def test_crawl_cuckoo_overflow_rebuilds_instead_of_crashing(spark, web_spark):
+    """A cuckoo sized far below the URL count must NOT kill the crawl:
+    insert_many raises CuckooFullError and run_crawl rebuilds at doubled
+    capacity from url_seen — result identical to the bloom variant."""
+    import tempfile
+
+    from mizzounewscrawler_spark.crawl import (
+        CrawlConfig,
+        open_tables,
+        run_crawl,
+    )
+
+    pages, seeds, robots = web_spark
+    results = {}
+    for filt, cap in (("bloom", 10000), ("cuckoo", 8)):
+        out = tempfile.mkdtemp(prefix=f"crawl_tiny_{filt}_")
+        cfg = CrawlConfig(
+            max_waves=3, bloom_capacity=cap, url_seen_filter=filt
+        )
+        run_crawl(spark, pages, seeds, robots, out, cfg)
+        t = open_tables(spark, out)
+        results[filt] = sorted(
+            r["url_surt"] for r in t.url_seen.read().collect()
+        )
+    assert results["cuckoo"] == results["bloom"]
+    assert len(results["cuckoo"]) > 8  # the tiny initial capacity overflowed
+
+
+def test_cuckoo_insert_many_raises_typed_full_error():
+    from mizzounewscrawler_spark.operators.dedup import (
+        CuckooFilter,
+        CuckooFullError,
+    )
+
+    cf = CuckooFilter(4)
+    rng = np.random.default_rng(7)
+    with pytest.raises(CuckooFullError):
+        cf.insert_many(rng.integers(-(2**62), 2**62, size=5000, dtype=np.int64))
+
+
+def test_short_docs_emit_no_lsh_postings_and_never_pair(spark):
+    """Docs with fewer than shingle_k tokens have an all-null MinHash
+    signature — they must emit NO postings (banding nulls used to collapse
+    every tiny doc into one shared bucket, pairing 'hello world' with
+    'stock prices' and building an O(m²) mega-bucket)."""
+    from mizzounewscrawler_spark.operators.dedup import (
+        minhash_band_postings,
+        minhash_lsh_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "on a warm summer evening while birds sing in the old oak tree"
+    )
+    rows = [
+        (1, "hello world"),
+        (2, "stock prices"),
+        (3, "go now"),
+        (4, base),
+        (5, base + " today"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+
+    postings = minhash_band_postings(df, "id", "text")
+    assert postings.where(F.col("id").isin(1, 2, 3)).count() == 0
+    assert postings.where(F.col("id").isin(4, 5)).count() > 0
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, "id", "text").collect()
+    }
+    assert (4, 5) in pairs
+    assert all(a not in (1, 2, 3) and b not in (1, 2, 3) for a, b in pairs)
+
+
+def test_delete_from_cuckoo_shards_is_on_disk_o_batch_retraction(tmp_path):
+    """The CLI requeue path: fingerprints are removed from the PERSISTED
+    shard files directly (touched shards only), no corpus-sized filter is
+    ever rebuilt — after the delete, a fresh probe of the retracted hashes
+    reports unseen while everything else stays seen."""
+    from mizzounewscrawler_spark.operators.dedup import (
+        PartitionedCuckoo,
+        _cuckoo_probe_table,
+        delete_from_cuckoo_shards,
+        save_cuckoo_shards,
+    )
+
+    rng = np.random.default_rng(11)
+    hs = rng.integers(-(2**62), 2**62, size=2000, dtype=np.int64)
+    pc = PartitionedCuckoo(5000, shard_bits=3)
+    pc.insert_many(hs)
+    d = str(tmp_path / "cuckoo_shards")
+    save_cuckoo_shards(pc, d)
+
+    victims, keep = hs[:50], hs[50:]
+    touched = delete_from_cuckoo_shards(d, victims)
+    assert touched  # at least one shard was rewritten
+
+    # reload from disk and probe through the raw-table kernel
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(d, "params.json")) as f:
+        nbuckets = _json.load(f)["nbuckets"]
+
+    def probe(arr):
+        out = np.zeros(len(arr), dtype=bool)
+        sids = (arr.view(np.uint64) >> np.uint64(61)).astype(int)
+        for sid in np.unique(sids):
+            with open(_os.path.join(d, f"shard_{sid:05d}.bin"), "rb") as f:
+                table = np.frombuffer(f.read(), dtype=np.uint16).reshape(
+                    nbuckets, 4
+                )
+            m = sids == sid
+            out[m] = _cuckoo_probe_table(table, arr[m])
+        return out
+
+    # a victim can rarely still probe "seen" when a KEEPER shares its
+    # (fingerprint, bucket) — the same collision class as a Bloom FP, and
+    # exactly why the exact url_seen backstop exists; the overwhelming
+    # majority must be forgotten, and keepers must remain seen
+    assert probe(victims).mean() < 0.05
+    assert probe(keep).mean() > 0.99
 
 
 def test_requeue_seen_unsees_urls_end_to_end(spark, web_spark):

@@ -518,3 +518,42 @@ def test_cms_jsonld_syndication_signals(spark):
     # isBasedOn pointing at a non-wire domain is NOT a wire signal
     assert not out[6]["is_wire"]
     assert not out[7]["is_wire"]
+
+
+def test_wire_cascade_order_matches_python_twin_on_both_signals(spark):
+    """A page carrying BOTH a cross-domain canonical (reference check #2)
+    and a JSON-LD isBasedOn (check #4) must resolve identically on the
+    column cascade and the extraction-time Python twin: canonical wins
+    (reference order #1 → #2 → #4), so the cascade stamps the canonical
+    stage's confidence and the twin names the canonical domain."""
+    from pyspark.sql import functions as F
+
+    from mizzounewscrawler_spark.functions.html import syndication_signals
+    from mizzounewscrawler_spark.operators.content_type import (
+        canonical_url_expr,
+    )
+
+    html = (
+        '<link rel="canonical" href="https://some-syndicator.example/x">'
+        '<script type="application/ld+json">'
+        '{"isBasedOn": "https://apnews.com/article/abc"}</script>'
+    )
+    url = "https://local.news/a"
+
+    # twin: canonical checked before JSON-LD -> names the canonical domain
+    is_wire, name = syndication_signals(html, url)
+    assert is_wire and name == "some-syndicator.example"
+
+    # column cascade: the canonical stage (0.88) fires, not the JSON-LD
+    # stage (0.85)
+    df = spark.createDataFrame(
+        [(url, "T", "Jane Doe", "body", html)],
+        "url string, title string, author string, text string, html string",
+    )
+    row = detect_content_type(
+        df.withColumn("canon", canonical_url_expr(F.col("html"))),
+        canonical_col="canon",
+        html_col="html",
+    ).collect()[0]
+    assert row["content_type"] == "wire"
+    assert abs(row["content_confidence"] - 0.88) < 1e-9

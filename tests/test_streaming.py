@@ -235,9 +235,11 @@ def test_stream_hll_distinct_equals_batch_sketch_and_replay_safe(
     q = stream_hll_distinct(spark, in_dir, reg_path, f"{tmpdirs}/ckpt")
     q.awaitTermination(120)
 
+    from mizzounewscrawler_spark.lake import LakeTable
+
+    reg_t = LakeTable(spark, reg_path)
     got = {
-        (r["bucket"], r["rho"])
-        for r in spark.read.parquet(reg_path).collect()
+        (r["bucket"], r["rho"]) for r in reg_t.read().collect()
     }
     want = {
         (r["bucket"], r["rho"])
@@ -246,15 +248,14 @@ def test_stream_hll_distinct_equals_batch_sketch_and_replay_safe(
     assert got == want
 
     # live estimate within HLL error of the true 600 distinct urls
-    est = hll_estimate(spark.read.parquet(reg_path)).collect()[0]
+    est = hll_estimate(reg_t.read()).collect()[0]
     assert abs(est["est_distinct"] - 600) / 600 < 0.05
 
     # replay everything through a fresh checkpoint: registers unchanged
     q2 = stream_hll_distinct(spark, in_dir, reg_path, f"{tmpdirs}/ckpt2")
     q2.awaitTermination(120)
     again = {
-        (r["bucket"], r["rho"])
-        for r in spark.read.parquet(reg_path).collect()
+        (r["bucket"], r["rho"]) for r in reg_t.read().collect()
     }
     assert again == got
 
