@@ -2897,6 +2897,95 @@ WHERE ratio IS NOT NULL
 GROUP BY 1
 """
 
+_BPE_NUM_MERGES = 30
+
+
+def q_bpe_tokenize(spark, sf):
+    """Trainable BPE subword tokenizer (Sennrich et al. 2016), end to end.
+
+    The distributed halves run in Spark and are BOTH independently
+    verified by the oracle: (1) the corpus-sized word histogram (explode +
+    groupBy — DuckDB recomputes it from ``documents`` with the same
+    whitespace split as the token_stats mirror), and (2) the distributed
+    ``bpe_encode`` pass over the vocabulary (DuckDB replays the encoding
+    as a recursive CTE applying each persisted merge rank in order —
+    single leftmost substitution per step, the exact semantics of
+    ``operators.bpe.encode_word``).  Only the DRIVER-side merge learning
+    travels through the fixture (rank, left, right — it is
+    vocabulary-sized and pinned by hand-computed unit tests in
+    tests/test_bpe.py); the per-word initial character split rides the
+    fixture too so the SQL needs no char-split primitive."""
+    import pandas as pd
+
+    from mizzounewscrawler_spark.operators.bpe import (
+        bpe_encode,
+        train_bpe,
+        word_histogram,
+    )
+
+    d = t(spark, sf, "documents")
+    hist = word_histogram(d, "text")
+    wc = sorted(
+        (r["word"], r["n"]) for r in hist.collect()
+    )  # vocabulary-sized; sorted so training order is partition-free
+    merges = train_bpe(wc, _BPE_NUM_MERGES)
+    # the SQL fold terminates at r == _BPE_NUM_MERGES, advancing one rank
+    # per non-matching step — if training stopped early (pair floor /
+    # vocabulary exhausted), pad with a provably unmatchable pair (tokens
+    # come from a whitespace split, so no token is ever ' ') so every
+    # rank exists and the fold still reaches the terminal state
+    padded = merges + [(" ", " ")] * (_BPE_NUM_MERGES - len(merges))
+    _write_fixture(
+        pd.DataFrame(
+            [(i, l, r) for i, (l, r) in enumerate(padded)],
+            columns=["rank", "left", "right"],
+        ),
+        "bpe_merges",
+    )
+    inits = pd.DataFrame({"word": [w for w, _ in wc]})
+    inits["init"] = inits["word"].map(lambda w: " ".join(list(w)))
+    _write_fixture(inits, "bpe_inits")
+
+    encoded = bpe_encode(
+        hist.select("word", "n", F.col("word").alias("_as_text")),
+        "_as_text",
+        merges,
+    )
+    return encoded.select(
+        "word",
+        "n",
+        F.concat_ws(" ", F.col("bpe_tokens")).alias("encoded"),
+        F.size("bpe_tokens").alias("n_subwords"),
+    )
+
+
+SQL_BPE_TOKENIZE = f"""
+WITH RECURSIVE
+w AS (SELECT trim(text) t FROM documents WHERE trim(coalesce(text,'')) <> ''),
+tok AS (SELECT unnest(regexp_split_to_array(t, '\\s+')) AS word FROM w),
+hist AS (SELECT word, count(*) AS n FROM tok GROUP BY word),
+m AS (SELECT rank, ' '||"left"||' '||"right"||' ' AS pat,
+             ' '||"left"||"right"||' ' AS rep
+      FROM '{_FIX_DIR}/bpe_merges.parquet'),
+fold AS (
+  SELECT word, ' '||init||' ' AS toks, 0 AS r
+  FROM '{_FIX_DIR}/bpe_inits.parquet'
+  UNION ALL
+  SELECT f.word,
+    CASE WHEN position(m.pat IN f.toks) > 0
+      THEN substr(f.toks, 1, position(m.pat IN f.toks)-1) || m.rep
+           || substr(f.toks, position(m.pat IN f.toks) + length(m.pat))
+      ELSE f.toks END,
+    CASE WHEN position(m.pat IN f.toks) > 0 THEN f.r ELSE f.r + 1 END
+  FROM fold f JOIN m ON m.rank = f.r
+  WHERE f.r < {_BPE_NUM_MERGES}
+),
+enc AS (SELECT word, trim(toks) AS encoded FROM fold WHERE r = {_BPE_NUM_MERGES})
+SELECT h.word, h.n, e.encoded,
+       len(regexp_split_to_array(e.encoded, ' ')) AS n_subwords
+FROM hist h JOIN enc e USING (word)
+"""
+
 
 def q_ivf_ann(spark, sf):
     """IVF-style ANN top-10 (deterministic coarse quantizer, nprobe cells).
@@ -3466,6 +3555,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("semdedup", q_semdedup, SQL_SEMDEDUP, "dedup (SemDeDup semantic)"),
     QuerySpec("containment_search", q_containment_search, SQL_CONTAINMENT, "join (set containment / boolean search)"),
     QuerySpec("compression_quality", q_compression_quality, SQL_COMPRESSION_QUALITY, "text ops (zlib quality signal)"),
+    QuerySpec("bpe_subword_tokenize", q_bpe_tokenize, SQL_BPE_TOKENIZE, "tokenizer (trainable BPE, Sennrich 2016)"),
     QuerySpec("minhash_lsh_neardup", q_minhash_neardup, SQL_MINHASH, "dedup (LSH)"),
     QuerySpec("incremental_neardup", q_incremental_neardup, SQL_INCR_NEARDUP, "dedup (incremental index probe)"),
     QuerySpec("simhash_neardup", q_simhash_neardup, SQL_SIMHASH, "dedup (SimHash)"),
