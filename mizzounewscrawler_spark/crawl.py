@@ -189,16 +189,18 @@ class CrawlConfig:
     # block on cache-fill locks while holding slots.  Measured A/B lives in
     # BENCH/BASELINE.md; the default follows the measurement.
     stage_heavy_first: bool = False
-    # Crawler-trap guard (F4 producer wired into admission): when > 0, each
-    # wave mines (host, path-template) counts over the pending frontier ∪
-    # this wave's candidates (operators/verification.mine_url_traps) and
-    # anti-joins candidates whose template already carries more than this
-    # many distinct URLs — calendar pages, session-id explosions, faceted
-    # search stop inflating the frontier at the cap instead of at 10^10.
-    # Blocked URLs never enter url_seen, so a later cap raise (or template
-    # falling back under the cap) lets them through.  0 = off (default —
-    # one extra wave-sized groupBy per wave, and reference-order parity
-    # requires admission be a pure function of the URL).
+    # Crawler-trap guard (F4 producer wired into admission): when > 0, a
+    # (host, path-template) whose ALL-TIME admitted URLs (persisted
+    # incrementally in the trap_counts lake table — never a frontier
+    # rescan) plus this wave's distinct candidates exceed the cap is
+    # anti-joined out of admission — calendar pages, session-id
+    # explosions, faceted search stop inflating the frontier at the cap
+    # instead of at 10^10, and the cumulative form makes it a hard
+    # LIFETIME cap per template.  Per-wave cost: two wave-sized groupBys
+    # (candidates + admitted rows) and one dimension-sized counts-table
+    # scan.  Blocked URLs never enter url_seen, so a later cap raise lets
+    # them through.  0 = off (default — reference-order parity requires
+    # admission be a pure function of the URL).
     trap_guard_max: int = 0
 
 
@@ -411,6 +413,7 @@ class CrawlTables:
     fetch_events: LakeTable
     neardup_postings: LakeTable
     neardup_pairs: LakeTable
+    trap_counts: LakeTable
 
 
 def open_tables(spark: SparkSession, out_dir: str) -> CrawlTables:
@@ -423,6 +426,7 @@ def open_tables(spark: SparkSession, out_dir: str) -> CrawlTables:
         fetch_events=LakeTable(spark, f"{out_dir}/fetch_events"),
         neardup_postings=LakeTable(spark, f"{out_dir}/neardup_postings"),
         neardup_pairs=LakeTable(spark, f"{out_dir}/neardup_pairs"),
+        trap_counts=LakeTable(spark, f"{out_dir}/trap_counts"),
     )
 
 
@@ -685,19 +689,36 @@ def run_crawl(
                 url_template_expr,
             )
 
-            # host+template recomputed from the URL on BOTH sides (the
-            # candidate `host` column is the canonical form — the miner's
-            # raw netloc may differ)
-            traps = (
-                mine_url_traps(
-                    cand.select("url").unionByName(frontier.select("url")),
-                    max_per_template=cfg.trap_guard_max,
+            # INCREMENTAL trap counts: a (host, template) is trapped when
+            # its ALL-TIME admitted URLs (the persisted trap_counts table —
+            # admissions are url_seen-deduped, so cumulative sums count
+            # distinct URLs exactly) plus THIS wave's distinct candidates
+            # exceed the cap.  Per-wave cost is one wave-sized groupBy over
+            # the candidates plus one dimension-sized scan of the counts
+            # table — never a frontier-sized job (at the 10^10 design point
+            # the pending frontier must not be rescanned every wave).  The
+            # cumulative form is also a hard LIFETIME cap per template:
+            # fetched trap URLs leaving the pending frontier no longer
+            # un-trap their template.  host+template recomputed from the
+            # URL on BOTH sides (the candidate `host` column is the
+            # canonical form — the miner's raw netloc may differ).
+            wave_tmpl = mine_url_traps(
+                cand.select("url"), max_per_template=cfg.trap_guard_max
+            ).select("host", "template", F.col("n_urls").alias("n"))
+            if t.trap_counts.exists():
+                prior = t.trap_counts.read().select("host", "template", "n")
+                totals = (
+                    prior.unionByName(wave_tmpl)
+                    .groupBy("host", "template")
+                    .agg(F.sum("n").alias("n"))
                 )
-                .where(F.col("trap"))
-                .select(
-                    F.col("host").alias("_t_host"),
-                    F.col("template").alias("_t_tmpl"),
-                )
+            else:
+                totals = wave_tmpl
+            traps = totals.where(
+                F.col("n") > cfg.trap_guard_max
+            ).select(
+                F.col("host").alias("_t_host"),
+                F.col("template").alias("_t_tmpl"),
             )
             cand = (
                 cand.withColumn(
@@ -935,6 +956,31 @@ def run_crawl(
             t.fetch_events.commit_staged(staged_events, "append", {"wave": wave})
         t.host_state.commit_staged(staged_host, "overwrite", {"wave": wave})
 
+        if cfg.trap_guard_max and admitted:
+            from mizzounewscrawler_spark.operators.verification import (
+                mine_url_traps,
+            )
+
+            # increment the persisted template counts with this wave's
+            # ADMITTED rows (read back from the already-staged frontier
+            # parquet — wave-sized, flat scan plan); admissions are
+            # deduped, so cumulative sums stay exact distinct-URL counts
+            adm = t.frontier.staged_df(staged_frontier)
+            wave_adm = (
+                mine_url_traps(
+                    adm.select("url"),
+                    max_per_template=cfg.trap_guard_max,
+                )
+                .select(
+                    "host", "template", F.col("n_urls").alias("n"),
+                    "example_url",
+                )
+                .withColumn("wave", F.lit(wave))
+            )
+            t.trap_counts.append(
+                wave_adm.coalesce(small_n), {"wave": wave}
+            )
+
         if cfg.neardup_minhash:
             # content near-dup riding the crawl: band this wave's extracted
             # articles, pair them against ALL prior waves via the postings
@@ -983,6 +1029,8 @@ def run_crawl(
         append_heavy = [t.url_seen, t.articles, t.order_log, t.fetch_events]
         if cfg.neardup_minhash:
             append_heavy += [t.neardup_postings, t.neardup_pairs]
+        if cfg.trap_guard_max:
+            append_heavy += [t.trap_counts]
         if cfg.compact_max_live:
             for tbl in append_heavy:
                 tbl.compact_small(cfg.compact_max_live, {"wave": wave})

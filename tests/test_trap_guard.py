@@ -68,3 +68,53 @@ def test_trap_guard_blocks_calendar_explosion(spark, guard, expect_trapped):
     # story pages are unaffected either way
     arts = t.articles.read().where(F.col("url").contains("/story-"))
     assert arts.count() == 3
+
+
+def test_trap_guard_cap_is_cumulative_across_waves(spark):
+    """The counts persist in the trap_counts lake table: a template whose
+    waves are each under the cap still trips it once its ALL-TIME admitted
+    URLs plus the wave's candidates exceed the cap — fetched trap URLs
+    leaving the pending frontier no longer un-trap their template."""
+    ts = dt.datetime(2024, 1, 15, 12, 0, 0)
+    first = [f"{BASE}/archive/2024/{i}" for i in range(8)]
+    nxt = [f"{BASE}/archive/2024/{i + 100}" for i in range(8)]
+    links = "".join(f'<a href="{u}">x</a>' for u in first)
+    rows = [(f"{BASE}/", ts, f"<html><body>{links}</body></html>".encode(),
+             "", "en")]
+    for u, n in zip(first, nxt):
+        # every wave-1 fetch discovers one MORE distinct archive page
+        rows.append((
+            u, ts,
+            f'<html><body><a href="{n}">n</a></body></html>'.encode(),
+            "", "en",
+        ))
+    for u in nxt:
+        rows.append((u, ts, b"<html><body>end</body></html>", "", "en"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string,"
+        " lang string",
+    )
+    seeds = spark.createDataFrame(
+        pd.DataFrame([{
+            "source_id": f"src-{HOST}", "host": HOST, "name": "Trap Gazette",
+            "frequency": "daily", "bot_sensitivity": 1, "feed_urls": [],
+            "city": "X", "county": "Y", "status": "active",
+        }])
+    )
+    robots = spark.createDataFrame(
+        pd.DataFrame([{"host": HOST, "user_agent": "*", "disallow": [],
+                       "crawl_delay": 0.0}])
+    )
+    out = tempfile.mkdtemp(prefix="trapguard_cum_")
+    cfg = CrawlConfig(max_waves=4, max_per_host=50, trap_guard_max=10)
+    run_crawl(spark, pages, seeds, robots, out, cfg)
+    t = open_tables(spark, out)
+    n_arch = t.url_seen.read().where(
+        F.col("url_surt").contains("/archive/")
+    ).count()
+    # wave 0 admits the 8 under-cap pages; wave 1's 8 fresh pages push the
+    # template's lifetime total to 16 > 10 and are blocked — without the
+    # persisted counts the second batch would sail through (the first 8
+    # left the pending frontier when fetched)
+    assert n_arch == 8
+    assert t.trap_counts.exists()
