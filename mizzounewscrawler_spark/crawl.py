@@ -538,9 +538,44 @@ def run_crawl(
             # (requeue) or rewritten rows — the recorded counter is stale;
             # one count job on resume only
             frontier_size = frontier.count()
+        # Crash-window recovery: a kill between the side-table commits and
+        # the frontier checkpoint commit leaves COMMITTED wave-≥start_wave
+        # orphan snapshots on articles/url_seen/… — replaying the wave on
+        # top of them would double-append every orphaned row.  Roll each
+        # side table back (history-preserving rollback commit) to its
+        # newest snapshot at or below the checkpoint wave; maintenance
+        # commits without a wave key (requeue, out-of-band compaction)
+        # count as restore points, never as orphans.
+        for tbl in (
+            t.articles, t.url_seen, t.order_log, t.fetch_events,
+            t.host_state, t.neardup_postings, t.neardup_pairs,
+            t.trap_counts,
+        ):
+            if not tbl.exists():
+                continue
+            snaps = tbl.snapshots()
+            idx = len(snaps) - 1
+            while idx >= 0 and snaps[idx].summary.get("wave", -1) >= start_wave:
+                idx -= 1
+            if idx < 0:
+                tbl.rollback(None, {"wave": start_wave - 1})
+            elif snaps[idx].version != snaps[-1].version:
+                tbl.rollback(
+                    snaps[idx].version, {"wave": start_wave - 1}
+                )
         seen = _read_at_wave(t.url_seen, start_wave - 1)
         host_state_df = _read_at_wave(t.host_state, start_wave - 1)
     else:
+        # wave-0 crash window: the frontier never committed but some side
+        # tables did — those commits are pure orphans; restore the empty
+        # view so the fresh run's wave 0 doesn't double-append them
+        for tbl in (
+            t.articles, t.url_seen, t.order_log, t.fetch_events,
+            t.host_state, t.neardup_postings, t.neardup_pairs,
+            t.trap_counts,
+        ):
+            if tbl.exists() and tbl.current_snapshot().live_versions:
+                tbl.rollback(None, {"wave": -1})  # driver-local, no job
         if initial_frontier is not None:
             # Pre-seeded (Common-Crawl-regime) frontier rows get the SAME
             # admission gates as discovered links (ADVICE r1): host scope +

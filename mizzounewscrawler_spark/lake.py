@@ -279,6 +279,82 @@ class LakeTable:
             self.stage(df, delete_keys), mode, summary, delete_key_col
         )
 
+    def rollback(
+        self,
+        to_version: int | None,
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Restore the VIEW of an earlier snapshot with a NEW commit
+        (Iceberg rollback analog — history-preserving, driver-local, no
+        Spark job): the new manifest re-references exactly the target
+        snapshot's live/delete versions, so data committed after the
+        target becomes unreferenced and :meth:`expire_snapshots` collects
+        its files later.  ``to_version=None`` restores the empty view.
+
+        This is the crash-recovery primitive for the wave loop: a wave
+        that committed some side tables (articles/url_seen/…) but died
+        before the FRONTIER checkpoint commit leaves wave-w orphan
+        snapshots; resume rolls each side table back to its wave-(w−1)
+        view before re-running the wave — without this the replay would
+        double-append every orphaned row."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise ValueError(f"rollback on empty table {self.path}")
+        if to_version is not None:
+            target = None
+            for s in self.snapshots():
+                if s.version == to_version:
+                    target = s
+            if target is None:
+                raise ValueError(
+                    f"rollback target v{to_version} not found in {self.path}"
+                )
+            if cur.version == to_version:
+                return cur
+            live = list(target.live_versions)
+            deletes = list(target.delete_versions)
+            key_col = target.delete_key_col
+            schema_json = target.schema_json
+        else:
+            live, deletes, key_col = [], [], ""
+            schema_json = cur.schema_json
+        version = cur.version + 1
+        snap_summary = dict(summary or {})
+        snap_summary.setdefault("committed_at", time.time())
+        snap_summary.setdefault("operation", "rollback")
+        snap_summary["rollback_to"] = to_version
+        manifest = {
+            "summary": snap_summary,
+            "live_versions": live,
+            "schema_json": schema_json,
+            "parent": cur.version,
+            "delete_versions": deletes,
+            "delete_key_col": key_col,
+            "files": [],
+            "delete_files": [],
+        }
+        os.makedirs(self._snap_dir, exist_ok=True)
+        tmp = os.path.join(self._snap_dir, f".v{version:06d}.json.tmp")
+        final = os.path.join(self._snap_dir, f"v{version:06d}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)  # atomic commit point
+        snap = Snapshot(
+            version=version,
+            summary=snap_summary,
+            live_versions=live,
+            schema_json=schema_json,
+            parent=cur.version,
+            delete_versions=deletes,
+            delete_key_col=key_col,
+            files=[],
+            delete_files=[],
+        )
+        self._cache[version] = snap
+        return snap
+
     def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
         return self._commit(df, "append", summary)
 
