@@ -353,3 +353,51 @@ def compression_ratio_col(text: Column, level: int = 6) -> Column:
     # which would stringify inline hints beyond pyspark's resolver)
     _ratio.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_ratio, "double")(text)
+
+
+def hash_embedding_expr(text: Column, dim: int = 32) -> Column:
+    """Signed feature-hashing text embedding (the "hashing trick",
+    Weinberger et al. 2009): each lowercased whitespace token hashes to
+    one of ``dim`` buckets with a ±1 sign, and the embedding is the
+    per-bucket signed count — an INTEGER array<long>, model-free and
+    deterministic, the classic cheap text vectorizer for dedup /
+    clustering / ANN recall at corpus scale.
+
+    Hash arithmetic is md5-hex-pinned (bucket = first 8 hex chars mod
+    dim, sign = 9th hex nibble < 8) exactly like the HLL/CMS sketches,
+    so a SQL engine reproduces the vectors bit-for-bit — the catalog's
+    ``hash_embed_topk`` oracle recomputes the whole text→vector→top-k
+    pipeline in DuckDB.  The (bucket, sign) pair array is bound once per
+    row (2 md5s per token total); the dim-length rebuild then only
+    filters/sums that small struct array (see :func:`bind_once`).
+    NULL text embeds as the all-zero vector (shape-stable)."""
+    toks = F.transform(
+        F.coalesce(tokens_expr(text), F.array().cast("array<string>")),
+        lambda t: F.lower(t),
+    )
+
+    def _pair(t: Column) -> Column:
+        h = F.md5(t)
+        bucket = F.pmod(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(dim)
+        )
+        sign = (
+            F.when(F.conv(F.substring(h, 9, 1), 16, 10).cast("long") < 8, 1)
+            .otherwise(-1)
+            .cast("long")
+        )
+        return F.struct(bucket.alias("b"), sign.alias("s"))
+
+    pairs = F.transform(toks, _pair)
+
+    def _inner(ps: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.aggregate(
+                F.filter(ps, lambda p: p["b"] == i.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, p: acc + p["s"],
+            ),
+        )
+
+    return bind_once(pairs, _inner)

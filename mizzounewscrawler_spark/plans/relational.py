@@ -2897,6 +2897,80 @@ WHERE ratio IS NOT NULL
 GROUP BY 1
 """
 
+_HASH_EMBED_DIM = 32
+
+
+def q_hash_embed_topk(spark, sf):
+    """Text → vector → ANN, end to end with NO fixture: the signed
+    feature-hashing embedding (``functions.text.hash_embedding_expr``,
+    Weinberger et al. 2009 — md5-hex-pinned like the HLL/CMS sketches)
+    produces bit-identical INTEGER vectors in both engines, so DuckDB
+    recomputes the entire pipeline — tokenize, hash-embed, integer dot
+    products and norms against the query document, IEEE-exact cosine —
+    from the raw documents table.  Query = doc_id 7's own vector
+    (embarrassingly parallel scan + TakeOrdered top-k; the LSH/IVF
+    operators in ``operators/similarity`` are the recall-at-scale path
+    over the same vectors)."""
+    from mizzounewscrawler_spark.functions.text import hash_embedding_expr
+
+    d = t(spark, sf, "documents")
+    emb = d.select(
+        "doc_id",
+        hash_embedding_expr(F.col("text"), _HASH_EMBED_DIM).alias("v"),
+    )
+    q = emb.where(F.col("doc_id") == 7).collect()[0]["v"]
+    qq = int(sum(x * x for x in q))
+    qarr = F.array(*[F.lit(int(x)).cast("long") for x in q])
+    return (
+        emb.select(
+            "doc_id",
+            F.aggregate(
+                F.zip_with(F.col("v"), qarr, lambda a, b: a * b),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            ).alias("dot"),
+            F.aggregate(
+                F.transform("v", lambda a: a * a),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            ).alias("vv"),
+        )
+        .where(F.col("vv") > 0)
+        .select(
+            "doc_id", "dot", "vv",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt((F.col("vv") * F.lit(qq)).cast("double"))
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_HASH_EMBED = rf"""
+WITH tok AS (
+  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS tok
+  FROM documents WHERE trim(coalesce(text,'')) <> ''
+),
+bs AS (SELECT doc_id,
+         CAST('0x'||substring(md5(tok),1,8) AS BIGINT) % {_HASH_EMBED_DIM} AS b,
+         CASE WHEN CAST('0x'||substring(md5(tok),9,1) AS BIGINT) < 8
+              THEN 1 ELSE -1 END AS s
+       FROM tok),
+emb AS (SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v FROM bs GROUP BY 1, 2),
+norm AS (SELECT doc_id, CAST(sum(v*v) AS BIGINT) AS vv FROM emb GROUP BY 1),
+qv AS (SELECT b, v FROM emb WHERE doc_id = 7),
+qn AS (SELECT CAST(sum(v*v) AS BIGINT) AS qq FROM qv),
+dots AS (SELECT e.doc_id, CAST(sum(e.v * q.v) AS BIGINT) AS dot
+         FROM emb e JOIN qv q USING (b) GROUP BY 1)
+SELECT n.doc_id, coalesce(d.dot, 0) AS dot, n.vv,
+       CAST(coalesce(d.dot, 0) AS DOUBLE)
+         / sqrt(CAST(n.vv * (SELECT qq FROM qn) AS DOUBLE)) AS score
+FROM norm n LEFT JOIN dots d USING (doc_id)
+WHERE n.vv > 0
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
 _BPE_NUM_MERGES = 30
 
 
@@ -3556,6 +3630,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("containment_search", q_containment_search, SQL_CONTAINMENT, "join (set containment / boolean search)"),
     QuerySpec("compression_quality", q_compression_quality, SQL_COMPRESSION_QUALITY, "text ops (zlib quality signal)"),
     QuerySpec("bpe_subword_tokenize", q_bpe_tokenize, SQL_BPE_TOKENIZE, "tokenizer (trainable BPE, Sennrich 2016)"),
+    QuerySpec("hash_embed_topk", q_hash_embed_topk, SQL_HASH_EMBED, "embedding (feature hashing → cosine top-k)"),
     QuerySpec("minhash_lsh_neardup", q_minhash_neardup, SQL_MINHASH, "dedup (LSH)"),
     QuerySpec("incremental_neardup", q_incremental_neardup, SQL_INCR_NEARDUP, "dedup (incremental index probe)"),
     QuerySpec("simhash_neardup", q_simhash_neardup, SQL_SIMHASH, "dedup (SimHash)"),
