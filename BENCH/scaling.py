@@ -1016,6 +1016,13 @@ fabric ceilings do not apply — the 2→8 pair, where this box still has
 fabric headroom, is the faithful single-machine analog of adding
 executors.
 
+Cross-pair ABSOLUTE URLs/s are not comparable: each pair is measured in
+its own weather window on a shared microVM (e.g. the 4-core steady rate
+landing below the earlier 2-core one reflects window-to-window CPU
+steal, not the engine) — the within-pair efficiency against that
+window's own min-filtered ceilings is the metric, which is exactly why
+the attribution closure below prices every lane per pair.
+
 {attribution_closure()}
 
 Per-wave timings at local[{low}] / local[{high}] (min across {reps} reps;
