@@ -138,3 +138,44 @@ def stratified_sample(
         pruned.withColumn(rank_col, F.row_number().over(w_global))
         .where(F.col(rank_col) <= k)
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "42",
+    shard_size: int | None = None,
+    rank_col: str = "shuffle_rank",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic global corpus shuffle — the standard pre-training
+    step that decorrelates adjacent documents (same crawl host, same
+    dump) before sequence packing.
+
+    The shuffle key is ``md5(seed ':' id)``: a full sort on a uniform
+    high-entropy key, which Spark executes as ONE range-partitioned
+    shuffle (sampled range boundaries, no skew — the canonical way to
+    shuffle 100 TB; a ``rand()``-keyed sort would not be reproducible
+    across retries/partitionings, an md5 key is).  ``rank_col`` is the
+    0-based global shuffle position; with ``shard_size`` set, ``shard``
+    = rank div shard_size assigns contiguous shuffled shards for the
+    training loader — shard contents are stable under any input
+    partitioning and any rerun (pinned in tests).
+
+    ``id_col`` must be unique (it makes the sort key total).  Note the
+    global ``row_number`` window is single-partition at the very end; at
+    true 100-TB scale write ``sortWithinPartitions(key)`` output and
+    derive ranks from (range-partition id, local rank) instead — the
+    shard ASSIGNMENT here stays identical because the range partitioner
+    preserves the global key order across partition boundaries.
+    """
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    out = df.withColumn(
+        rank_col,
+        F.row_number().over(Window.orderBy(key, F.col(id_col))) - 1,
+    )
+    if shard_size is not None:
+        out = out.withColumn(
+            shard_col, (F.col(rank_col) / F.lit(shard_size)).cast("int")
+        )
+    return out

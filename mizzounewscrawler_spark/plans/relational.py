@@ -2897,6 +2897,30 @@ WHERE ratio IS NOT NULL
 GROUP BY 1
 """
 
+def q_corpus_shuffle(spark, sf):
+    """Deterministic global corpus shuffle + shard assignment
+    (``operators.sampling.global_shuffle``): md5-keyed total order, one
+    range-partitioned sort at scale, reproducible under any input
+    partitioning — the decorrelation step before sequence packing."""
+    from mizzounewscrawler_spark.operators.sampling import global_shuffle
+
+    d = t(spark, sf, "documents").select("doc_id")
+    return global_shuffle(d, "doc_id", seed="42", shard_size=100).where(
+        F.col("shuffle_rank") < 300
+    )
+
+
+SQL_CORPUS_SHUFFLE = """
+SELECT doc_id,
+       row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+                          doc_id) - 1 AS shuffle_rank,
+       CAST((row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) - 1) // 100 AS INT) AS shard
+FROM documents
+QUALIFY shuffle_rank < 300
+"""
+
+
 _HASH_EMBED_DIM = 32
 
 
@@ -3631,6 +3655,7 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("compression_quality", q_compression_quality, SQL_COMPRESSION_QUALITY, "text ops (zlib quality signal)"),
     QuerySpec("bpe_subword_tokenize", q_bpe_tokenize, SQL_BPE_TOKENIZE, "tokenizer (trainable BPE, Sennrich 2016)"),
     QuerySpec("hash_embed_topk", q_hash_embed_topk, SQL_HASH_EMBED, "embedding (feature hashing → cosine top-k)"),
+    QuerySpec("corpus_shuffle", q_corpus_shuffle, SQL_CORPUS_SHUFFLE, "curation (deterministic global shuffle + shards)"),
     QuerySpec("minhash_lsh_neardup", q_minhash_neardup, SQL_MINHASH, "dedup (LSH)"),
     QuerySpec("incremental_neardup", q_incremental_neardup, SQL_INCR_NEARDUP, "dedup (incremental index probe)"),
     QuerySpec("simhash_neardup", q_simhash_neardup, SQL_SIMHASH, "dedup (SimHash)"),

@@ -131,3 +131,33 @@ def test_exact_group_quantiles_integer_rank_semantics(spark):
     one = spark.createDataFrame([("h", 0, 7.0)], ["grp", "tid", "v"])
     r1 = exact_group_quantiles(one, "grp", "v", "tid", [50, 95]).collect()[0]
     assert r1["p50"] == 7.0 and r1["p95"] == 7.0
+
+
+def test_global_shuffle_deterministic_and_partitioning_invariant(spark):
+    """The md5-keyed shuffle order and shard assignment are identical
+    under any input partitioning and on rerun, and decorrelate the
+    input order (not the identity permutation)."""
+    import hashlib
+
+    from mizzounewscrawler_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id int")
+    outs = []
+    for parts in (1, 16):
+        got = {
+            r["doc_id"]: (r["shuffle_rank"], r["shard"])
+            for r in global_shuffle(
+                df.repartition(parts), "doc_id", shard_size=50
+            ).collect()
+        }
+        outs.append(got)
+    assert outs[0] == outs[1]
+    # matches the pure-Python md5 order
+    want_order = sorted(
+        range(500), key=lambda i: (hashlib.md5(f"42:{i}".encode()).hexdigest(), i)
+    )
+    want = {i: (r, r // 50) for r, i in enumerate(want_order)}
+    assert outs[0] == want
+    # genuinely shuffled: the identity order is broken early and often
+    first_20 = [i for i, _ in sorted(outs[0].items(), key=lambda kv: kv[1][0])][:20]
+    assert first_20 != list(range(20))
