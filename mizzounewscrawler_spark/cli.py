@@ -480,7 +480,9 @@ def _cmd_requeue(args) -> int:
     # fingerprint delete — never build a corpus-sized filter here just to
     # throw it away.  Sharded crawls keep their cuckoo state on disk;
     # delete from exactly the shards this batch routes to.
-    shard_dir = os.path.join(args.out, "cuckoo_shards")
+    from mizzounewscrawler_spark.operators.dedup import CUCKOO_SHARD_SUBDIR
+
+    shard_dir = os.path.join(args.out, CUCKOO_SHARD_SUBDIR)
     if os.path.isdir(shard_dir):
         hashes = [
             r["url_hash"] for r in match.select("url_hash").collect()

@@ -430,6 +430,46 @@ def open_tables(spark: SparkSession, out_dir: str) -> CrawlTables:
     )
 
 
+def _apply_trap_guard(
+    t: CrawlTables, new_rows: DataFrame, cap: int
+) -> DataFrame:
+    """Anti-join genuinely-NEW rows whose (host, path-template) lifetime
+    total — persisted all-time admissions plus this wave's new URLs —
+    exceeds ``cap``.  host+template are recomputed from the URL on both
+    sides (the row's `host` column is the canonical form — the miner's
+    raw netloc may differ).  See the call site for the full semantics."""
+    from mizzounewscrawler_spark.operators.verification import (
+        mine_url_traps,
+        url_template_expr,
+    )
+
+    wave_tmpl = mine_url_traps(
+        new_rows.select("url"), max_per_template=cap
+    ).select("host", "template", F.col("n_urls").alias("n"))
+    if t.trap_counts.exists():
+        prior = t.trap_counts.read().select("host", "template", "n")
+        totals = (
+            prior.unionByName(wave_tmpl)
+            .groupBy("host", "template")
+            .agg(F.sum("n").alias("n"))
+        )
+    else:
+        totals = wave_tmpl
+    traps = totals.where(F.col("n") > cap).select(
+        F.col("host").alias("_t_host"),
+        F.col("template").alias("_t_tmpl"),
+    )
+    return (
+        new_rows.withColumn(
+            "_t_host",
+            F.lower(F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)),
+        )
+        .withColumn("_t_tmpl", url_template_expr(F.col("url")))
+        .join(F.broadcast(traps), ["_t_host", "_t_tmpl"], "left_anti")
+        .drop("_t_host", "_t_tmpl")
+    )
+
+
 def _stage_dedup(pool, t, new_frontier_rows, tombstones, small_n):
     """Stage the tier-B dedup outputs (url_seen + frontier) from the
     filtered new-URL rows; returns the two stage futures.  ALL new
@@ -446,6 +486,17 @@ def _stage_dedup(pool, t, new_frontier_rows, tombstones, small_n):
     fut_seen = pool.submit(t.url_seen.stage, new_seen)
     fut_frontier = pool.submit(t.frontier.stage, admitted_rows, tombstones)
     return fut_seen, fut_frontier
+
+
+def _side_tables(t: CrawlTables) -> tuple[LakeTable, ...]:
+    """Every per-wave-committed table EXCEPT the frontier (the frontier
+    IS the checkpoint and is never rolled back).  One definition so the
+    two crash-recovery branches and future tables stay in sync."""
+    return (
+        t.articles, t.url_seen, t.order_log, t.fetch_events,
+        t.host_state, t.neardup_postings, t.neardup_pairs,
+        t.trap_counts,
+    )
 
 
 def _read_at_wave(table: LakeTable, wave: int) -> DataFrame | None:
@@ -546,34 +597,45 @@ def run_crawl(
         # newest snapshot at or below the checkpoint wave; maintenance
         # commits without a wave key (requeue, out-of-band compaction)
         # count as restore points, never as orphans.
-        for tbl in (
-            t.articles, t.url_seen, t.order_log, t.fetch_events,
-            t.host_state, t.neardup_postings, t.neardup_pairs,
-            t.trap_counts,
-        ):
+        for tbl in _side_tables(t):
             if not tbl.exists():
                 continue
             snaps = tbl.snapshots()
             idx = len(snaps) - 1
             while idx >= 0 and snaps[idx].summary.get("wave", -1) >= start_wave:
                 idx -= 1
-            if idx < 0:
-                tbl.rollback(None, {"wave": start_wave - 1})
-            elif snaps[idx].version != snaps[-1].version:
-                tbl.rollback(
-                    snaps[idx].version, {"wave": start_wave - 1}
-                )
+            if idx == len(snaps) - 1:
+                continue  # no orphans
+            if idx >= 0:
+                tbl.rollback(snaps[idx].version, {"wave": start_wave - 1})
+                continue
+            # Every pre-crash manifest was GC-pruned (expire_snapshots
+            # keeps the newest N) — there is NO restore-point manifest,
+            # and restoring the empty view here would wipe the table.
+            # Append-mode orphans can still be excluded EXACTLY: an
+            # append's data version id is its own snapshot version, so
+            # current-view-minus-those-versions is the pre-crash view.
+            # An overwrite orphan self-heals (the replayed wave
+            # overwrites it again) and a rewrite alone is
+            # content-preserving, but a rewrite/overwrite ABOVE an
+            # append orphan may have folded the orphaned rows in — then
+            # we skip: bounded one-wave duplicate rows beat data loss.
+            suffix = snaps[idx + 1:]
+            ops = {s.summary.get("operation") for s in suffix}
+            appends = [
+                s.version for s in suffix
+                if s.summary.get("operation") == "append"
+            ]
+            if appends and "rewrite" not in ops and "overwrite" not in ops:
+                tbl.rollback_exclude(appends, {"wave": start_wave - 1})
         seen = _read_at_wave(t.url_seen, start_wave - 1)
         host_state_df = _read_at_wave(t.host_state, start_wave - 1)
     else:
         # wave-0 crash window: the frontier never committed but some side
-        # tables did — those commits are pure orphans; restore the empty
-        # view so the fresh run's wave 0 doesn't double-append them
-        for tbl in (
-            t.articles, t.url_seen, t.order_log, t.fetch_events,
-            t.host_state, t.neardup_postings, t.neardup_pairs,
-            t.trap_counts,
-        ):
+        # tables did — those commits are pure orphans (GC cannot have run
+        # before the first checkpoint); restore the empty view so the
+        # fresh run's wave 0 doesn't double-append them
+        for tbl in _side_tables(t):
             if tbl.exists() and tbl.current_snapshot().live_versions:
                 tbl.rollback(None, {"wave": -1})  # driver-local, no job
         if initial_frontier is not None:
@@ -648,7 +710,16 @@ def run_crawl(
             params=bloom_params,
         )
     if cfg.bloom_sharded:
-        sub = "cuckoo_shards" if cfg.url_seen_filter == "cuckoo" else "bloom_shards"
+        from mizzounewscrawler_spark.operators.dedup import (
+            BLOOM_SHARD_SUBDIR,
+            CUCKOO_SHARD_SUBDIR,
+        )
+
+        sub = (
+            CUCKOO_SHARD_SUBDIR
+            if cfg.url_seen_filter == "cuckoo"
+            else BLOOM_SHARD_SUBDIR
+        )
         shard_dir = f"{out_dir}/{sub}"
     else:
         shard_dir = None
@@ -718,52 +789,6 @@ def run_crawl(
             results, allowed_hosts, robots, cfg.max_depth, host_rules=host_rules,
             proxy_rows=proxy_rows,
         )
-        if cfg.trap_guard_max:
-            from mizzounewscrawler_spark.operators.verification import (
-                mine_url_traps,
-                url_template_expr,
-            )
-
-            # INCREMENTAL trap counts: a (host, template) is trapped when
-            # its ALL-TIME admitted URLs (the persisted trap_counts table —
-            # admissions are url_seen-deduped, so cumulative sums count
-            # distinct URLs exactly) plus THIS wave's distinct candidates
-            # exceed the cap.  Per-wave cost is one wave-sized groupBy over
-            # the candidates plus one dimension-sized scan of the counts
-            # table — never a frontier-sized job (at the 10^10 design point
-            # the pending frontier must not be rescanned every wave).  The
-            # cumulative form is also a hard LIFETIME cap per template:
-            # fetched trap URLs leaving the pending frontier no longer
-            # un-trap their template.  host+template recomputed from the
-            # URL on BOTH sides (the candidate `host` column is the
-            # canonical form — the miner's raw netloc may differ).
-            wave_tmpl = mine_url_traps(
-                cand.select("url"), max_per_template=cfg.trap_guard_max
-            ).select("host", "template", F.col("n_urls").alias("n"))
-            if t.trap_counts.exists():
-                prior = t.trap_counts.read().select("host", "template", "n")
-                totals = (
-                    prior.unionByName(wave_tmpl)
-                    .groupBy("host", "template")
-                    .agg(F.sum("n").alias("n"))
-                )
-            else:
-                totals = wave_tmpl
-            traps = totals.where(
-                F.col("n") > cfg.trap_guard_max
-            ).select(
-                F.col("host").alias("_t_host"),
-                F.col("template").alias("_t_tmpl"),
-            )
-            cand = (
-                cand.withColumn(
-                    "_t_host",
-                    F.lower(F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)),
-                )
-                .withColumn("_t_tmpl", url_template_expr(F.col("url")))
-                .join(F.broadcast(traps), ["_t_host", "_t_tmpl"], "left_anti")
-                .drop("_t_host", "_t_tmpl")
-            )
         if bloom is not None and shard_dir is not None:
             _flag_sharded = (
                 cuckoo_flag_sharded
@@ -934,9 +959,28 @@ def run_crawl(
             idle_wave = n_cand == 0 and wave_df.isEmpty()
             fut_seen = fut_frontier = None
             if not idle_wave:
-                new_frontier_rows = filter_unseen_flagged(
+                nfr = filter_unseen_flagged(
                     flagged, seen, n_possible, "url_hash"
-                ).cache()
+                )
+                if cfg.trap_guard_max:
+                    # INCREMENTAL trap guard, applied AFTER url_seen dedup:
+                    # a (host, template) is trapped when its ALL-TIME
+                    # admitted URLs (the persisted trap_counts table) plus
+                    # THIS wave's genuinely-NEW URLs exceed the cap.
+                    # Mining the post-dedup rows is what keeps the
+                    # cumulative sum an exact distinct-URL count —
+                    # rediscovered links of already-counted URLs are
+                    # dedup-dropped before mining, so they never
+                    # double-count (pre-dedup candidate mining would
+                    # freeze a template below the cap forever once its
+                    # admitted URLs keep being rediscovered each wave).
+                    # Blocked rows are excluded from BOTH the frontier and
+                    # url_seen, so a later cap raise re-admits them.
+                    # Per-wave cost: one wave-sized groupBy + one
+                    # dimension-sized counts scan — never a frontier
+                    # rescan.
+                    nfr = _apply_trap_guard(t, nfr, cfg.trap_guard_max)
+                new_frontier_rows = nfr.cache()
                 wave_caches.append(new_frontier_rows)
                 fut_seen, fut_frontier = _stage_dedup(
                     pool, t, new_frontier_rows, tombstones, small_n
@@ -991,19 +1035,19 @@ def run_crawl(
             t.fetch_events.commit_staged(staged_events, "append", {"wave": wave})
         t.host_state.commit_staged(staged_host, "overwrite", {"wave": wave})
 
-        if cfg.trap_guard_max and admitted:
+        if cfg.trap_guard_max and discovered_new:
             from mizzounewscrawler_spark.operators.verification import (
                 mine_url_traps,
             )
 
             # increment the persisted template counts with this wave's
-            # ADMITTED rows (read back from the already-staged frontier
-            # parquet — wave-sized, flat scan plan); admissions are
-            # deduped, so cumulative sums stay exact distinct-URL counts
-            adm = t.frontier.staged_df(staged_frontier)
-            wave_adm = (
+            # guarded NEW rows — the exact set the guard's wave-side
+            # mining counted (post-dedup, so cumulative sums stay exact
+            # distinct-URL counts; includes robots-disallowed rows, which
+            # also entered url_seen and will never be re-mined)
+            wave_new = (
                 mine_url_traps(
-                    adm.select("url"),
+                    new_frontier_rows.select("url"),
                     max_per_template=cfg.trap_guard_max,
                 )
                 .select(
@@ -1013,8 +1057,29 @@ def run_crawl(
                 .withColumn("wave", F.lit(wave))
             )
             t.trap_counts.append(
-                wave_adm.coalesce(small_n), {"wave": wave}
+                wave_new.coalesce(small_n), {"wave": wave}
             )
+            # fold the counts table once live versions pile up: ONE
+            # pre-summed row per (host, template) — without this the
+            # per-wave totals groupBy re-aggregates O(templates × waves)
+            # history rows instead of a dimension-sized table (the
+            # overwrite is the table's compaction; amortized like
+            # compact_small)
+            if cfg.compact_max_live:
+                snap_tc = t.trap_counts.current_snapshot()
+                if len(snap_tc.live_versions) > cfg.compact_max_live:
+                    folded = (
+                        t.trap_counts.read()
+                        .groupBy("host", "template")
+                        .agg(
+                            F.sum("n").alias("n"),
+                            F.min("example_url").alias("example_url"),
+                            F.max("wave").alias("wave"),
+                        )
+                    )
+                    t.trap_counts.overwrite(
+                        folded.coalesce(small_n), {"wave": wave}
+                    )
 
         if cfg.neardup_minhash:
             # content near-dup riding the crawl: band this wave's extracted

@@ -318,11 +318,52 @@ class LakeTable:
         else:
             live, deletes, key_col = [], [], ""
             schema_json = cur.schema_json
-        version = cur.version + 1
         snap_summary = dict(summary or {})
+        snap_summary["rollback_to"] = to_version
+        return self._commit_view(
+            cur, live, deletes, key_col, schema_json, snap_summary
+        )
+
+    def rollback_exclude(
+        self,
+        versions: list[int],
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Restore the view to CURRENT minus the given snapshots' own
+        data/delete versions — the GC-survivable rollback for APPEND-mode
+        orphans, whose data version id is exactly their snapshot version.
+        Needs no earlier manifest, so it works even after
+        :meth:`expire_snapshots` pruned every pre-crash snapshot (where
+        :meth:`rollback` has no target to point at).  Only sound when no
+        later rewrite/overwrite folded the excluded rows into another
+        version — the caller (crawl resume) checks that."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise ValueError(f"rollback_exclude on empty table {self.path}")
+        drop = set(versions)
+        live = [v for v in cur.live_versions if v not in drop]
+        deletes = [v for v in cur.delete_versions if v not in drop]
+        snap_summary = dict(summary or {})
+        snap_summary["rollback_exclude"] = sorted(drop)
+        return self._commit_view(
+            cur, live, deletes, cur.delete_key_col, cur.schema_json,
+            snap_summary,
+        )
+
+    def _commit_view(
+        self,
+        cur: Snapshot,
+        live: list[int],
+        deletes: list[int],
+        key_col: str,
+        schema_json: str,
+        snap_summary: dict[str, Any],
+    ) -> Snapshot:
+        """Write a data-free manifest re-referencing existing version dirs
+        (shared tail of rollback/rollback_exclude)."""
+        version = cur.version + 1
         snap_summary.setdefault("committed_at", time.time())
         snap_summary.setdefault("operation", "rollback")
-        snap_summary["rollback_to"] = to_version
         manifest = {
             "summary": snap_summary,
             "live_versions": live,

@@ -30,6 +30,7 @@ public-paper semantics.
 
 from __future__ import annotations
 
+import re
 from typing import Iterable, Iterator
 
 import pandas as pd
@@ -168,6 +169,12 @@ def bpe_encode(
     )
     cols = [f.name for f in out_schema.fields]
 
+    # ASCII \s+, matching tokens_expr's Java regex (Java \s is ASCII by
+    # default) and the DuckDB mirror's RE2 \s — Python str.split() would
+    # additionally split on Unicode whitespace (NBSP, thin space), making
+    # the encoder see different words than the trained histogram
+    ws = re.compile(r"\s+", re.ASCII)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             memo: dict[str, list[str]] = {}
@@ -175,7 +182,9 @@ def bpe_encode(
             for text in pdf[text_col]:
                 toks: list[str] = []
                 if text is not None:
-                    for w in str(text).split():
+                    for w in ws.split(str(text).strip()):
+                        if not w:
+                            continue
                         got = memo.get(w)
                         if got is None:
                             got = encode_word(w, ranks)

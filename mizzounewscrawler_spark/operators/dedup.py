@@ -698,6 +698,14 @@ class PartitionedCuckoo:
         return sorted(routed)
 
 
+# canonical on-disk shard layout subdirs under a crawl's out_dir — shared
+# by the crawl loop (writer), the shard-aligned probes, and the requeue
+# verb's between-runs fingerprint delete (reader/writer); one definition
+# so a rename cannot silently turn the CLI delete into a no-op
+BLOOM_SHARD_SUBDIR = "bloom_shards"
+CUCKOO_SHARD_SUBDIR = "cuckoo_shards"
+
+
 def save_cuckoo_shards(
     pc: PartitionedCuckoo, dir_path: str, shard_ids=None
 ) -> None:

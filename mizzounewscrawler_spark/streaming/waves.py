@@ -346,10 +346,17 @@ def stream_hll_distinct(
     raw = spark.readStream.schema(schema).parquet(in_dir)
 
     def _merge(batch_df, batch_id: int) -> None:
+        import glob as _glob
+
         sess = batch_df.sparkSession
         new = hll_registers(batch_df, key_col, p)
         if table.exists():
             merged = hll_merge(table.read(), new)
+        elif _glob.glob(f"{registers_path}/*.parquet"):
+            # migrate a registers dir written by the pre-LakeTable plain
+            # parquet sink: fold the legacy registers in once — silently
+            # restarting the sketch would collapse the distinct count
+            merged = hll_merge(sess.read.parquet(registers_path), new)
         else:
             merged = new
         rows = [(int(r["bucket"]), int(r["rho"])) for r in merged.collect()]
@@ -357,6 +364,9 @@ def stream_hll_distinct(
             sess.createDataFrame(rows, "bucket long, rho int").coalesce(1),
             {"batch_id": batch_id, "streaming": True},
         )
+        # the registers view only ever needs the newest snapshot; without
+        # GC a per-minute stream would accumulate unbounded manifests
+        table.expire_snapshots(2)
 
     return (
         raw.writeStream.foreachBatch(_merge)

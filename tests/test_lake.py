@@ -320,3 +320,27 @@ def test_crawl_expiration_bounds_history_and_preserves_results(spark, web_spark)
             # the frontier's lineage record is never expired
             assert len(t.frontier.snapshots()) > keep
     assert results[2] == results[0]
+
+
+def test_rollback_and_rollback_exclude_restore_views(spark, tmp_path):
+    """rollback re-references an earlier manifest; rollback_exclude
+    restores current-minus-orphans even after expire_snapshots pruned
+    every pre-crash manifest (the GC-survivable crash-recovery path)."""
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1,), (2,)], "x int"), {"wave": 0})
+    t.append(spark.createDataFrame([(3,)], "x int"), {"wave": 1})
+    s1 = t.current_snapshot()
+    orphan = t.append(spark.createDataFrame([(4,)], "x int"), {"wave": 2})
+
+    # manifest-based rollback (normal crash recovery)
+    t.rollback(s1.version, {"wave": 1})
+    assert sorted(r["x"] for r in t.read().collect()) == [1, 2, 3]
+
+    # re-orphan, then prune every earlier manifest: only the newest
+    # manifests survive, but their data versions keep all dirs alive
+    orphan2 = t.append(spark.createDataFrame([(5,)], "x int"), {"wave": 2})
+    t.expire_snapshots(1)
+    snaps = t.snapshots()
+    assert all(s.version >= orphan2.version for s in snaps)
+    t.rollback_exclude([orphan2.version], {"wave": 1})
+    assert sorted(r["x"] for r in t.read().collect()) == [1, 2, 3]

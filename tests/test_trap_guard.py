@@ -118,3 +118,51 @@ def test_trap_guard_cap_is_cumulative_across_waves(spark):
     # left the pending frontier when fetched)
     assert n_arch == 8
     assert t.trap_counts.exists()
+
+
+def test_trap_guard_rediscovered_urls_never_double_count(spark):
+    """Nav links re-emit already-admitted URLs every wave.  The guard
+    mines POST-dedup new rows, so rediscoveries of counted URLs add
+    nothing to the lifetime total — a template must not freeze below the
+    cap just because its admitted URLs keep being rediscovered
+    (pre-dedup candidate mining double-counted them: 12 admitted + 12
+    rediscovered = 24 > 20 would wrongly block 2 genuinely new URLs)."""
+    ts = dt.datetime(2024, 1, 15, 12, 0, 0)
+    arch = [f"{BASE}/archive/2024/{i}" for i in range(12)]
+    new2 = [f"{BASE}/archive/2024/{i + 500}" for i in range(2)]
+    nav = "".join(f'<a href="{u}">x</a>' for u in arch)
+    rows = [(f"{BASE}/", ts, f"<html><body>{nav}</body></html>".encode(),
+             "", "en")]
+    for j, u in enumerate(arch):
+        # every archive page re-links the whole archive family (the nav),
+        # and the first one also links the two genuinely new pages
+        extra = "".join(f'<a href="{n}">n</a>' for n in new2) if j == 0 else ""
+        rows.append((
+            u, ts,
+            f"<html><body>{nav}{extra}</body></html>".encode(), "", "en",
+        ))
+    for u in new2:
+        rows.append((u, ts, b"<html><body>end</body></html>", "", "en"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string,"
+        " lang string",
+    )
+    seeds = spark.createDataFrame(
+        pd.DataFrame([{
+            "source_id": f"src-{HOST}", "host": HOST, "name": "Trap Gazette",
+            "frequency": "daily", "bot_sensitivity": 1, "feed_urls": [],
+            "city": "X", "county": "Y", "status": "active",
+        }])
+    )
+    robots = spark.createDataFrame(
+        pd.DataFrame([{"host": HOST, "user_agent": "*", "disallow": [],
+                       "crawl_delay": 0.0}])
+    )
+    out = tempfile.mkdtemp(prefix="trapguard_redisc_")
+    cfg = CrawlConfig(max_waves=4, max_per_host=50, trap_guard_max=20)
+    run_crawl(spark, pages, seeds, robots, out, cfg)
+    t = open_tables(spark, out)
+    n_arch = t.url_seen.read().where(
+        F.col("url_surt").contains("/archive/")
+    ).count()
+    assert n_arch == 14  # 12 + the 2 new ones; nothing wrongly blocked
