@@ -32,6 +32,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mizzounewscrawler_spark.functions.exprcache import session_memo
 from mizzounewscrawler_spark.functions.urls import surt_expr, url_hash_expr
@@ -433,11 +434,19 @@ def open_tables(spark: SparkSession, out_dir: str) -> CrawlTables:
 def _apply_trap_guard(
     t: CrawlTables, new_rows: DataFrame, cap: int
 ) -> DataFrame:
-    """Anti-join genuinely-NEW rows whose (host, path-template) lifetime
-    total — persisted all-time admissions plus this wave's new URLs —
-    exceeds ``cap``.  host+template are recomputed from the URL on both
-    sides (the row's `host` column is the canonical form — the miner's
-    raw netloc may differ).  See the call site for the full semantics."""
+    """Drop genuinely-NEW rows past each (host, path-template)'s lifetime
+    cap — PARTIAL admission: a template with ``prior`` all-time admitted
+    URLs admits up to ``cap - prior`` of this wave's new URLs (ranked
+    deterministically by url_hash) instead of all-or-nothing, so a
+    template that always arrives in over-cap bursts still reaches the
+    configured lifetime total rather than being pinned near zero.
+    host+template are recomputed from the URL on both sides (the row's
+    `host` column is the canonical form — the miner's raw netloc may
+    differ).  Plan: rows in templates that fit entirely under the cap
+    pass through a broadcast anti-join untouched; only rows of AT-RISK
+    templates (a dimension-sized set) pay a row_number window, keyed on
+    (host, template) — per-template wave volume bounds each task.  See
+    the call site for the full semantics."""
     from mizzounewscrawler_spark.operators.verification import (
         mine_url_traps,
         url_template_expr,
@@ -445,29 +454,48 @@ def _apply_trap_guard(
 
     wave_tmpl = mine_url_traps(
         new_rows.select("url"), max_per_template=cap
-    ).select("host", "template", F.col("n_urls").alias("n"))
+    ).select("host", "template", F.col("n_urls").alias("wave_n"))
     if t.trap_counts.exists():
-        prior = t.trap_counts.read().select("host", "template", "n")
-        totals = (
-            prior.unionByName(wave_tmpl)
+        prior = (
+            t.trap_counts.read()
             .groupBy("host", "template")
-            .agg(F.sum("n").alias("n"))
+            .agg(F.sum("n").alias("prior_n"))
         )
+        joined = wave_tmpl.join(
+            prior, ["host", "template"], "left"
+        ).na.fill({"prior_n": 0})
     else:
-        totals = wave_tmpl
-    traps = totals.where(F.col("n") > cap).select(
+        joined = wave_tmpl.withColumn("prior_n", F.lit(0))
+    risk = joined.where(
+        F.col("prior_n") + F.col("wave_n") > cap
+    ).select(
         F.col("host").alias("_t_host"),
         F.col("template").alias("_t_tmpl"),
+        "prior_n",
     )
-    return (
-        new_rows.withColumn(
-            "_t_host",
-            F.lower(F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)),
+    rows = new_rows.withColumn(
+        "_t_host",
+        F.lower(F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)),
+    ).withColumn("_t_tmpl", url_template_expr(F.col("url")))
+    safe = rows.join(
+        F.broadcast(risk.select("_t_host", "_t_tmpl")),
+        ["_t_host", "_t_tmpl"],
+        "left_anti",
+    ).drop("_t_host", "_t_tmpl")
+    admitted_risky = (
+        rows.join(F.broadcast(risk), ["_t_host", "_t_tmpl"], "inner")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("_t_host", "_t_tmpl").orderBy(
+                    "url_hash", "url"
+                )
+            ),
         )
-        .withColumn("_t_tmpl", url_template_expr(F.col("url")))
-        .join(F.broadcast(traps), ["_t_host", "_t_tmpl"], "left_anti")
-        .drop("_t_host", "_t_tmpl")
+        .where(F.col("prior_n") + F.col("_rk") <= cap)
+        .drop("_t_host", "_t_tmpl", "prior_n", "_rk")
     )
+    return safe.unionByName(admitted_risky)
 
 
 def _stage_dedup(pool, t, new_frontier_rows, tombstones, small_n):
@@ -601,11 +629,22 @@ def run_crawl(
             if not tbl.exists():
                 continue
             snaps = tbl.snapshots()
-            idx = len(snaps) - 1
-            while idx >= 0 and snaps[idx].summary.get("wave", -1) >= start_wave:
-                idx -= 1
-            if idx == len(snaps) - 1:
+            # Scan the WHOLE history for orphans, not just the contiguous
+            # top: a wave-less maintenance commit made between the crash
+            # and the resume (requeue merge, out-of-band compaction) sits
+            # ABOVE the wave>=start_wave orphans and must not mask them.
+            # The restore point is the newest snapshot below the first
+            # orphan; post-crash maintenance above orphans is rolled back
+            # with them (bounded: re-run requeue after resume) — the
+            # alternative, treating it as a restore point, would replay
+            # the wave on top of the orphans and double-append every row.
+            orphan_idxs = [
+                i for i, s in enumerate(snaps)
+                if s.summary.get("wave", -1) >= start_wave
+            ]
+            if not orphan_idxs:
                 continue  # no orphans
+            idx = orphan_idxs[0] - 1
             if idx >= 0:
                 tbl.rollback(snaps[idx].version, {"wave": start_wave - 1})
                 continue
@@ -630,6 +669,18 @@ def run_crawl(
                 tbl.rollback_exclude(appends, {"wave": start_wave - 1})
         seen = _read_at_wave(t.url_seen, start_wave - 1)
         host_state_df = _read_at_wave(t.host_state, start_wave - 1)
+        # GC + skip-branch corner: when every pre-crash manifest was
+        # expire_snapshots-pruned AND a rewrite/overwrite sat above an
+        # append orphan (documented skip above), no rollback commit was
+        # written, so no snapshot carries wave <= start_wave-1 and
+        # _read_at_wave returns None.  Fall back to the CURRENT view
+        # (orphans included): the resume then proceeds with the intended
+        # bounded one-wave duplicate rows instead of crashing on
+        # seen=None downstream.
+        if seen is None and t.url_seen.exists():
+            seen = t.url_seen.read()
+        if host_state_df is None and t.host_state.exists():
+            host_state_df = t.host_state.read()
     else:
         # wave-0 crash window: the frontier never committed but some side
         # tables did — those commits are pure orphans (GC cannot have run

@@ -835,28 +835,79 @@ def build_cuckoo(
 ) -> CuckooFilter | PartitionedCuckoo:
     """Build the deletable URL-seen filter from the seen table.
 
-    Driver-side build (collect the hash column): the cuckoo's kick chains
-    are inherently sequential, so unlike the Bloom there is no shard-local
-    distributed build to OR-merge — but the build cost is O(n) numpy and
-    the driver is the single WRITER either way.  ``shard_bits=0`` returns
-    one broadcastable :class:`CuckooFilter`; ``shard_bits>0`` returns the
-    :class:`PartitionedCuckoo` whose per-shard files the shard-aligned
-    probe loads (no whole-filter broadcast — the same fix as the sharded
-    Bloom, see the memory math on both classes).
+    ``shard_bits>0`` (the 10^10 design point) builds DISTRIBUTEDLY: kick
+    chains never cross shards, so each shard's table is built
+    independently in a ``groupBy(shard).applyInPandas`` task — the exact
+    shape of :func:`build_bloom` — and only the finished uint16 tables
+    come back to the driver (the filter's own size, ~22 GB at capacity
+    10^10 / ~21 MB per shard at shard_bits=10, vs the previous
+    full-seen-hash-column ``toPandas`` which held ~80 GB of longs PLUS a
+    doubling retry's second copy).  Capacity doubling happens PER SHARD
+    inside the task: a skewed shard doubles alone, its peak memory is one
+    shard's table, and the seen hashes are never re-collected.  Returns
+    the :class:`PartitionedCuckoo` whose per-shard files the
+    shard-aligned probe loads (no whole-filter broadcast — the same fix
+    as the sharded Bloom, see the memory math on both classes).
+
+    ``shard_bits=0`` returns one broadcastable :class:`CuckooFilter`,
+    built driver-side (a single kick chain is inherently sequential;
+    routing the whole set through one applyInPandas group would just move
+    the same work to one executor and add a shuffle).
 
     ``capacity`` is a FLOOR, not a hard limit: if the seen set does not
     fit (kick chains exhaust), the build doubles and retries until it
-    does — the bulk build must never fail on an undersized config, and
-    the one collect is reused across retries."""
+    does — the bulk build must never fail on an undersized config.
+    Shard tasks sort their hashes before inserting so a shard's table is
+    deterministic for a given (shard contents, seed)."""
+    cap = max(capacity, 1)
+    if shard_bits > 0:
+        num_shards = 1 << shard_bits
+        per_cap = max(1, cap // num_shards)
+        h_u = F.col(hash_col).cast("long")
+        hashed = df.select(
+            h_u.alias("h"),
+            F.shiftrightunsigned(h_u, 64 - shard_bits)
+            .cast("int")
+            .alias("shard"),
+        )
+
+        def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            sid = int(pdf["shard"].iloc[0])
+            arr = np.sort(pdf["h"].to_numpy(dtype=np.int64))
+            c = per_cap
+            while True:
+                cf = CuckooFilter(c, seed=seed + sid)
+                try:
+                    cf.insert_many(arr)
+                    break
+                except CuckooFullError:
+                    c *= 2
+            return pd.DataFrame(
+                {
+                    "shard": [sid],
+                    "nbuckets": [int(cf.nbuckets)],
+                    "table": [cf.table.tobytes()],
+                }
+            )
+
+        parts = hashed.groupBy("shard").applyInPandas(
+            build_shard, "shard int, nbuckets long, table binary"
+        )
+        pc = PartitionedCuckoo(cap, shard_bits, seed=seed)
+        for r in parts.collect():
+            tbl = (
+                np.frombuffer(bytes(r["table"]), dtype=np.uint16)
+                .reshape(int(r["nbuckets"]), CuckooFilter.BUCKET)
+                .copy()
+            )
+            pc.shards[int(r["shard"])] = CuckooFilter.from_table(
+                tbl, seed=seed + int(r["shard"])
+            )
+        return pc
     pdf = df.select(F.col(hash_col).cast("long").alias("h")).toPandas()
     arr = pdf["h"].to_numpy(dtype=np.int64)
-    cap = max(capacity, 1)
     while True:
         try:
-            if shard_bits > 0:
-                pc = PartitionedCuckoo(cap, shard_bits, seed=seed)
-                pc.insert_many(arr)
-                return pc
             cf = CuckooFilter(cap, seed=seed)
             cf.insert_many(arr)
             return cf

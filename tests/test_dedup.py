@@ -637,3 +637,46 @@ def test_crawl_with_sharded_cuckoo_matches_bloom(spark, web_spark):
         )
     assert results["cuckoo_sharded"] == results["bloom"]
     assert len(results["cuckoo_sharded"]) > 10
+
+
+def test_build_cuckoo_distributed_parity_and_per_shard_doubling(spark):
+    """The sharded bulk build runs shard-local in executors (no full-corpus
+    driver collect).  Membership must match the driver-side flat build on
+    the same seen set — zero false negatives, FP rate in the same regime —
+    and an UNDERSIZED capacity must double per shard inside the task
+    rather than failing or re-collecting the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from mizzounewscrawler_spark.operators.dedup import (
+        PartitionedCuckoo,
+        build_cuckoo,
+    )
+
+    rng = np.random.default_rng(7)
+    hs = rng.integers(-(2**63), 2**63 - 1, size=5000, dtype=np.int64)
+    seen = spark.createDataFrame(pd.DataFrame({"url_hash": hs}))
+
+    pc = build_cuckoo(seen, "url_hash", 16000, shard_bits=3)
+    assert isinstance(pc, PartitionedCuckoo)
+    flat = build_cuckoo(seen, "url_hash", 16000, shard_bits=0)
+
+    # no false negatives on either path
+    assert pc.contains_batch(hs).all()
+    assert flat.contains_batch(hs).all()
+    # same FP regime on disjoint probes (16-bit fingerprints => tiny)
+    probes = rng.integers(-(2**63), 2**63 - 1, size=20000, dtype=np.int64)
+    fresh = probes[~np.isin(probes, hs)]
+    assert pc.contains_batch(fresh).sum() <= 40
+    assert flat.contains_batch(fresh).sum() <= 40
+
+    # undersized capacity: per-shard doubling inside the executor task
+    small = build_cuckoo(seen, "url_hash", 64, shard_bits=3)
+    assert small.contains_batch(hs).all()
+    assert any(
+        cf.nbuckets * cf.BUCKET >= len(hs) // 8 for cf in small.shards.values()
+    )
+
+    # deletes still work per shard on the distributed build
+    small.delete_many(hs[:100])
+    assert small.contains_batch(hs[100:]).all()

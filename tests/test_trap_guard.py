@@ -64,7 +64,16 @@ def test_trap_guard_blocks_calendar_explosion(spark, guard, expect_trapped):
     if expect_trapped:
         assert n_cal >= 30  # unguarded: the whole calendar family admitted
     else:
-        assert n_cal == 0   # guarded: template over cap never admitted
+        # guarded, PARTIAL admission: the 30-URL /calendar/N/N?Q burst
+        # admits exactly cap URLs (not zero — a template arriving only in
+        # over-cap bursts must still reach its lifetime cap); the next-day
+        # links those pages discover form the separate /calendar/N/N
+        # template, itself capped.  Unbounded growth is what's blocked.
+        n_q = t.url_seen.read().where(
+            F.col("url_surt").contains("day=")
+        ).count()
+        assert n_q == 10
+        assert n_cal <= 20
     # story pages are unaffected either way
     arts = t.articles.read().where(F.col("url").contains("/story-"))
     assert arts.count() == 3
@@ -112,11 +121,12 @@ def test_trap_guard_cap_is_cumulative_across_waves(spark):
     n_arch = t.url_seen.read().where(
         F.col("url_surt").contains("/archive/")
     ).count()
-    # wave 0 admits the 8 under-cap pages; wave 1's 8 fresh pages push the
-    # template's lifetime total to 16 > 10 and are blocked — without the
-    # persisted counts the second batch would sail through (the first 8
-    # left the pending frontier when fetched)
-    assert n_arch == 8
+    # wave 0 admits the 8 under-cap pages; wave 1's 8 fresh pages would
+    # push the template's lifetime total to 16 > 10, so partial admission
+    # takes exactly cap - prior = 2 of them and blocks the rest — without
+    # the persisted counts the whole second batch would sail through (the
+    # first 8 left the pending frontier when fetched)
+    assert n_arch == 10
     assert t.trap_counts.exists()
 
 
