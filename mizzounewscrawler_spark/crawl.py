@@ -26,6 +26,7 @@ results are identical at any parallelism (tested local[8] vs local[32]).
 
 from __future__ import annotations
 
+import shutil
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
@@ -40,6 +41,7 @@ from mizzounewscrawler_spark.lake import LakeTable
 from mizzounewscrawler_spark.operators.dedup import (
     CuckooFilter,
     CuckooFullError,
+    DiskBloomWriter,
     PartitionedCuckoo,
     _bloom_params,
     add_hashes,
@@ -47,6 +49,7 @@ from mizzounewscrawler_spark.operators.dedup import (
     bloom_flag,
     bloom_flag_sharded,
     build_bloom,
+    build_bloom_to_dir,
     build_cuckoo,
     cuckoo_flag_sharded,
     filter_unseen,
@@ -101,6 +104,16 @@ class CrawlConfig:
     # dedup.bloom_flag_sharded for the memory math).  Off by default: at
     # sandbox scale the broadcast path avoids the candidate shuffle.
     bloom_sharded: bool = False
+    # Disk-backed Bloom WRITER (requires bloom_sharded and the default
+    # "bloom" filter): the driver holds only the filter geometry — the
+    # bulk build writes each shard file from its executor task
+    # (dedup.build_bloom_to_dir) and per-wave increments are per-shard
+    # read-modify-writes against {out_dir}/bloom_shards
+    # (dedup.DiskBloomWriter).  Removes the last multi-GB driver residency
+    # at the 10^10 geometry (~12 GB filter → one ~12 MB shard at a time);
+    # bit-identical shard files to the in-RAM writer.  Off by default: at
+    # sandbox scale the in-RAM filter skips the per-wave file I/O.
+    bloom_disk_writer: bool = False
     # expected total URL-seen capacity; pins the Bloom geometry so per-wave
     # increments can be OR-merged into the long-lived filter (O(new)/wave)
     bloom_capacity: int = 1_000_000
@@ -745,21 +758,6 @@ def run_crawl(
     bloom_params = _bloom_params(
         max(cfg.bloom_capacity // num_shards, 1), cfg.bloom_fpr
     )
-    if not cfg.use_bloom:
-        bloom = None
-    elif cfg.url_seen_filter == "cuckoo":
-        # deletable variant; bloom_sharded promotes it to the sharded
-        # PartitionedCuckoo (per-shard files, shard-aligned probe — the
-        # same 10^10 fix as the sharded Bloom)
-        bloom = build_cuckoo(
-            seen, "url_hash", cfg.bloom_capacity,
-            shard_bits=cfg.bloom_shard_bits if cfg.bloom_sharded else 0,
-        )
-    else:
-        bloom = build_bloom(
-            seen, "url_hash", shard_bits=cfg.bloom_shard_bits,
-            params=bloom_params,
-        )
     if cfg.bloom_sharded:
         from mizzounewscrawler_spark.operators.dedup import (
             BLOOM_SHARD_SUBDIR,
@@ -774,11 +772,34 @@ def run_crawl(
         shard_dir = f"{out_dir}/{sub}"
     else:
         shard_dir = None
-    if bloom is not None and shard_dir is not None:
-        # full write once; waves touch-up only the shards they change
-        if isinstance(bloom, PartitionedCuckoo):
+    if not cfg.use_bloom:
+        bloom = None
+    elif cfg.url_seen_filter == "cuckoo":
+        # deletable variant; bloom_sharded promotes it to the sharded
+        # PartitionedCuckoo (per-shard files, shard-aligned probe — the
+        # same 10^10 fix as the sharded Bloom)
+        bloom = build_cuckoo(
+            seen, "url_hash", cfg.bloom_capacity,
+            shard_bits=cfg.bloom_shard_bits if cfg.bloom_sharded else 0,
+        )
+        if shard_dir is not None:
+            # full write once; waves touch-up only the shards they change
             save_cuckoo_shards(bloom, shard_dir)
-        else:
+    elif cfg.bloom_disk_writer and shard_dir is not None:
+        # driver never holds the filter: executors write their own shard
+        # files, and the returned handle does per-shard read-modify-write
+        # increments against shard_dir (see CrawlConfig.bloom_disk_writer)
+        build_bloom_to_dir(
+            seen, shard_dir, "url_hash",
+            params=bloom_params, shard_bits=cfg.bloom_shard_bits,
+        )
+        bloom = DiskBloomWriter(shard_dir)
+    else:
+        bloom = build_bloom(
+            seen, "url_hash", shard_bits=cfg.bloom_shard_bits,
+            params=bloom_params,
+        )
+        if shard_dir is not None:
             save_bloom_shards(bloom, shard_dir)
 
     stats: dict = {"start_wave": start_wave, "waves_run": 0}
@@ -1200,7 +1221,27 @@ def run_crawl(
             # footer read, numpy bit ops — no Spark job).  The distributed
             # build_bloom path stays for bulk increments, where shipping
             # the hash column to the driver would not be wave-sized.
-            if isinstance(bloom, (CuckooFilter, PartitionedCuckoo)):
+            if isinstance(bloom, DiskBloomWriter):
+                # increments-from-disk: per-shard read-modify-write of
+                # only the touched shard files; driver residency = one
+                # shard bitmap.  Bulk increments build a scratch shard
+                # dir distributedly and OR-merge it file-by-file.
+                if discovered_new <= cfg.bloom_driver_increment_max:
+                    bloom.add(
+                        t.url_seen.staged_column(staged_seen, "url_hash")
+                    )
+                else:
+                    scratch = f"{shard_dir}.increment"
+                    build_bloom_to_dir(
+                        t.url_seen.staged_df(staged_seen),
+                        scratch,
+                        "url_hash",
+                        params=(bloom.m, bloom.k),
+                        shard_bits=bloom.shard_bits,
+                    )
+                    bloom.merge_from_dir(scratch)
+                    shutil.rmtree(scratch, ignore_errors=True)
+            elif isinstance(bloom, (CuckooFilter, PartitionedCuckoo)):
                 # deletable variant: in-place driver insert of the wave's
                 # new hashes (kick chains are sequential — no merge form);
                 # sharded form persists only the shards the insert touched.

@@ -278,6 +278,164 @@ def save_bloom_shards(
         os.replace(tmp, os.path.join(dir_path, f"shard_{int(sid):05d}.bin"))
 
 
+def build_bloom_to_dir(
+    df: DataFrame,
+    shard_dir: str,
+    hash_col: str = "url_hash",
+    params: tuple[int, int] | None = None,
+    shard_bits: int = 4,
+    expected_n: int | None = None,
+    fpr: float = 0.01,
+) -> None:
+    """Distributed bulk Bloom build that writes each shard file FROM ITS
+    EXECUTOR TASK — the driver never materializes the filter at all (not
+    even transiently: ``build_bloom`` collects the shard dict, ~12 GB at
+    the 10^10 geometry; here the driver sees only (shard, nbytes) rows).
+    Shard files land in the same layout ``save_bloom_shards`` writes and
+    ``bloom_flag_sharded`` / :class:`DiskBloomWriter` read.  Writes are
+    tmp+rename atomic per task attempt (a retried task re-renames
+    identical content — idempotent).  ``shard_dir`` must be storage every
+    executor can reach (local FS on local[*]; shared/object storage on a
+    cluster — the same requirement the shard-aligned probe already has).
+    """
+    if params is not None:
+        m, k = params
+    else:
+        n = expected_n or df.count()
+        m, k = _bloom_params(max(n // (1 << shard_bits), 1), fpr)
+    nbytes = (m + 7) // 8
+    os.makedirs(shard_dir, exist_ok=True)
+    ptmp = os.path.join(shard_dir, ".params.json.tmp")
+    with open(ptmp, "w") as f:
+        json.dump({"shard_bits": shard_bits, "m": m, "k": k}, f)
+    os.replace(ptmp, os.path.join(shard_dir, "params.json"))
+
+    h_u = F.col(hash_col).cast("long")
+    shard_expr = (
+        F.shiftrightunsigned(h_u, 64 - shard_bits) if shard_bits else F.lit(0)
+    )
+    hashed = df.select(h_u.alias("h"), shard_expr.cast("int").alias("shard"))
+
+    def build_and_write(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(pdf["shard"].iloc[0])
+        h = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        for pos in _positions(h, k, m):
+            byte_idx = (pos // np.uint64(8)).astype(np.int64)
+            bit_idx = (pos % np.uint64(8)).astype(np.uint8)
+            np.bitwise_or.at(bits, byte_idx, np.uint8(1) << bit_idx)
+        tmp = os.path.join(
+            shard_dir, f".shard_{sid:05d}.bin.tmp.{os.getpid()}"
+        )
+        with open(tmp, "wb") as f:
+            f.write(bits.tobytes())
+        os.replace(tmp, os.path.join(shard_dir, f"shard_{sid:05d}.bin"))
+        return pd.DataFrame({"shard": [sid], "nbytes": [nbytes]})
+
+    hashed.groupBy("shard").applyInPandas(
+        build_and_write, "shard int, nbytes long"
+    ).collect()  # dimension-sized: one row per non-empty shard
+
+
+class DiskBloomWriter:
+    """Increments-from-disk Bloom writer — the path
+    ``bloom_flag_sharded``'s docstring promises for when driver RAM binds:
+    the driver holds only the (shard_bits, m, k) geometry; every wave's
+    increment routes the new hashes to their shards and does a PER-SHARD
+    read-modify-write against ``shard_dir`` (mmap read of the ~12 MB
+    shard, numpy OR, tmp+rename publish).  Peak driver residency is ONE
+    shard bitmap instead of the whole ~12 GB filter at the 10^10
+    geometry.  The rename keeps the probe contract of
+    ``save_bloom_shards``: a concurrent ``bloom_flag_sharded`` task reads
+    either the previous or the new complete bitmap, both sound (bits only
+    get set; the exact backstop kills FPs).  In-place mmap WRITES are
+    deliberately avoided — readers would see torn bitmaps (possible false
+    negatives), and on a real cluster shard_dir is object storage where
+    publish is a PUT anyway.
+
+    Duck-types the slice of the ``PartitionedBloom`` API the wave loop
+    uses (``shard_of`` routing via geometry), and is interchangeable with
+    the in-RAM writer: both produce bit-identical shard files for the
+    same inserted set (Bloom OR is order-independent and positions are
+    deterministic in (m, k))."""
+
+    def __init__(self, shard_dir: str):
+        with open(os.path.join(shard_dir, "params.json")) as f:
+            p = json.load(f)
+        self.shard_dir = shard_dir
+        self.shard_bits = int(p["shard_bits"])
+        self.m = int(p["m"])
+        self.k = int(p["k"])
+
+    def _shard_path(self, sid: int) -> str:
+        return os.path.join(self.shard_dir, f"shard_{sid:05d}.bin")
+
+    def _rmw(self, sid: int, or_bits: np.ndarray) -> None:
+        path = self._shard_path(sid)
+        nbytes = (self.m + 7) // 8
+        if os.path.exists(path):
+            prev = np.memmap(path, dtype=np.uint8, mode="r")
+            merged = np.asarray(prev) | or_bits
+            del prev
+        else:
+            merged = or_bits
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(merged.astype(np.uint8).tobytes())
+        os.replace(tmp, path)
+        assert merged.nbytes == nbytes
+
+    def add(self, hashes) -> list[int]:
+        """Set the bits for ``hashes`` (signed int64) in the touched shard
+        files; returns the touched shard ids.  O(new) bit math + O(touched
+        shards) I/O — never O(filter)."""
+        h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+        if len(h) == 0:
+            return []
+        nbytes = (self.m + 7) // 8
+        sids = (
+            h >> np.uint64(64 - self.shard_bits)
+            if self.shard_bits
+            else np.zeros(len(h), dtype=np.uint64)
+        )
+        touched = []
+        for sid in np.unique(sids):
+            hm = h[sids == sid]
+            bits = np.zeros(nbytes, dtype=np.uint8)
+            for pos in _positions(hm, self.k, self.m):
+                byte_idx = (pos // np.uint64(8)).astype(np.int64)
+                bit_idx = (pos % np.uint64(8)).astype(np.uint8)
+                np.bitwise_or.at(bits, byte_idx, np.uint8(1) << bit_idx)
+            self._rmw(int(sid), bits)
+            touched.append(int(sid))
+        return touched
+
+    def merge_from_dir(self, src_dir: str) -> list[int]:
+        """OR-merge another shard directory (e.g. a distributed bulk
+        increment written by :func:`build_bloom_to_dir` to a scratch dir)
+        into this one, one shard at a time — the bulk-increment analog of
+        :func:`merge_blooms` that never holds two full filters."""
+        with open(os.path.join(src_dir, "params.json")) as f:
+            p = json.load(f)
+        assert (p["shard_bits"], p["m"], p["k"]) == (
+            self.shard_bits,
+            self.m,
+            self.k,
+        ), "param mismatch"
+        touched = []
+        for name in sorted(os.listdir(src_dir)):
+            if not name.startswith("shard_") or not name.endswith(".bin"):
+                continue
+            sid = int(name[len("shard_"):-len(".bin")])
+            src = np.memmap(
+                os.path.join(src_dir, name), dtype=np.uint8, mode="r"
+            )
+            self._rmw(sid, np.asarray(src).copy())
+            del src
+            touched.append(sid)
+        return touched
+
+
 @lru_cache(maxsize=64)
 def _load_shard_cached(dir_path: str, sid: int, mtime_ns: int) -> bytes | None:
     """Executor-process-local shard loader.  ``mtime_ns`` keys the cache so a

@@ -680,3 +680,83 @@ def test_build_cuckoo_distributed_parity_and_per_shard_doubling(spark):
     # deletes still work per shard on the distributed build
     small.delete_many(hs[:100])
     assert small.contains_batch(hs[100:]).all()
+
+
+def test_crawl_disk_bloom_writer_matches_in_ram(spark, web_spark):
+    """Config-gated equality across a multi-wave crawl: with
+    bloom_disk_writer=True the driver never holds the filter (executor-side
+    bulk build + per-shard read-modify-write increments), yet the crawl's
+    URL-seen set AND the persisted shard files are bit-identical to the
+    in-RAM writer's (Bloom OR is order-independent, geometry is pinned)."""
+    import os
+    import tempfile
+
+    from mizzounewscrawler_spark.crawl import (
+        CrawlConfig,
+        open_tables,
+        run_crawl,
+    )
+    from mizzounewscrawler_spark.operators.dedup import BLOOM_SHARD_SUBDIR
+
+    pages, seeds, robots = web_spark
+    results, shard_bytes = {}, {}
+    for disk in (False, True):
+        out = tempfile.mkdtemp(prefix=f"crawl_diskbloom_{disk}_")
+        cfg = CrawlConfig(
+            max_waves=3, bloom_capacity=10000, bloom_sharded=True,
+            bloom_disk_writer=disk,
+        )
+        run_crawl(spark, pages, seeds, robots, out, cfg)
+        t = open_tables(spark, out)
+        results[disk] = sorted(
+            r["url_surt"] for r in t.url_seen.read().collect()
+        )
+        sdir = os.path.join(out, BLOOM_SHARD_SUBDIR)
+        shard_bytes[disk] = {
+            name: open(os.path.join(sdir, name), "rb").read()
+            for name in sorted(os.listdir(sdir))
+            if name.startswith("shard_")
+        }
+    assert results[True] == results[False]
+    assert len(results[True]) > 10
+    assert set(shard_bytes[True]) == set(shard_bytes[False])
+    for name in shard_bytes[True]:
+        assert shard_bytes[True][name] == shard_bytes[False][name], name
+
+
+def test_disk_bloom_writer_unit_parity():
+    """DiskBloomWriter.add + merge_from_dir produce the same bitmaps as
+    the in-RAM add_hashes/merge_blooms path for the same geometry."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from mizzounewscrawler_spark.operators.dedup import (
+        DiskBloomWriter,
+        PartitionedBloom,
+        _bloom_params,
+        add_hashes,
+        save_bloom_shards,
+    )
+
+    rng = np.random.default_rng(3)
+    first = rng.integers(-(2**63), 2**63 - 1, size=4000, dtype=np.int64)
+    second = rng.integers(-(2**63), 2**63 - 1, size=1500, dtype=np.int64)
+    m, k = _bloom_params(1000, 0.01)
+
+    ram = PartitionedBloom(shard_bits=3, m=m, k=k, shards={})
+    ram = add_hashes(ram, first)
+    ram = add_hashes(ram, second)
+
+    d = tempfile.mkdtemp(prefix="diskbloom_unit_")
+    empty = PartitionedBloom(shard_bits=3, m=m, k=k, shards={})
+    save_bloom_shards(empty, d)  # params.json only (no shards yet)
+    w = DiskBloomWriter(d)
+    touched = w.add(first)
+    assert touched  # routed across shards
+    w.add(second)
+
+    for sid, bm in ram.shards.items():
+        path = os.path.join(d, f"shard_{sid:05d}.bin")
+        assert open(path, "rb").read() == bm, sid
