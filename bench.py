@@ -283,6 +283,7 @@ def main() -> None:
     # rep conflates engine speed with host weather — keep the best rep as
     # the engine's capability, publish every rep's number (VERDICT r2 #2)
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps_ran = 0
     frontier: dict = {}
     if not os.environ.get("BENCH_SKIP_CRAWL"):
         runs = [bench_crawl(spark, n_hosts, pages, waves) for _ in range(reps)]
@@ -298,6 +299,7 @@ def main() -> None:
         while extra > 0 and _spread(runs) > 1.5:
             runs.append(bench_crawl(spark, n_hosts, pages, waves))
             extra -= 1
+        reps_ran = len(runs)
         frontier = max(
             runs, key=lambda r: r.get("steady_state_urls_per_sec") or 0.0
         )
@@ -352,7 +354,9 @@ def main() -> None:
         "frontier": frontier,
         "total_sec": value,
         "harness_wall_sec": total,
-        "reps": reps,
+        # the count that actually RAN: base BENCH_REPS plus any adaptive
+        # extensions the rep-spread trigger bought (VERDICT r4 wrong #4)
+        "reps": reps_ran or reps,
     }
     # full detail (incl. per_wave lineage) → file; stdout stays ONE SHORT
     # JSON line — the driver tails stdout and parses the last line, and the
