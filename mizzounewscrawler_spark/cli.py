@@ -289,6 +289,18 @@ def _cmd_history(args) -> int:
         tbl = getattr(t, name, None)
         if tbl is not None and tbl.exists():
             out[name] = tbl.history()
+    # jobs-table parity: every audited CLI verb appended a run row —
+    # list them newest-first (reference Job audit trail,
+    # src/models/__init__.py:502-539)
+    from mizzounewscrawler_spark.plans.mlops import open_job_runs
+
+    jr = open_job_runs(spark, args.out)
+    if jr.exists():
+        out["job_runs"] = [
+            {k: (v.isoformat() if hasattr(v, "isoformat") else v)
+             for k, v in r.asDict().items()}
+            for r in jr.read().orderBy(F.desc("started_at")).collect()
+        ]
     print(json.dumps(out))
     return 0
 
@@ -654,11 +666,59 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+# Verbs that already WRITE to a crawl lake dir (args.out) get a job_runs
+# audit row per execution — the reference's ``jobs`` table
+# (src/models/__init__.py:502-539) written per pipeline run.  Read-only
+# verbs (status/history/sql) stay side-effect-free.
+_AUDITED_VERBS = frozenset(
+    {"crawl", "report", "export", "requeue", "housekeeping"}
+)
+
+
+def _audit_job(args, cmd: str, rc: int, t0) -> None:
+    """Best-effort jobs-row append; never fails the verb it audits."""
+    out_dir = getattr(args, "out", None)
+    if cmd not in _AUDITED_VERBS or not out_dir:
+        return
+    try:
+        from mizzounewscrawler_spark.plans.mlops import record_job_run
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return
+        params = {
+            k: v
+            for k, v in vars(args).items()
+            if k not in ("fn",) and isinstance(v, (str, int, float, bool))
+        }
+        record_job_run(
+            spark,
+            out_dir,
+            job_type=cmd,
+            job_name=f"mnc-{cmd}",
+            started_at=t0,
+            exit_status="success" if rc == 0 else "failed",
+            params=params,
+        )
+    except Exception:  # noqa: BLE001 — audit must not mask the verb's result
+        pass
+
+
 def main(argv=None) -> int:
+    import datetime as dt
+
     args = build_parser().parse_args(
         argv if argv is not None else sys.argv[1:]
     )
-    return args.fn(args)
+    t0 = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    cmd = getattr(args, "cmd", None)
+    try:
+        rc = args.fn(args)
+    except Exception:
+        _audit_job(args, cmd, 1, t0)
+        raise
+    _audit_job(args, cmd, rc, t0)
+    return rc
 
 
 if __name__ == "__main__":
