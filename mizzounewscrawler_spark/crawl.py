@@ -114,6 +114,14 @@ class CrawlConfig:
     # bit-identical shard files to the in-RAM writer.  Off by default: at
     # sandbox scale the in-RAM filter skips the per-wave file I/O.
     bloom_disk_writer: bool = False
+    # U2 real-extractor stage (import-gated, like the multimodal ``real``
+    # codec): run trafilatura as the cascade's stage 0 when the lib is
+    # installed on the executors — the reference's first extractor
+    # (mcmetadata/content.py:60-98).  Default False: the deterministic
+    # cascade is the fixture/oracle ground truth and this container ships
+    # no trafilatura; turning this on without the lib raises
+    # NotImplementedError at extract time (explicit-config contract).
+    use_trafilatura: bool = False
     # expected total URL-seen capacity; pins the Bloom geometry so per-wave
     # increments can be OR-merged into the long-lived filter (O(new)/wave)
     bloom_capacity: int = 1_000_000
@@ -851,6 +859,7 @@ def run_crawl(
                 keep_html_hosts=(
                     frozenset(h for h, _ in proxy_rows) if proxy_rows else None
                 ),
+                use_trafilatura=cfg.use_trafilatura,
             )
         ).cache()
         wave_caches.append(results)

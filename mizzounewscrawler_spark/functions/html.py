@@ -65,6 +65,62 @@ def _clean_fragment(fragment: str) -> str:
     return txt.strip()
 
 
+# Import-gated REAL extractor stage (U2 parity seam, same pattern as the
+# PIL codec in operators/multimodal.py): when trafilatura is installed on
+# the executors — it is NOT in this container — the cascade can run it as
+# stage 0, exactly the reference's first extractor
+# (/root/reference/src/mcmetadata/content.py:60-98, ordered cascade with
+# trafilatura first).  The deterministic cascade stays the DEFAULT and the
+# fallback, so fixtures and oracles never depend on a third-party lib.
+try:  # pragma: no cover - exercised only where trafilatura is installed
+    import trafilatura as _trafilatura
+except ImportError:
+    _trafilatura = None
+
+
+def have_trafilatura() -> bool:
+    return _trafilatura is not None
+
+
+def extract_text_real(html_text: str) -> tuple[str, str] | None:
+    """Stage 0: real-trafilatura extraction; None = fall through to the
+    deterministic cascade (lib missing, extraction failed, or text under
+    the reference's 200-char gate — content.py:23)."""
+    if _trafilatura is None:
+        return None
+    try:
+        txt = _trafilatura.extract(html_text)
+    except Exception:  # noqa: BLE001 — a parser crash must fall through
+        return None
+    txt = (txt or "").strip()
+    if len(txt) > MIN_EXTRACT_CHARS:
+        return txt, "trafilatura"
+    return None
+
+
+def extract_text_cascade(
+    html_text: str, use_trafilatura: bool = False
+) -> tuple[str, str]:
+    """U2 cascade with the optional real-library first stage.
+
+    ``use_trafilatura=True`` requires the lib on the executors (raises
+    NotImplementedError otherwise — config explicitly asked for a backend
+    that is absent, same contract as the multimodal ``real`` codec);
+    extraction failures and under-gate texts still fall through to the
+    deterministic stages, mirroring the reference cascade's
+    next-extractor-on-failure behavior."""
+    if use_trafilatura:
+        if _trafilatura is None:
+            raise NotImplementedError(
+                "use_trafilatura=True but trafilatura is not importable on "
+                "this executor; install it or use the deterministic cascade"
+            )
+        got = extract_text_real(html_text)
+        if got is not None:
+            return got
+    return extract_text(html_text)
+
+
 def extract_text(html_text: str) -> tuple[str, str]:
     """Return (text, method) per the deterministic cascade."""
     doc = _RE_SCRIPT.sub("", html_text)

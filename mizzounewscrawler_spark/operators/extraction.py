@@ -32,7 +32,7 @@ from mizzounewscrawler_spark.functions.html import (
     extract_links,
     extract_publish_date,
     extract_structured,
-    extract_text,
+    extract_text_cascade,
     extract_title,
     fresh_feed_links,
     is_challenge_page,
@@ -73,7 +73,9 @@ EXTRACT_SCHEMA = T.StructType(
 )
 
 
-def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _extract_batch(
+    pdf: pd.DataFrame, use_trafilatura: bool = False
+) -> pd.DataFrame:
     out = {k: [] for k in _COLS}
     for url, html in zip(pdf["url"], pdf["html"]):
         out["url"].append(url)
@@ -97,7 +99,9 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             text, method, title, author, challenge = "", "feed", "", "", False
             pub, sd, fmeth = None, {"provider": "", "is_wire": False}, {}
         else:
-            text, method = extract_text(doc)
+            text, method = extract_text_cascade(
+                doc, use_trafilatura=use_trafilatura
+            )
             sd = extract_structured(doc, url=url or "")
             # U3 per-field ordered coalesce across extraction methods, with
             # per-field method tracking (reference _merge_extraction_results,
@@ -141,6 +145,7 @@ def fetch_and_extract(
     wave: DataFrame,
     pages: DataFrame,
     keep_html_hosts: "frozenset[str] | set[str] | None" = None,
+    use_trafilatura: bool = False,
 ) -> DataFrame:
     """Join the wave against ``pages`` ("fetch") and extract.
 
@@ -199,7 +204,9 @@ def fetch_and_extract(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            res = _extract_batch(pdf[["url", "html"]])
+            res = _extract_batch(
+                pdf[["url", "html"]], use_trafilatura=use_trafilatura
+            )
             if keep_set is not None:
                 # S6 passthrough: raw html survives extraction ONLY for
                 # proxy-pattern-flagged hosts (a dimension) — the column is

@@ -316,3 +316,83 @@ def test_extract_structured_carries_syndication(spark):
     chtml = '<link rel="canonical" href="https://apnews.com/a">'
     assert extract_structured(chtml)["is_wire"] is False
     assert extract_structured(chtml, url="https://local.news/y")["is_wire"]
+
+
+class _FakeTrafilatura:
+    """Stand-in with trafilatura's extract() signature for seam tests."""
+
+    def __init__(self, result):
+        self._result = result
+
+    def extract(self, html_text):
+        if isinstance(self._result, Exception):
+            raise self._result
+        return self._result
+
+
+def test_trafilatura_seam_gating_and_fallback(monkeypatch):
+    """U2 real-extractor stage (import-gated like the PIL codec):
+    - lib absent + use_trafilatura=True -> NotImplementedError
+    - lib present + long text -> method 'trafilatura'
+    - lib present + short/None/crash -> falls through to the
+      deterministic cascade byte-identically
+    - default path ignores the lib entirely."""
+    import pytest as _pytest
+
+    from mizzounewscrawler_spark.functions import html as H
+
+    body = "<p>" + "word " * 80 + "</p>"
+    doc = f"<html><body><article>{body}</article></body></html>"
+    det_text, det_method = H.extract_text(doc)
+    assert det_method == "article_block"
+
+    # absent lib: default off-path identical, on-path raises
+    monkeypatch.setattr(H, "_trafilatura", None)
+    assert H.extract_text_cascade(doc) == (det_text, det_method)
+    assert not H.have_trafilatura()
+    with _pytest.raises(NotImplementedError):
+        H.extract_text_cascade(doc, use_trafilatura=True)
+
+    # long real text wins as stage 0
+    real = "Real extracted article text. " * 20
+    monkeypatch.setattr(H, "_trafilatura", _FakeTrafilatura(real))
+    assert H.extract_text_cascade(doc, use_trafilatura=True) == (
+        real.strip(), "trafilatura"
+    )
+    # ... but the default path still never calls it
+    assert H.extract_text_cascade(doc) == (det_text, det_method)
+
+    # under the 200-char reference gate -> deterministic fallback
+    monkeypatch.setattr(H, "_trafilatura", _FakeTrafilatura("too short"))
+    assert H.extract_text_cascade(doc, use_trafilatura=True) == (
+        det_text, det_method
+    )
+    # extractor returns None -> fallback
+    monkeypatch.setattr(H, "_trafilatura", _FakeTrafilatura(None))
+    assert H.extract_text_cascade(doc, use_trafilatura=True) == (
+        det_text, det_method
+    )
+    # extractor crashes -> fallback (reference next-extractor-on-failure)
+    monkeypatch.setattr(H, "_trafilatura", _FakeTrafilatura(ValueError("x")))
+    assert H.extract_text_cascade(doc, use_trafilatura=True) == (
+        det_text, det_method
+    )
+
+
+def test_trafilatura_parity_when_installed():
+    """Where the REAL lib is importable (not this container), both paths
+    agree on fixture HTML whose article block is unambiguous; documents
+    the byte-compare contract the cluster deployment runs."""
+    import pytest as _pytest
+
+    from mizzounewscrawler_spark.functions import html as H
+
+    if not H.have_trafilatura():
+        _pytest.skip("trafilatura not installed in this container")
+    body = "<p>" + "word " * 80 + "</p>"
+    doc = f"<html><body><article>{body}</article></body></html>"
+    real = H.extract_text_real(doc)
+    det_text, _ = H.extract_text(doc)
+    assert real is not None
+    # whitespace-normalized equality: trafilatura may reflow paragraphs
+    assert " ".join(real[0].split()) == " ".join(det_text.split())
