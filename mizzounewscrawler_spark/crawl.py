@@ -122,6 +122,15 @@ class CrawlConfig:
     # no trafilatura; turning this on without the lib raises
     # NotImplementedError at extract time (explicit-config contract).
     use_trafilatura: bool = False
+    # Adaptive hot-host salting for the wave-build window (SURVEY risk #4):
+    # when the pending frontier exceeds salt_trigger_rows, one dimension-
+    # sized histogram agg (scheduler.adaptive_nsalts) finds the hottest
+    # host and — if any host holds more than salt_rows_per_task pending
+    # rows — the per-host top-k window runs as the result-identical
+    # two-stage salted form, fanning the hot host over 2^k tasks.
+    # Sandbox-scale waves never cross the trigger and pay nothing.
+    salt_trigger_rows: int = 1_000_000
+    salt_rows_per_task: int = 200_000
     # expected total URL-seen capacity; pins the Bloom geometry so per-wave
     # increments can be OR-merged into the long-lived filter (O(new)/wave)
     bloom_capacity: int = 1_000_000
@@ -837,6 +846,15 @@ def run_crawl(
             eligible = frontier
             pages_wave = pages
 
+        nsalts = 1
+        if cfg.salt_trigger_rows and frontier_size > cfg.salt_trigger_rows:
+            from mizzounewscrawler_spark.operators.scheduler import (
+                adaptive_nsalts,
+            )
+
+            nsalts = adaptive_nsalts(
+                eligible, rows_per_task=cfg.salt_rows_per_task
+            )
         wave_df = build_wave(
             eligible,
             seeds,
@@ -848,6 +866,7 @@ def run_crawl(
             with_global_order=cfg.with_order_log,
             host_dim=host_dim,
             recrawl_sources=cfg.recrawl_sources,
+            salt_partitions=nsalts,
         ).cache()
         wave_caches.append(wave_df)
 

@@ -31,6 +31,8 @@ aggregation.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -170,6 +172,7 @@ def build_wave(
     with_global_order: bool = True,
     host_dim: DataFrame | None = None,
     recrawl_sources: bool = False,
+    salt_partitions: int = 1,
 ) -> DataFrame:
     """Select this wave's fetch set from the frontier.
 
@@ -262,13 +265,32 @@ def build_wave(
     else:
         ready = ready.withColumn("_adapted_sens", F.lit(None).cast("int"))
 
-    picked = (
-        ready.withColumns(
-            {
-                "_budget": _budget_expr_cached(wave_duration, max_per_host),
-                "_rn": _in_host_rn(),
-            }
+    ready = ready.withColumn(
+        "_budget", _budget_expr_cached(wave_duration, max_per_host)
+    )
+    if salt_partitions > 1:
+        # Hot-host skew guard (SURVEY risk #4): the plain per-host window
+        # sorts ALL of a host's pending rows in one task — a trap host
+        # with 10^7 frontier rows pins one core for the wave.  Two-stage
+        # salted top-k is result-IDENTICAL: stage 1 ranks within (host,
+        # salt-of-url_hash) and keeps each salt's top ``_budget`` (any
+        # row in the host's true top-budget is also top-budget within its
+        # own salt, so no winner is lost); stage 2 re-ranks the ≤
+        # budget×nsalts survivors per host.  Stage 1's tasks are
+        # max-host-rows/nsalts-sized; stage 2 is wave-sized.  The salt is
+        # derived from url_hash, so both stages order by the SAME total
+        # key and the final pick is byte-identical to the unsalted window
+        # (tests/test_scheduler_robots.py parity).
+        salted = Window.partitionBy(
+            "host", F.pmod(F.xxhash64("url_hash"), F.lit(salt_partitions))
+        ).orderBy(F.col("priority").desc(), F.col("url_hash").asc())
+        ready = (
+            ready.withColumn("_rn1", F.row_number().over(salted))
+            .where(F.col("_rn1") <= F.col("_budget"))
+            .drop("_rn1")
         )
+    picked = (
+        ready.withColumn("_rn", _in_host_rn())
         .where(F.col("_rn") <= F.col("_budget"))
         .drop("_rn", "_budget", "_sens", "_rdelay", "_adapted_sens")
     )
@@ -286,10 +308,38 @@ def salted_host_key(host: Column, nsalts: int, salt_on: Column) -> Column:
     """Two-phase-aggregation key for host-keyed stats over skewed data:
     (host, xxhash64(salt_on) % nsalts).  Aggregate per salted key first,
     then re-aggregate per host — the hot host fans out over ``nsalts``
-    reducers instead of one."""
+    reducers instead of one.  Derive ``nsalts`` from the data with
+    :func:`adaptive_nsalts` rather than guessing."""
     return F.concat_ws(
         "#", host, F.pmod(F.xxhash64(salt_on), F.lit(nsalts)).cast("string")
     )
+
+
+def adaptive_nsalts(
+    df: DataFrame,
+    host_col: str = "host",
+    rows_per_task: int = 200_000,
+    max_salts: int = 256,
+) -> int:
+    """Derive the salt fan-out from the ACTUAL per-host histogram (VERDICT
+    r4 next #5 — a caller-guessed ``nsalts`` either under-salts the hot
+    host or taxes uniform data): one dimension-sized count agg (map-side
+    partials, no sort) finds the hottest host; nsalts is the power of two
+    that brings its partition under ``rows_per_task``.  Returns 1 when no
+    host exceeds the target — the caller then skips salting entirely, so
+    uniform frontiers never pay the two-stage window.  The callers gate
+    the histogram job itself behind a frontier-size trigger
+    (CrawlConfig.salt_trigger_rows) so sandbox-scale waves pay nothing."""
+    row = (
+        df.groupBy(host_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .first()
+    )
+    mx = int(row["mx"] or 0)
+    if mx <= rows_per_task:
+        return 1
+    return int(min(max_salts, 2 ** math.ceil(math.log2(mx / rows_per_task))))
 
 
 # --------------------------------------------------------------------------

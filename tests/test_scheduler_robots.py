@@ -238,3 +238,70 @@ def test_quality_yield_catalog_oracle_parity(spark):
     )
     want = sorted(tuple(r) for r in con.sql(SQL_QUALITY_YIELD).fetchall())
     assert got == want
+
+
+def test_salted_wave_parity_and_adaptive_nsalts(spark):
+    """The two-stage salted per-host window must pick the IDENTICAL wave
+    as the plain window (any true top-budget row is top-budget within its
+    own salt), and adaptive_nsalts derives fan-out from the actual
+    histogram: 1 for uniform data, 2^k for a hot host."""
+    import pandas as pd
+
+    from mizzounewscrawler_spark.operators.scheduler import (
+        adaptive_nsalts,
+        build_wave,
+    )
+
+    rows = []
+    # hot host: 500 pending rows; cold hosts: 5 each
+    for i in range(500):
+        rows.append(("hot.test", i))
+    for h in range(20):
+        for i in range(5):
+            rows.append((f"cold-{h}.test", 1000 + h * 10 + i))
+    pdf = pd.DataFrame(rows, columns=["host", "k"])
+    frontier = spark.createDataFrame(pdf).selectExpr(
+        "concat('https://', host, '/p', k) as url",
+        "concat(host, ')/p', k) as url_surt",
+        "xxhash64(concat(host, k)) as url_hash",
+        "host",
+        "'discovered' as status",
+        "cast(k % 7 as double) as priority",
+        "0 as depth",
+    )
+    seeds = spark.createDataFrame(
+        pdf[["host"]].drop_duplicates().assign(bot_sensitivity=1)
+    )
+    robots = spark.createDataFrame(
+        pdf[["host"]].drop_duplicates().assign(
+            user_agent="*", crawl_delay=0.0
+        )
+    )
+
+    key = lambda r: (r["host"], r["url_hash"])  # noqa: E731
+    base = sorted(
+        map(
+            key,
+            build_wave(
+                frontier, seeds, robots, None, 0.0, max_per_host=3,
+                with_global_order=False,
+            ).collect(),
+        )
+    )
+    for nsalts in (2, 8):
+        salted = sorted(
+            map(
+                key,
+                build_wave(
+                    frontier, seeds, robots, None, 0.0, max_per_host=3,
+                    with_global_order=False, salt_partitions=nsalts,
+                ).collect(),
+            )
+        )
+        assert salted == base, nsalts
+
+    # histogram-derived fan-out
+    assert adaptive_nsalts(frontier, rows_per_task=1000) == 1
+    assert adaptive_nsalts(frontier, rows_per_task=100) == 8  # 500/100→2^3
+    assert adaptive_nsalts(frontier, rows_per_task=250) == 2
+    assert adaptive_nsalts(frontier, rows_per_task=1, max_salts=16) == 16
