@@ -3582,6 +3582,89 @@ FROM links GROUP BY host ORDER BY host
 """
 
 
+def q_label_drift(spark, sf):
+    """ml_results drift audit (``plans/mlops.label_drift``): per
+    (model_version, label) primary-label share + mean score over a
+    TWO-version deterministic score history derived from ``documents``
+    — version m2 biases every 4th row toward 'civic', the SQL-visible
+    stand-in for retrained weights shifting decisions.  Scores are
+    dyadic (k/256), so their sums are exact in double regardless of
+    aggregation order and the cross-engine mean is bit-stable.
+    Reference: ml_results score history, src/models/__init__.py:237-268.
+    """
+    from mizzounewscrawler_spark.plans.mlops import label_drift
+
+    d = t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("article_id")
+    )
+    labs = F.array(F.lit("civic"), F.lit("crime"), F.lit("sports"))
+
+    def ver(tag: str, biased: bool):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("article_id").cast("string"), F.lit(":" + tag)
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        idx = F.pmod(h, F.lit(3))
+        if biased:
+            idx = F.when(F.pmod(h, F.lit(4)) == 0, F.lit(0)).otherwise(idx)
+        score = F.pmod(h, F.lit(256)) / F.lit(256.0)
+        return d.select(
+            "article_id",
+            F.lit(tag).alias("model_version"),
+            F.lit("classifier").alias("model_type"),
+            F.element_at(labs, (idx + 1).cast("int")).alias("label"),
+            score.alias("score"),
+            score.alias("confidence"),
+            F.lit(1).alias("rank"),
+        )
+
+    return label_drift(ver("m1", False).unionByName(ver("m2", True)))
+
+
+SQL_LABEL_DRIFT = """
+WITH hist AS (
+  SELECT CAST(doc_id AS BIGINT) AS article_id, 'm1' AS model_version,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':m1'), 1, 4)
+              AS INTEGER) AS h,
+         false AS biased
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), 'm2',
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':m2'), 1, 4)
+              AS INTEGER),
+         true
+  FROM documents
+), scored AS (
+  SELECT model_version,
+         CASE (CASE WHEN biased AND h % 4 = 0 THEN 0 ELSE h % 3 END)
+              WHEN 0 THEN 'civic' WHEN 1 THEN 'crime' ELSE 'sports'
+         END AS label,
+         (h % 256) / 256.0 AS score
+  FROM hist
+), agg AS (
+  SELECT model_version, label, count(*) AS n,
+         round(avg(score), 6) AS avg_score,
+         round(avg(score), 6) AS avg_confidence
+  FROM scored GROUP BY model_version, label
+), tot AS (
+  SELECT model_version, sum(n) AS version_n FROM agg GROUP BY model_version
+)
+SELECT a.model_version, a.label, a.n, a.avg_score, a.avg_confidence,
+       round(CAST(a.n AS DOUBLE) / t.version_n, 6) AS share
+FROM agg a JOIN tot t USING (model_version)
+ORDER BY model_version, label
+"""
+
+
 CATALOG: list[QuerySpec] = [
     QuerySpec("pricing_summary", q_pricing_summary, SQL_PRICING, "A2/A4"),
     QuerySpec("top_customers", q_top_customers, SQL_TOP_CUSTOMERS, "A1"),
@@ -3664,6 +3747,12 @@ CATALOG: list[QuerySpec] = [
     QuerySpec("ivf_ann_topk", q_ivf_ann, SQL_IVF_ANN, "similarity (IVF ANN)"),
     QuerySpec("embedding_neardup_lsh", q_embedding_neardup_lsh, SQL_EMB_NEARDUP_LSH, "dedup (embedding LSH)"),
     QuerySpec("multimodal_decode", q_multimodal_metadata, SQL_MULTIMODAL, "multimodal (header round-trip)"),
+    QuerySpec(
+        "label_drift",
+        q_label_drift,
+        SQL_LABEL_DRIFT,
+        "ml_results parity (per-model-version drift audit)",
+    ),
     QuerySpec("crawl_wave_demo", q_crawl_wave, None, "crawl engine"),
     QuerySpec("never_attempted_first", q_never_attempted_first, SQL_NEVER_ATTEMPTED, "O2/S1"),
     QuerySpec("extractor_method_stats", q_extractor_method_stats, SQL_METHOD_STATS, "A8"),
