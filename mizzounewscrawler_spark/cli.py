@@ -426,7 +426,7 @@ def _cmd_near_dup(args) -> int:
     """Near-duplicate sweep over a documents parquet: MinHash-LSH candidate
     pairs → connected-components clusters → keep-lowest-id verdicts."""
     from mizzounewscrawler_spark.operators.dedup import (
-        minhash_lsh_pairs,
+        minhash_lsh_chain_pairs,
         resolve_neardup_clusters,
     )
 
@@ -434,7 +434,9 @@ def _cmd_near_dup(args) -> int:
     docs = spark.read.parquet(args.input).select(
         F.col(args.id_column).alias("id"), F.col(args.text_column).alias("text")
     )
-    pairs = minhash_lsh_pairs(docs, "id", "text")
+    # chain form: the consumer is connected components, so hot LSH
+    # buckets emit O(m) rows with identical clusters (band_chain_pairs)
+    pairs = minhash_lsh_chain_pairs(docs, "id", "text")
     verdicts = resolve_neardup_clusters(
         docs.select("id"), pairs, "id"
     ).withColumnRenamed("id", args.id_column)

@@ -1242,6 +1242,52 @@ def band_self_pairs(postings: DataFrame) -> DataFrame:
     )
 
 
+def band_chain_pairs(postings: DataFrame) -> DataFrame:
+    """Connectivity-preserving LSH pair form — the HOT-BUCKET guard for
+    clustering consumers.  ``band_self_pairs`` emits each bucket's full
+    clique: O(m²) pairs for an m-doc bucket, and real corpora have hot
+    buckets (boilerplate passages, site templates shared by thousands of
+    docs — BENCH/llm_ops.py measured 169M clique pairs from a 20k-doc
+    corpus whose 1-in-7 docs share one 30-token passage).  Downstream
+    cluster resolution (:func:`resolve_neardup_clusters` → connected
+    components) only needs CONNECTIVITY, and any spanning path of a
+    clique has identical connected components — so within each (band,
+    bucket) we sort ids and link consecutive ones: O(m) rows, exactly the
+    same clusters, hot bucket pays one O(m log m) window task instead of
+    an O(m²) join explosion (cluster-parity pinned in tests).  Use
+    ``band_self_pairs`` only when the PAIR LIST itself is the product
+    (recall measurement, the pair-level oracle); use this for dedup."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket").orderBy("id")
+    return (
+        postings.select("band", "bucket", "id")
+        .withColumn("_prev", F.lag("id").over(w))
+        .where(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("id_a"), F.col("id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_chain_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` with the chain (hot-bucket-safe) pair
+    form — same banding, same clusters after resolution, O(Σ m) instead
+    of O(Σ m²) pair rows.  The form every CLUSTERING consumer should
+    call; the clique form remains for pair-level recall contracts."""
+    banded = minhash_band_postings(
+        df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    )
+    return band_chain_pairs(banded)
+
+
 def probe_band_index(probe: DataFrame, index: DataFrame) -> DataFrame:
     """Distinct (new_id, corpus_id) pairs: probe postings equi-joined
     against an index postings frame on (band, bucket).  The probe side is

@@ -150,12 +150,17 @@ def build_training_corpus(
     )
     if neardup:
         from mizzounewscrawler_spark.operators.dedup import (
-            minhash_lsh_pairs,
+            minhash_lsh_chain_pairs,
             resolve_neardup_clusters,
         )
 
         nd_in = deduped.select("url_hash", F.col("_txt").alias("_nd_text"))
-        pairs = minhash_lsh_pairs(
+        # chain form, not the clique: downstream is connected components,
+        # which only needs connectivity — a hot LSH bucket (boilerplate
+        # passage shared corpus-wide) emits O(m) chain rows instead of an
+        # O(m^2) clique explosion, with byte-identical clusters
+        # (dedup.band_chain_pairs; BENCH/llm_ops.py is the measurement)
+        pairs = minhash_lsh_chain_pairs(
             nd_in,
             "url_hash",
             "_nd_text",

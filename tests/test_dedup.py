@@ -760,3 +760,52 @@ def test_disk_bloom_writer_unit_parity():
     for sid, bm in ram.shards.items():
         path = os.path.join(d, f"shard_{sid:05d}.bin")
         assert open(path, "rb").read() == bm, sid
+
+
+def test_band_chain_pairs_same_clusters_linear_rows(spark):
+    """Hot-bucket guard (BENCH/llm_ops.py finding): the chain pair form
+    must yield EXACTLY the clusters of the clique form while emitting
+    O(m) rows per bucket instead of O(m^2)."""
+    from mizzounewscrawler_spark.operators.dedup import (
+        band_self_pairs,
+        minhash_band_postings,
+        minhash_lsh_chain_pairs,
+        minhash_lsh_pairs,
+        resolve_neardup_clusters,
+    )
+
+    # 40 docs sharing one boilerplate passage (a hot bucket), plus
+    # 20 unrelated docs and a couple of genuine near-dup pairs
+    passage = " ".join(f"tpl{i}" for i in range(30))
+    rows = []
+    for i in range(40):
+        rows.append((i, f"doc {i} unique words w{i}a w{i}b " + passage))
+    for i in range(40, 60):
+        rows.append((i, " ".join(f"solo{i}w{j}" for j in range(30))))
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta " * 4))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta theta " * 4))
+    docs = spark.createDataFrame(rows, "id long, text string")
+
+    clique = minhash_lsh_pairs(docs, "id", "text").cache()
+    chain = minhash_lsh_chain_pairs(docs, "id", "text").cache()
+    n_clique, n_chain = clique.count(), chain.count()
+    # the 40-doc hot bucket alone would emit C(40,2)*bands clique pairs
+    assert n_chain < n_clique
+    assert n_chain <= 8 * 62  # O(rows x bands) bound
+
+    def clusters(pairs):
+        v = resolve_neardup_clusters(docs.select("id"), pairs, "id")
+        return sorted(
+            (r["id"], r["cluster_id"], r["is_kept"]) for r in v.collect()
+        )
+
+    assert clusters(clique) == clusters(chain)
+
+    # direct bucket check: one 5-doc bucket -> 4 chain rows, 10 clique
+    postings = spark.createDataFrame(
+        [(0, 7, i) for i in range(5)], "band int, bucket long, id long"
+    )
+    from mizzounewscrawler_spark.operators.dedup import band_chain_pairs
+
+    assert band_chain_pairs(postings).count() == 4
+    assert band_self_pairs(postings).count() == 10

@@ -74,3 +74,96 @@ def test_resume_after_mid_wave_crash_rolls_back_orphans(spark, web_spark):
     finally:
         shutil.rmtree(full_dir, ignore_errors=True)
         shutil.rmtree(part_dir, ignore_errors=True)
+
+
+def test_resume_detects_orphans_below_maintenance_commit(spark, web_spark):
+    """ADVICE r4: a wave-less maintenance commit (requeue merge /
+    out-of-band compaction) made BETWEEN the crash and the resume sits on
+    top of the wave>=start_wave orphans; the orphan scan must look past
+    it instead of concluding 'no orphans' and double-appending the
+    replayed wave."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    pages, seeds, robots = web_spark
+    full_dir = tempfile.mkdtemp(prefix="crawl_full3_")
+    part_dir = tempfile.mkdtemp(prefix="crawl_maint_")
+    try:
+        run_crawl(spark, pages, seeds, robots, full_dir, CrawlConfig(max_waves=4))
+        run_crawl(spark, pages, seeds, robots, part_dir, CrawlConfig(max_waves=3))
+        # crash: the wave-2 frontier checkpoint "never happened"
+        snaps = sorted(glob.glob(f"{part_dir}/frontier/snapshots/v*.json"))
+        os.remove(snaps[-1])
+        # post-crash, pre-resume housekeeping: a content-preserving
+        # compaction commit WITHOUT a wave key lands ABOVE url_seen's
+        # wave-2 orphan append
+        t = open_tables(spark, part_dir)
+        t.url_seen.compact({"out_of_band": True})
+        assert "wave" not in t.url_seen.current_snapshot().summary
+
+        stats = run_crawl(spark, pages, seeds, robots, part_dir, CrawlConfig(max_waves=4))
+        assert stats["start_wave"] == 2
+        assert _collect(spark, full_dir) == _collect(spark, part_dir)
+        seen = open_tables(spark, part_dir).url_seen.read()
+        assert seen.count() == seen.select(F.col("url_hash")).distinct().count()
+    finally:
+        shutil.rmtree(full_dir, ignore_errors=True)
+        shutil.rmtree(part_dir, ignore_errors=True)
+
+
+def test_resume_survives_gc_pruned_history_with_rewrite_above_orphan(
+    spark, web_spark
+):
+    """ADVICE r4 (medium): when snapshot GC pruned every pre-crash
+    manifest AND a rewrite sits above an append orphan (compact_small ran
+    in the crashed wave), no rollback commit is written and no snapshot
+    carries wave <= start_wave-1 — resume must fall back to the current
+    url_seen view (bounded one-wave duplicate rows) instead of crashing
+    on seen=None."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    pages, seeds, robots = web_spark
+    full_dir = tempfile.mkdtemp(prefix="crawl_full4_")
+    part_dir = tempfile.mkdtemp(prefix="crawl_gc_")
+    try:
+        run_crawl(spark, pages, seeds, robots, full_dir, CrawlConfig(max_waves=4))
+        run_crawl(spark, pages, seeds, robots, part_dir, CrawlConfig(max_waves=3))
+        snaps = sorted(glob.glob(f"{part_dir}/frontier/snapshots/v*.json"))
+        os.remove(snaps[-1])
+        t = open_tables(spark, part_dir)
+        # the crashed wave's own compaction: a REWRITE stamped wave 2
+        # above the wave-2 append orphan, then GC keeps only those two
+        t.url_seen.compact({"wave": 2})
+        t.url_seen.expire_snapshots(2)
+        waves = [s.summary.get("wave", -1) for s in t.url_seen.snapshots()]
+        assert all(w >= 2 for w in waves), waves  # no pre-crash restore point
+
+        stats = run_crawl(spark, pages, seeds, robots, part_dir, CrawlConfig(max_waves=4))
+        assert stats["start_wave"] == 2
+        # bounded degradation: the seen SET equals the uninterrupted
+        # run's (replay may duplicate wave-2 rows, never lose URLs)
+        t2 = open_tables(spark, part_dir)
+        got = {
+            r["url_surt"]
+            for r in t2.url_seen.read().select("url_surt").collect()
+        }
+        want = {
+            r["url_surt"]
+            for r in open_tables(spark, full_dir)
+            .url_seen.read().select("url_surt").collect()
+        }
+        assert got == want
+        # articles still exactly match (their history was NOT GC'd, so
+        # the normal rollback path applied)
+        arts_full, _, _ = _collect(spark, full_dir)
+        arts_part, _, _ = _collect(spark, part_dir)
+        assert [a[:3] for a in arts_full] == [a[:3] for a in arts_part]
+        del F
+    finally:
+        shutil.rmtree(full_dir, ignore_errors=True)
+        shutil.rmtree(part_dir, ignore_errors=True)
