@@ -122,8 +122,17 @@ def _shuffle_totals(spark) -> tuple[int, int]:
     far, from the internal AppStatusStore; (0, 0) if the py4j surface
     moves."""
     try:
-        store = spark.sparkContext._jsc.sc().statusStore()
-        it = store.stageList(None).iterator()
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        empty = sc._jvm.java.util.Collections.emptyList()
+        # Scala default args surface as stageList$default$N accessors
+        it = store.stageList(
+            empty,
+            getattr(store, "stageList$default$2")(),
+            getattr(store, "stageList$default$3")(),
+            getattr(store, "stageList$default$4")(),
+            getattr(store, "stageList$default$5")(),
+        ).iterator()
         rd = wr = 0
         while it.hasNext():
             s = it.next()
