@@ -45,10 +45,18 @@ _FORMATS = (
 )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
 def parse_date(raw: str | None) -> dt.datetime | None:
     """First-match parse over the pinned format list; tz-aware values are
     converted to naive UTC (the reference stores naive UTC,
-    /root/reference/src/models/__init__.py:77)."""
+    /root/reference/src/models/__init__.py:77).  Memoized per executor
+    process: publish dates repeat heavily within a crawl (one value per
+    article-day), and strptime over an 8-format ladder was ~12%% of the
+    extraction kernel; datetime returns are immutable so sharing is safe.
+    """
     if not raw:
         return None
     s = raw.strip()

@@ -396,3 +396,41 @@ def test_trafilatura_parity_when_installed():
     assert real is not None
     # whitespace-normalized equality: trafilatura may reflow paragraphs
     assert " ".join(real[0].split()) == " ".join(det_text.split())
+
+
+def test_ws_collapse_and_urljoin_fastpath_equivalence():
+    """The r5 extraction-kernel optimizations are output-identical:
+    - the changed-only whitespace regex == the naive [ \\t\\r\\f\\v]+ sub
+    - the absolute-href fast path == urljoin for non-dotted URLs."""
+    import random
+    import re
+    from urllib.parse import urljoin
+
+    from mizzounewscrawler_spark.functions.html import _RE_WS, extract_links
+
+    naive = re.compile(r"[ \t\r\f\v]+")
+    rng = random.Random(11)
+    alphabet = "ab <>&amp; \t\r\f\v  xyz\n"
+    for _ in range(5000):
+        s = "".join(
+            rng.choice(alphabet) for _ in range(rng.randrange(0, 80))
+        )
+        assert naive.sub(" ", s) == _RE_WS.sub(" ", s), repr(s)
+
+    base = "https://www.example-3.test/2024/01/05/story.html"
+    hrefs = [
+        "http://a.test/x/y", "https://b.test/p?q=1", "/rel/x", "page.html",
+        "HTTP://c.test/z", "http://a.test", "https://b.test/",
+        "//proto.test/x", "http://a.test/x%20y", "https://b.test/a?b=c",
+        "http://a.test/x/../y", "https://b.test/./z", "../up/one",
+    ]
+    doc = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+    got = extract_links(doc, base)
+    want = []
+    seenset = set()
+    for h in hrefs:
+        u = urljoin(base, h.strip())
+        if u not in seenset:
+            seenset.add(u)
+            want.append(u)
+    assert got == want
