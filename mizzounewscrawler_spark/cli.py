@@ -422,6 +422,66 @@ def _cmd_housekeeping(args) -> int:
     return 0
 
 
+def _cmd_ml(args) -> int:
+    """ML stage with score HISTORY: classify the lake's extracted
+    articles, append ml_results-shaped rows to the model_scores table
+    (reference: ml_results, src/models/__init__.py:237-268), and print
+    the per-label counts of the version just applied.  Re-running with a
+    new --model-version grows the history; the county report's J4
+    latest-label window picks the newest version per article via
+    plans.mlops.labels_view."""
+    from mizzounewscrawler_spark.crawl import open_tables
+    from mizzounewscrawler_spark.operators.ml import classify_articles
+    from mizzounewscrawler_spark.plans.mlops import (
+        model_scores_from_labels,
+        open_model_scores,
+    )
+
+    spark = _spark("mnc-ml")
+    t = open_tables(spark, args.out)
+    arts = t.articles.read().where(
+        F.col("status").isin("extracted", "cleaned")
+        & F.col("text").isNotNull()
+    )
+    labels = classify_articles(arts)
+    if args.model_version:
+        labels = labels.withColumn(
+            "model_version", F.lit(args.model_version)
+        ).withColumn("label_version", F.lit(args.label_version))
+    ms = open_model_scores(spark, args.out)
+    rows = model_scores_from_labels(
+        labels, wave=args.wave
+    ).cache()
+    ms.append(rows.coalesce(4), {"model_version": args.model_version or ""})
+    counts = {
+        r["label"]: r["n"]
+        for r in rows.where(F.col("rank") == 1)
+        .groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows.unpersist()
+    print(json.dumps({"scored": sum(counts.values()), "labels": counts}))
+    return 0
+
+
+def _cmd_drift(args) -> int:
+    """Label-drift audit over the model_scores history (the query the
+    per-model-version score history exists for)."""
+    from mizzounewscrawler_spark.plans.mlops import (
+        label_drift,
+        open_model_scores,
+    )
+
+    spark = _spark("mnc-drift")
+    ms = open_model_scores(spark, args.out)
+    if not ms.exists():
+        print(json.dumps({"error": "no model_scores table; run `ml` first"}))
+        return 1
+    out = [r.asDict() for r in label_drift(ms.read()).collect()]
+    print(json.dumps(out))
+    return 0
+
+
 def _cmd_near_dup(args) -> int:
     """Near-duplicate sweep over a documents parquet: MinHash-LSH candidate
     pairs → connected-components clusters → keep-lowest-id verdicts."""
@@ -628,6 +688,25 @@ def build_parser() -> argparse.ArgumentParser:
     hi.add_argument("--key", help="diff key column (default url_hash)")
     hi.set_defaults(fn=_cmd_history)
 
+    ml = sub.add_parser(
+        "ml",
+        help="classify articles -> model_scores history (ml_results parity)",
+    )
+    ml.add_argument("--out", required=True)
+    ml.add_argument("--model-version", dest="model_version")
+    ml.add_argument("--label-version", dest="label_version", type=int,
+                    default=1)
+    ml.add_argument("--wave", type=int, default=0,
+                    help="applied_wave stamp for the history rows")
+    ml.set_defaults(fn=_cmd_ml)
+
+    dr = sub.add_parser(
+        "drift",
+        help="per-model-version label share audit over model_scores",
+    )
+    dr.add_argument("--out", required=True)
+    dr.set_defaults(fn=_cmd_drift)
+
     ls = sub.add_parser(
         "load-sources", help="validate + normalize publinks CSV (load_sources.py)"
     )
@@ -673,7 +752,7 @@ def build_parser() -> argparse.ArgumentParser:
 # (src/models/__init__.py:502-539) written per pipeline run.  Read-only
 # verbs (status/history/sql) stay side-effect-free.
 _AUDITED_VERBS = frozenset(
-    {"crawl", "report", "export", "requeue", "housekeeping"}
+    {"crawl", "report", "export", "requeue", "housekeeping", "ml"}
 )
 
 

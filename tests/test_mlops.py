@@ -178,3 +178,44 @@ def test_record_job_run_direct(spark):
     assert rows[0]["records_processed"] == 100
     assert rows[0]["finished_at"] >= rows[0]["started_at"]
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_cli_ml_and_drift_verbs(spark, crawl_out, capsys):
+    """`ml` scores the lake's articles into model_scores (job-audited);
+    a second version grows the history; `drift` prints the per-version
+    shares."""
+    from mizzounewscrawler_spark.cli import main
+
+    assert main(["ml", "--out", crawl_out]) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["scored"] > 0
+
+    assert main([
+        "ml", "--out", crawl_out,
+        "--model-version", "cin-stub-2", "--label-version", "2",
+        "--wave", "1",
+    ]) == 0
+    capsys.readouterr()
+
+    ms = open_model_scores(spark, crawl_out)
+    hist = ms.read()
+    versions = {
+        r["model_version"] for r in hist.select("model_version").distinct().collect()
+    }
+    assert versions == {"cin-stub-1", "cin-stub-2"}
+    # J4 feed: one latest label per distinct article (the shared
+    # module-scoped lake also carries earlier tests' history rows —
+    # exactly the accumulation the window is for)
+    latest = latest_scores(hist)
+    assert (
+        latest.count()
+        == hist.select("article_id").distinct().count()
+        == latest.select("article_id").distinct().count()
+    )
+
+    assert main(["drift", "--out", crawl_out]) == 0
+    drift = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {d["model_version"] for d in drift} == {"cin-stub-1", "cin-stub-2"}
+    # the ml verb is job-audited
+    jr = open_job_runs(spark, crawl_out).read()
+    assert jr.where(F.col("job_type") == "ml").count() >= 2
