@@ -1083,6 +1083,12 @@ reference's single-node rate at equal politeness semantics.
   (Iceberg bucket(url_hash) transform), so per-wave cost is independent
   of total store size at fixed bucket size.
 """
+    # round-authored sections (skew sweep, LLM-ops stress, kernel notes)
+    # live in EXTRA_SECTIONS.md so a re-render never clobbers them
+    extra = os.path.join(HERE, "EXTRA_SECTIONS.md")
+    if os.path.exists(extra):
+        with open(extra) as f:
+            md += "\n" + f.read()
     with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
         f.write(md)
 
