@@ -396,9 +396,21 @@ def _cmd_housekeeping(args) -> int:
     spark = _spark("mnc-housekeeping")
     t = open_tables(spark, args.out)
     report: dict = {"compacted": {}, "null_text_articles": 0}
+    from mizzounewscrawler_spark.plans.mlops import (
+        open_job_runs,
+        open_model_scores,
+    )
+
+    # model_scores / job_runs are append-per-run tables outside the wave
+    # loop's amortized compaction — housekeeping is their bin-packer
+    extra_tables = {
+        "model_scores": open_model_scores(spark, args.out),
+        "job_runs": open_job_runs(spark, args.out),
+    }
     for name in ("url_seen", "articles", "order_log", "fetch_events",
-                 "neardup_postings", "neardup_pairs"):
-        tbl = getattr(t, name)
+                 "neardup_postings", "neardup_pairs", "trap_counts",
+                 "model_scores", "job_runs"):
+        tbl = extra_tables.get(name) or getattr(t, name)
         if not tbl.exists():
             continue
         before = len(tbl.current_snapshot().live_versions)
