@@ -217,7 +217,9 @@ def main() -> None:
     results.append(timed(spark, "build_training_corpus+fuzzy", n_docs,
                          run_corpus, reps))
 
-    # 2. ExactSubstr sliding-span dedup
+    # 2. ExactSubstr sliding-span dedup — both key hashes: md5 is the
+    # oracle-pinned default, xxhash64 the scale path (long keys shrink
+    # the dominant window-key shuffle ~3x, identical output)
     def run_substr():
         exact_substring_dedup(docs, "text", "doc_id", window=20).agg(
             F.sum("n_removed")
@@ -225,6 +227,14 @@ def main() -> None:
 
     results.append(timed(spark, "exact_substring_dedup", n_docs,
                          run_substr, reps))
+
+    def run_substr_xx():
+        exact_substring_dedup(
+            docs, "text", "doc_id", window=20, key_hash="xxhash64"
+        ).agg(F.sum("n_removed")).collect()
+
+    results.append(timed(spark, "exact_substring_dedup(xxhash64)", n_docs,
+                         run_substr_xx, reps))
 
     # 3. SemDeDup, pandas kernel, paper-shaped cluster count
     k = max(8, n_vecs // 4000)

@@ -175,6 +175,7 @@ def exact_substring_dedup(
     id_col: str,
     window: int = 20,
     min_docs: int = 2,
+    key_hash: str = "md5",
 ) -> DataFrame:
     """ExactSubstr-style duplicate-span removal (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better", §3.1) —
@@ -196,6 +197,14 @@ def exact_substring_dedup(
     n_removed, clean_text)`` — surviving tokens rejoined in order.
     Documents shorter than ``window`` have no windows and survive whole.
 
+    ``key_hash``: the window-key hash.  "md5" (default) is pinned by the
+    DuckDB oracle (both engines hash identically, so parity is exact);
+    "xxhash64" is the SCALE path — 8-byte long keys instead of 32-char
+    hex strings cut the dominant (window-key) shuffle roughly 3x with
+    identical output (the keys never leave the operator; collision odds
+    rise to ~2^-64 per pair, still irrelevant at 10^10 windows;
+    output-parity pinned in tests/test_passages.py).
+
     Plan shape (every shuffle on a uniform high-entropy key): window keys
     groupBy(md5) → hot-key set; flagged windows explode to covered token
     positions (distinct (doc, pos) — only FLAGGED spans pay the ×window
@@ -212,6 +221,11 @@ def exact_substring_dedup(
         "id", F.posexplode("tk").alias("pos0", "tok")
     ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
 
+    if key_hash not in ("md5", "xxhash64"):
+        raise ValueError(f"key_hash must be md5|xxhash64, got {key_hash!r}")
+    key_fn = F.md5 if key_hash == "md5" else F.xxhash64
+    key_type = "string" if key_hash == "md5" else "bigint"
+
     def _grams(tk: Column) -> Column:
         n = F.size(tk)
         return F.when(
@@ -220,12 +234,14 @@ def exact_substring_dedup(
                 F.sequence(F.lit(1), n - F.lit(window - 1)),
                 lambda i: F.struct(
                     i.alias("gpos"),
-                    F.md5(
+                    key_fn(
                         F.array_join(F.slice(tk, i, window), " ")
                     ).alias("key"),
                 ),
             ),
-        ).otherwise(F.array().cast("array<struct<gpos:int,key:string>>"))
+        ).otherwise(
+            F.array().cast(f"array<struct<gpos:int,key:{key_type}>>")
+        )
 
     grams = base.select(
         "id", F.explode(bind_once(F.col("tk"), _grams)).alias("g")

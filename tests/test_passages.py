@@ -188,3 +188,39 @@ def test_exact_substring_catalog_oracle_parity(spark):
     assert got == want
     # the fixture's near-dup docs must actually trigger span removal
     assert any(r[2] > 0 for r in got)
+
+
+def test_exact_substring_xxhash64_key_output_parity(spark):
+    """The scale-path window-key hash (8-byte longs instead of 32-char md5
+    hex) must produce IDENTICAL dedup output — keys never leave the
+    operator."""
+    from mizzounewscrawler_spark.operators.passages import (
+        exact_substring_dedup,
+    )
+
+    shared = " ".join(f"dup{i}" for i in range(25))
+    rows = [
+        (1, "alpha " * 10 + shared + " omega tail one"),
+        (2, "beta " * 12 + shared + " closing words two"),
+        (3, " ".join(f"solo{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(kh):
+        return sorted(
+            map(
+                tuple,
+                exact_substring_dedup(
+                    df, "text", "doc_id", window=20, key_hash=kh
+                ).collect(),
+            )
+        )
+
+    a, b = run("md5"), run("xxhash64")
+    assert a == b
+    assert any(r[2] > 0 for r in a)  # the shared span was actually removed
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        exact_substring_dedup(df, "text", "doc_id", key_hash="sha1")
