@@ -809,3 +809,53 @@ def test_band_chain_pairs_same_clusters_linear_rows(spark):
 
     assert band_chain_pairs(postings).count() == 4
     assert band_self_pairs(postings).count() == 10
+
+
+def test_disk_bloom_bulk_increment_merge_from_dir(spark):
+    """The disk writer's bulk-increment path (discovered_new above the
+    driver-increment cap): a scratch shard dir built distributedly is
+    OR-merged file-by-file and must equal the in-RAM build over the union
+    set, bit for bit."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from mizzounewscrawler_spark.operators.dedup import (
+        DiskBloomWriter,
+        _bloom_params,
+        build_bloom,
+        build_bloom_to_dir,
+    )
+
+    rng = np.random.default_rng(9)
+    first = rng.integers(-(2**63), 2**63 - 1, size=3000, dtype=np.int64)
+    second = rng.integers(-(2**63), 2**63 - 1, size=2000, dtype=np.int64)
+    params = _bloom_params(1000, 0.01)
+
+    base_dir = tempfile.mkdtemp(prefix="dbw_base_")
+    inc_dir = tempfile.mkdtemp(prefix="dbw_inc_")
+    df1 = spark.createDataFrame(pd.DataFrame({"url_hash": first}))
+    df2 = spark.createDataFrame(pd.DataFrame({"url_hash": second}))
+    build_bloom_to_dir(df1, base_dir, params=params, shard_bits=3)
+    build_bloom_to_dir(df2, inc_dir, params=params, shard_bits=3)
+
+    w = DiskBloomWriter(base_dir)
+    touched = w.merge_from_dir(inc_dir)
+    assert touched  # the increment hit real shards
+
+    union = df1.unionByName(df2)
+    ram = build_bloom(union, "url_hash", shard_bits=3, params=params)
+    for sid, bm in ram.shards.items():
+        path = os.path.join(base_dir, f"shard_{sid:05d}.bin")
+        assert open(path, "rb").read() == bm, sid
+
+    # param mismatch is refused
+    import pytest as _pytest
+
+    bad_dir = tempfile.mkdtemp(prefix="dbw_bad_")
+    build_bloom_to_dir(df2, bad_dir, params=(params[0] * 2, params[1]),
+                       shard_bits=3)
+    with _pytest.raises(AssertionError):
+        w.merge_from_dir(bad_dir)
