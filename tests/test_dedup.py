@@ -859,3 +859,33 @@ def test_disk_bloom_bulk_increment_merge_from_dir(spark):
                        shard_bits=3)
     with _pytest.raises(AssertionError):
         w.merge_from_dir(bad_dir)
+
+
+def test_crawl_disk_bloom_bulk_increment_branch(spark, web_spark):
+    """Force the disk writer's BULK branch in the wave loop
+    (bloom_driver_increment_max=0: every wave's increment builds a
+    scratch shard dir and merges it) — crawl result identical to the
+    default driver-increment disk path."""
+    import tempfile
+
+    from mizzounewscrawler_spark.crawl import (
+        CrawlConfig,
+        open_tables,
+        run_crawl,
+    )
+
+    pages, seeds, robots = web_spark
+    results = {}
+    for cap in (2_000_000, 0):
+        out = tempfile.mkdtemp(prefix=f"crawl_diskbulk_{cap}_")
+        cfg = CrawlConfig(
+            max_waves=3, bloom_capacity=10000, bloom_sharded=True,
+            bloom_disk_writer=True, bloom_driver_increment_max=cap,
+        )
+        run_crawl(spark, pages, seeds, robots, out, cfg)
+        t = open_tables(spark, out)
+        results[cap] = sorted(
+            r["url_surt"] for r in t.url_seen.read().collect()
+        )
+    assert results[0] == results[2_000_000]
+    assert len(results[0]) > 10
