@@ -305,3 +305,38 @@ def test_salted_wave_parity_and_adaptive_nsalts(spark):
     assert adaptive_nsalts(frontier, rows_per_task=100) == 8  # 500/100→2^3
     assert adaptive_nsalts(frontier, rows_per_task=250) == 2
     assert adaptive_nsalts(frontier, rows_per_task=1, max_salts=16) == 16
+
+
+def test_crawl_with_adaptive_salting_forced_matches_default(spark, web_spark):
+    """Force the wave loop's adaptive-salting trigger (salt_trigger_rows=1,
+    rows-per-task target=1 → every host over 1 pending row salts): the
+    crawl's url_seen set and articles must be identical to the unsalted
+    default — the salted window is result-preserving end-to-end."""
+    import tempfile
+
+    from mizzounewscrawler_spark.crawl import (
+        CrawlConfig,
+        open_tables,
+        run_crawl,
+    )
+
+    pages, seeds, robots = web_spark
+    results = {}
+    for name, cfg in {
+        "default": CrawlConfig(max_waves=3),
+        "salted": CrawlConfig(
+            max_waves=3, salt_trigger_rows=1, salt_rows_per_task=1
+        ),
+    }.items():
+        out = tempfile.mkdtemp(prefix=f"crawl_salt_{name}_")
+        run_crawl(spark, pages, seeds, robots, out, cfg)
+        t = open_tables(spark, out)
+        results[name] = (
+            sorted(r["url_surt"] for r in t.url_seen.read().collect()),
+            sorted(
+                (r["url"], r["status"])
+                for r in t.articles.read().collect()
+            ),
+        )
+    assert results["salted"] == results["default"]
+    assert len(results["default"][0]) > 10
